@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central table catalog over the driver-generated parquet star schema.
+  *
+  * Replaces the reference's only "source": a byte-range-chunked HDFS text
+  * scan (`slave.cc:56-89`) whose split planning was hand-rolled in
+  * `master.cc:190-217`. Spark's `FileSourceScanExec` plans splits from
+  * parquet row-groups natively (vectorized reader, column pruning,
+  * predicate pushdown), so the source layer here is a thin catalog.
+  *
+  * At 100 TB these reads scale because: (a) parquet scans split by
+  * row-group so 1000 executors each get balanced work; (b) column pruning
+  * and predicate pushdown reach the scan (verify via
+  * `.explain("formatted")` → `ReadSchema` / `PushedFilters`); (c) nothing
+  * here ever collects to the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables — always broadcast them in joins. */
+  val smallDims: Set[String] = Set("region", "nation", "supplier", "customer", "part")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
