@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational query surface over the TPC-H-ish star schema.
+  *
+  * The reference has NO joins, no general predicates, no windows, no set
+  * ops (SURVEY.md §2.3) — its single hash-agg (`slave.cc:159-210`) is the
+  * whole relational story. This module supplies the full surface a user
+  * of a MapReduce-style engine would graduate to, Spark-first.
+  *
+  * Scale notes (designed for 100 TB / 1000 executors, tested at sf≤0.1):
+  *   - `region`/`nation` are bounded-size dimensions (25/5 rows at any
+  *     SF) → always `broadcast()`. `customer`/`supplier`/`part`/`orders`
+  *     grow linearly with SF → never hard-broadcast; AQE converts the
+  *     join to broadcast at runtime when the built side happens to be
+  *     small, and handles skew otherwise.
+  *   - Every query projects only the columns it needs before joining, so
+  *     parquet column pruning (ReadSchema) and filter pushdown
+  *     (PushedFilters) reach the scan.
+  *   - Aggregates rounded to fixed decimals so results are
+  *     oracle-stable across summation orders.
+  */
+object Relational {
+  import Tables._
+
+  /** TPC-H Q1-style pricing summary: full-scan partial-agg → 6-group
+    * final agg. Shuffle volume is O(groups), not O(rows). */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: selective dim filter first, then
+    * two shuffle joins (AQE may broadcast the filtered sides), agg,
+    * top-10 via TakeOrderedAndProject. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-way join; bounded dims
+    * (nation, region) broadcast, linear tables shuffle-join on keys. */
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val ord = orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem(spark, sfDir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val nat = nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = region(spark, sfDir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Top customers by total order value — agg-then-join keeps the join
+    * input at O(customers), not O(orders). */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spend"), count(lit(1)).as("n_orders"))
+    spend.join(customer(spark, sfDir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "total_spend", "n_orders")
+      .orderBy(desc("total_spend"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** EXISTS as left-semi join (TPC-H Q4 shape): orders having at least
+    * one heavy lineitem, counted per priority. */
+  def orderPriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val heavy = lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45).select("l_orderkey")
+    orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** NOT EXISTS as left-anti join: customers with no 1995 order, per
+    * nation. Bounded dim broadcast; anti join shuffles on c_custkey only
+    * (the orders side is filter-pushed before the shuffle). */
+  def customersNoOrders(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(orders(spark, sfDir)
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+
+  /** Exact distinct aggregation per nation (expand + two-phase agg). */
+  def nationCustomerStats(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count_distinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"),
+        round(avg("c_acctbal"), 4).as("avg_acctbal"))
+      .orderBy("n_name")
+
+  /** Window function: top-3 orders per customer by value. Single shuffle
+    * on the partition key; rank computed within partitions. */
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** ROLLUP grouping sets over lineitem; group keys coalesced to 'ALL'
+    * so the oracle comparison is null-free and order-stable. */
+  def rollupLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operations: customers active in both 1996 and 1997 (INTERSECT),
+    * minus those with any open order (EXCEPT). */
+  def setOpsActiveCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+    def activeIn(year: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val open = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+    activeIn(1996).intersect(activeIn(1997)).except(open)
+      .orderBy("o_custkey")
+  }
+
+  /** Scalar-function bundle (string/date/math/conditional) — the general
+    * expression evaluation the reference entirely lacks (SURVEY.md §2.3).
+    * All codegen'd built-ins, no UDFs. */
+  def scalarFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        when(col("o_totalprice") >= 300000, "high")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("low").as("price_band"),
+        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        round(log(col("o_totalprice") + 1), 4).as("log_price"))
+      .orderBy("o_orderkey")
+
+  /** Part revenue: fact⋈fact join then top-N per brand via window —
+    * combines join, agg, and window in one plan. */
+  def brandTopParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("part_revenue"))
+    val p = part(spark, sfDir).select("p_partkey", "p_brand", "p_name")
+    val w = Window.partitionBy("p_brand").orderBy(desc("part_revenue"), asc("p_partkey"))
+    rev.join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "p_name", "part_revenue", "rn")
+      .orderBy("p_brand", "rn")
+  }
+}
