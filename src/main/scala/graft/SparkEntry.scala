@@ -37,6 +37,17 @@ object SparkEntry {
     "set_ops_active_customers" -> (Relational.setOpsActiveCustomers _),
     "scalar_functions" -> (Relational.scalarFunctions _),
     "brand_top_parts" -> (Relational.brandTopParts _),
+    // --- text analysis (training-data pipeline ops) ---
+    "text_token_stats" -> (TextAnalysis.tokenStats _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_lang_id" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // --- deduplication ---
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +167,90 @@ object SparkEntry {
         |            FROM lineitem GROUP BY l_partkey)
         |        JOIN part ON l_partkey = p_partkey)
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \n]')) AS INT) AS n_bpe_tokens,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |        / greatest(len(toks), 1), 4) AS avg_token_len,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(n_stop / greatest(n_tok, 1.0), 4) AS stopword_ratio,
+        |  round(n_punct / greatest(len, 1.0), 4) AS punct_ratio,
+        |  round(least(len / 500.0, 1.0), 4) AS len_saturation,
+        |  round(0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0)), 4) AS quality
+        |FROM (SELECT doc_id,
+        |        CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |        CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |        CAST(length(text) AS DOUBLE) AS len
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, lang AS lang_label,
+        |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
+        |       WHEN hf > greatest(he, hs) THEN 'fr'
+        |       WHEN hs > he THEN 'es'
+        |       WHEN he > 0 THEN 'en'
+        |       ELSE 'und' END AS lang_pred,
+        |  CAST(greatest(he, hs, hf, hd) AS INT) AS lang_hits
+        |FROM (SELECT doc_id, lang,
+        |        len(regexp_extract_all(text, '\b(the|and|of|to|is|that|it)\b')) AS he,
+        |        len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las)\b')) AS hs,
+        |        len(regexp_extract_all(text, '\b(le|la|les|de|et|est|une)\b')) AS hf,
+        |        len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS hd
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
+    // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+    // dedup_simhash: xxhash64-based signature not expressible in DuckDB -> rows-only check
+    "dedup_embedding" ->
+      """SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
+        |               * CAST(list_extract(b.embedding, i) AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 4) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact
+    * query and the LSH query (which verifies candidates exactly). */
+  private val ngramJaccardOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle
+      |       FROM (SELECT doc_id,
+      |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+      |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+      |             FROM w)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(count(*) * 1.0 / (sa.sz + sb.sz - count(*)), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+      |HAVING round(count(*) * 1.0 / (sa.sz + sb.sz - count(*)), 4) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * The reference deduplicates nothing — its only aggregation collapses
+  * identical tokens (`slave.cc:198`). These operators are the corpus-level
+  * generalization, each designed so the shuffled payload is a hash or a
+  * signature, never the document text:
+  *
+  *  - exact:     shuffle (md5, doc_id) — O(docs) tiny rows.
+  *  - jaccard:   shuffle (shingle_hash, doc_id); the shingle self-join is
+  *               the classic inverted-index join. Skew guard: drop
+  *               shingles appearing in more than `maxShingleFreq` docs
+  *               (stopword shingles create quadratic hot keys at scale —
+  *               same technique as CCNet/RefinedWeb pipelines).
+  *  - minhash:   128 hashes → 32 bands × 4 rows; candidates only where a
+  *               band collides (join on (band, band_hash)), then exact
+  *               Jaccard verification restricted to candidates. At 100 TB
+  *               this is the only variant whose cost is near-linear.
+  *  - simhash:   64-bit signature; pigeonhole blocking on 16-bit chunks
+  *               bounds candidate pairs for hamming ≤ 3.
+  *  - embedding: cosine over float vectors with precomputed norms.
+  */
+object Dedup {
+  import TextAnalysis.normText
+
+  /** Distinct word n-gram shingles per document, hashed to 64-bit.
+    * Shingling is per-row (no shuffle); `.distinct` dedups within doc. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      // guard: sequence(0, negative) DESCENDS in Spark — docs shorter
+      // than n words must yield an empty shingle set, not junk slices
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact dedup: canonical doc per md5-of-normalized-text group.
+    * Two-phase agg on the hash; text never crosses the shuffle. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  /** Shared skew guard: shingles occurring in > maxFreq docs are noise
+    * (their buckets explode quadratically) — standard in web-scale dedup. */
+  private def rareShingles(sh: DataFrame, maxFreq: Int): DataFrame = {
+    val hot = sh.groupBy("shingle").count().filter(col("count") > maxFreq)
+      .select("shingle")
+    // using-column joins move the key first — re-select to pin order
+    sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
+  }
+
+  /** Positional toDF is fragile after using-column joins (Spark reorders
+    * the key to the front) — rename by name instead. */
+  private def renamed(df: DataFrame, pairs: (String, String)*): DataFrame =
+    df.select(pairs.map { case (from, to) => col(from).as(to) }: _*)
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Output: (doc_a, doc_b, jaccard) for jaccard ≥ threshold. */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
+    val sh = rareShingles(shingles(spark, sfDir, n), maxShingleFreq)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = renamed(sh, "doc_id" -> "doc_a", "shingle" -> "shingle")
+    val b = renamed(sh, "doc_id" -> "doc_b", "shingle" -> "shingle")
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
+      .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- MinHash + LSH ---
+
+  /** Deterministic hash family: h_i(x) = xxhash64(i, xxhash64(x)) —
+    * index-seeded, overflow-free under ANSI mode, reproducible. */
+  private val NumHashes = 128
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows // 32
+
+  /** Per-doc 128-wide MinHash signature as an array column. The 128 min
+    * aggregations run in one HashAggregate pass over exploded shingles. */
+  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val sh = shingles(spark, sfDir, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minCols = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: each doc emits 32 (band_idx, band_hash) keys; docs
+    * colliding in any band become candidate pairs; candidates are then
+    * verified with exact Jaccard (threshold-accurate output, LSH-shaped
+    * cost). Recall at j=0.8 with 32 bands × 4 rows: 1-(1-0.8^4)^32 ≈
+    * 1-5e-8 — effectively exact on any real corpus. */
+  def minhashLshPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir, n)
+    val banded = sig.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $BandRows + 1, $BandRows)))")))
+      .toDF("doc_id", "band", "band_hash")
+    val cands = renamed(banded, "doc_id" -> "doc_a", "band" -> "band", "band_hash" -> "band_hash")
+      .join(renamed(banded, "doc_id" -> "doc_b", "band" -> "band", "band_hash" -> "band_hash"),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    // exact-Jaccard verification restricted to LSH candidates
+    val sh = shingles(spark, sfDir, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(renamed(sh, "doc_id" -> "doc_a", "shingle" -> "shingle"), Seq("doc_a"))
+      .join(renamed(sh, "doc_id" -> "doc_b", "shingle" -> "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
+      .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- SimHash ---
+
+  /** 64-bit SimHash per doc: token-frequency-weighted bit votes over
+    * xxhash64(token). One wide aggregation; signature assembled from 64
+    * sign sums with a bitwiseOR fold (all codegen'd). */
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bitSums = (0 until 64).map { i =>
+      sum(col("cnt") * (shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$i")
+    }
+    val sig = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, blocked
+    * by 16-bit chunks (pigeonhole: hd ≤ 3 ⇒ at least one of 4 chunks
+    * equal), so no quadratic all-pairs comparison. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(spark, sfDir)
+    val blocked = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
+        "transform(sequence(0, 3), k -> (simhash >> (k * 16)) & 65535)")))
+      .toDF("doc_id", "simhash", "block", "block_val")
+    val pairs = blocked.toDF("doc_a", "sim_a", "block", "block_val")
+      .join(blocked.toDF("doc_b", "sim_b", "block", "block_val"), Seq("block", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+    pairs
+  }
+
+  // --- Embedding cosine near-dup ---
+
+  /** Embeddings with L2 norm precomputed (map-side, once per vector). */
+  private[operators] def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)))
+
+  /** All-pairs cosine ≥ threshold. Exact (quadratic) — the baseline; the
+    * ANN module provides the bucketed scale path. Dot product via
+    * zip_with+aggregate stays inside codegen; norms precomputed so the
+    * cross join multiplies cheap doubles. */
+  def embeddingNearDupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val a = normalized(spark, sfDir).toDF("vec_a", "e_a", "n_a")
+    val b = normalized(spark, sfDir).toDF("vec_b", "e_b", "n_b")
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(
+          aggregate(zip_with(col("e_a"), col("e_b"), (x, y) => x * y), lit(0.0d),
+            (acc, x) => acc + x) / (col("n_a") * col("n_b")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

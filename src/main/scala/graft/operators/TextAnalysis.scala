@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` corpus (the role the reference's HDFS text file played,
+  * `slave.cc:56`). The reference's only text op was whitespace
+  * tokenization (`slave.cc:101-116`); this module adds the standard
+  * corpus-curation measures: token statistics, quality scoring,
+  * language ID, and document fingerprinting.
+  *
+  * Everything is built-in codegen'd expressions (regexp_count, split,
+  * aggregate/filter higher-order functions, md5) — no UDFs, so
+  * whole-stage codegen spans the full projection and the operators
+  * scale embarrassingly (per-row, no shuffle except final aggs).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed (same delimiter semantics as the
+    * reference tokenizer — ' ' and '\n' only, `slave.cc:103`). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "[ \n]"), t => t =!= "")
+
+  /** A BPE-ish pre-tokenizer regex: letter runs, digit runs, or single
+    * non-alnum marks — a portable approximation of byte-pair pretoken
+    * splitting that DuckDB's RE2 evaluates identically. */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \n]"
+
+  /** Per-document token statistics: whitespace tokens, BPE-ish tokens,
+    * mean token length, char length. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"),
+        round(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            greatest(size(col("toks")), lit(1)), 4).as("avg_token_len"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality score: stopword ratio, punctuation ratio,
+    * length saturation — the classic cheap heuristics used to filter
+    * pretraining corpora. Pure double arithmetic → oracle-stable. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopPat = "\\b(" + Stopwords.mkString("|") + ")\\b"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        size(wsTokens(col("text"))).cast("double").as("n_tok"),
+        regexp_count(col("text"), lit(stopPat)).cast("double").as("n_stop"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 \n]")).cast("double").as("n_punct"),
+        length(col("text")).cast("double").as("len"))
+      .select(
+        col("doc_id"),
+        round(col("n_stop") / greatest(col("n_tok"), lit(1.0)), 4).as("stopword_ratio"),
+        round(col("n_punct") / greatest(col("len"), lit(1.0)), 4).as("punct_ratio"),
+        round(least(col("len") / lit(500.0), lit(1.0)), 4).as("len_saturation"),
+        round(
+          lit(0.5) * (col("n_stop") / greatest(col("n_tok"), lit(1.0))) +
+          lit(0.3) * least(col("len") / lit(500.0), lit(1.0)) +
+          lit(0.2) * (lit(1.0) - col("n_punct") / greatest(col("len"), lit(1.0))), 4)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language ID (n-gram-heuristic family): count
+    * characteristic function-word hits per language, argmax with a
+    * deterministic priority order, 'und' when nothing matches. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles: Seq[(String, String)] = Seq(
+      "en" -> "\\b(the|and|of|to|is|that|it)\\b",
+      "es" -> "\\b(el|la|de|que|y|los|las)\\b",
+      "fr" -> "\\b(le|la|les|de|et|est|une)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht)\\b")
+    val hits = profiles.map { case (lang, pat) =>
+      regexp_count(col("text"), lit(pat)).as(s"hits_$lang")
+    }
+    val best = profiles.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestHits), (lang, _)) =>
+        val h = col(s"hits_$lang")
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+         when(h > bestHits, h).otherwise(bestHits))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: col("lang").as("lang_label") +: hits: _*)
+      .select(col("doc_id"), col("lang_label"),
+        best._1.as("lang_pred"), best._2.as("lang_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalization used by fingerprinting and exact dedup: lowercase,
+    * collapse whitespace, trim. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 over normalized text (cross-engine-stable
+    * hex). The scale property: fingerprints are computed map-side and
+    * grouping by them shuffles only (hash, id) pairs, never the text. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"),
+        sha2(normText(col("text")), 256).as("fingerprint_sha256"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: docs shorter than n words yield no shingles (no descending-sequence junk)") {
+    // exercised via the full path on a tiny in-memory equivalent of the expr
+    val df = Seq("one two", "one two three four").toDF("text")
+      .select(TextAnalysis.wsTokens(col("text")).as("w"))
+      .select(explode(expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))) ELSE array() END"))
+        .as("shingle"))
+    assert(df.as[String].collect().toSeq === Seq("one two three", "two three four"))
+  }
+
+  test("minhash signatures are 128-wide and deterministic") {
+    val sig = Dedup.minhashSignatures(spark, sf).limit(5).collect()
+    assert(sig.nonEmpty)
+    assert(sig.forall(_.getSeq[Long](1).length === 128))
+    val again = Dedup.minhashSignatures(spark, sf).limit(5).collect()
+    assert(sig.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("LSH pairs equal exact jaccard pairs at threshold 0.8 (recall check)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf).collect().map(_.toString).toSeq
+    val lsh = Dedup.minhashLshPairs(spark, sf).collect().map(_.toString).toSeq
+    assert(exact.nonEmpty, "corpus should contain near-dups")
+    assert(lsh === exact)
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to row count") {
+    val ex = Dedup.exact(spark, sf)
+    val total = ex.agg(sum("n_copies")).as[Long].head()
+    assert(total === graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("simhash pairs have hamming <= 3 and doc_a < doc_b") {
+    val p = Dedup.simhashPairs(spark, sf).collect()
+    assert(p.forall(r => r.getInt(2) <= 3 || r.getLong(2) <= 3))
+    assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and cosine-bounded") {
+    val p = Dedup.embeddingNearDupPairs(spark, sf, 0.3).collect()
+    assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+  }
+}
