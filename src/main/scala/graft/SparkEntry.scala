@@ -48,6 +48,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d)),
+    // --- similarity search ---
+    "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,6 +234,24 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 4) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    // ann_topk_lsh is approximate by construction -> rows-only check
+    "ann_topk_brute" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        round(list_sum(list_transform(range(1, 65),
+        |                i -> CAST(list_extract(q.embedding, i) AS DOUBLE)
+        |                   * CAST(list_extract(c.embedding, i) AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 4) AS cosine
+        |      FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |      WHERE q.vec_id < 20)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
   )
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact

@@ -183,27 +183,22 @@ object Dedup {
 
   // --- Embedding cosine near-dup ---
 
-  /** Embeddings with L2 norm precomputed (map-side, once per vector). */
-  private[operators] def normalized(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)))
-
   /** All-pairs cosine ≥ threshold. Exact (quadratic) — the baseline; the
-    * ANN module provides the bucketed scale path. Dot product via
-    * zip_with+aggregate stays inside codegen; norms precomputed so the
-    * cross join multiplies cheap doubles. */
+    * ANN module (graft.operators.Similarity) provides the bucketed scale
+    * path. Dot product via zip_with+aggregate stays inside codegen;
+    * norms precomputed once per vector so the cross join multiplies
+    * cheap doubles. */
   def embeddingNearDupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.35): DataFrame = {
-    val a = normalized(spark, sfDir).toDF("vec_a", "e_a", "n_a")
-    val b = normalized(spark, sfDir).toDF("vec_b", "e_b", "n_b")
+    import graft.functions.VectorOps
+    val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
+    val a = renamed(emb, "vec_id" -> "vec_a", "e" -> "e_a", "nrm" -> "n_a")
+    val b = renamed(emb, "vec_id" -> "vec_b", "e" -> "e_b", "nrm" -> "n_b")
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(
-          aggregate(zip_with(col("e_a"), col("e_b"), (x, y) => x * y), lit(0.0d),
-            (acc, x) => acc + x) / (col("n_a") * col("n_b")), 4).as("cosine"))
+        round(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (dim 64, `array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact baseline. Query set × corpus cross join
+  *    with the query side broadcast — at 100 TB the corpus side streams
+  *    through executors exactly once, no shuffle of the corpus at all;
+  *    per-partition top-k heaps (TakeOrderedAndProject after the window
+  *    filter) keep driver traffic at k rows per query.
+  *  - [[lshTopK]]: the scale path — sign-random-projection (SimHash for
+  *    vectors) bucketing. Each vector computes a 16-bit signature from
+  *    fixed random hyperplanes; candidates are pairs sharing any of four
+  *    4-bit bands; ranking happens only within candidates. Cost drops
+  *    from O(|Q|·N) to O(collisions); recall is tested against the
+  *    brute-force baseline.
+  */
+object Similarity {
+
+  /** Fixed random hyperplanes (seed 42): 16 planes × 64 dims. */
+  private val NumPlanes = 16
+  private val Dim = 64
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id <
+    * numQueries), excluding self. Deterministic: ranked by rounded
+    * cosine, ties by neighbor id. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+      k: Int = 10, numQueries: Int = 20): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** 16-bit sign-random-projection signature per embedding. */
+  def signatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    emb.withColumn("sig", bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** ANN top-k via LSH banding: 4 bands × 4 bits; pairs sharing any band
+    * are candidates; exact cosine ranks candidates only. Same output
+    * schema as brute force; recall < 1 by construction. */
+  def lshTopK(spark: SparkSession, sfDir: String,
+      k: Int = 10, numQueries: Int = 20): DataFrame = {
+    val sig = signatures(spark, sfDir)
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      df.select(col("vec_id").as(s"${prefix}_id"), col("e").as(s"e_$prefix"),
+          col("nrm").as(s"n_$prefix"), col("sig"))
+        .select(col(s"${prefix}_id"), col(s"e_$prefix"), col(s"n_$prefix"),
+          posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 4)) & 15)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val q = banded(sig.filter(col("vec_id") < numQueries), "query")
+    val c = banded(sig, "neighbor")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    q.join(c, Seq("band", "band_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("e_query"), col("n_query"), col("e_neighbor"), col("n_neighbor")), 4).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+}
