@@ -51,6 +51,13 @@ object SparkEntry {
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // --- events: JSON, event-time windows, sessionization ---
+    "events_json_stats" -> (Events.jsonStats _),
+    "events_tumbling" -> (Events.tumblingHourly _),
+    "events_sliding" -> (Events.slidingHourly _),
+    "events_sessionize" -> (Events.sessionize _),
+    "events_user_stats" -> (Events.userStats _),
+    "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,6 +259,48 @@ object SparkEntry {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
         |  FROM p)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "events_json_stats" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """SELECT ws AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (SELECT unnest([
+        |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND,
+        |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * INTERVAL 1 SECOND
+        |       ]) AS ws, value
+        |      FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "events_sessionize" ->
+      """WITH m AS (SELECT user_id, ts, value,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS is_new
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "events_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_top_user_hours" ->
+      """SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY n DESC, user_id ASC, hour ASC LIMIT 50""".stripMargin,
   )
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Batch analytics over the `events` stream table (event_id, ts, user_id,
+  * event_type, value, props JSON). The reference is strictly batch text
+  * (SURVEY.md §2.3 — "Streaming: none"); this module supplies the
+  * event-time operators (windowed aggregation, sessionization, JSON
+  * extraction) in their batch form. graft.streaming.EventStream runs the
+  * same computations incrementally with watermarks.
+  *
+  * Scale: every query here shuffles on (window/user) keys after map-side
+  * partial aggregation; JSON parsing is a codegen'd expression evaluated
+  * once per row before the shuffle. Session windows use Spark's native
+  * `session_window`, which merges per-key sorted runs without a
+  * quadratic self-join.
+  */
+object Events {
+
+  /** JSON property extraction + per-type rollup: the `props` column is
+    * schemaless JSON; `get_json_object` pushes extraction map-side. */
+  def jsonStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("avg_value"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def tumblingHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** Gap-based sessionization (30-minute inactivity gap) via Spark's
+    * native session_window — per-user sessions with start/last/size. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_last"),
+        round(sum("value"), 4).as("session_value"))
+      .select("user_id", "session_start", "session_last", "n_events", "session_value")
+      .orderBy("user_id", "session_start")
+
+  /** Per-user activity profile. */
+  def userStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("user_id")
+
+  /** Top event bursts: highest-count (user, hour) cells — window over an
+    * aggregated (already small) frame. */
+  def topUserHours(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("user_id"), asc("hour"))
+      .limit(k)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming over the `events` schema. The reference has zero
+  * streaming (SURVEY.md §2.3); this is the north-star extension: the
+  * batch queries in graft.operators.Events re-expressed incrementally.
+  *
+  * Design: each transform takes the (possibly streaming) input DataFrame
+  * rather than a path, so production wires `spark.readStream` and tests
+  * wire a MemoryStream — identical plans either way. Watermarks bound
+  * state: at 100 TB/day the windowed-agg state is O(open windows ×
+  * event types), and late data beyond 10 minutes is dropped
+  * deterministically.
+  */
+object EventStream {
+
+  /** Streaming source over a directory of events parquet (one file per
+    * micro-batch in practice). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Tumbling 1-hour windowed counts with a 10-minute watermark —
+    * incremental twin of Events.tumblingHourly. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming gap-sessionization via native session_window (state is
+    * merged per key as watermark advances). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+
+  // --- custom state: running per-user counters with flatMapGroupsWithState ---
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: running per-user event count + value sum,
+    * emitting the updated running totals every micro-batch. State is one
+    * small case class per user — O(users) memory across the cluster. */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(userId, n, math.round(tot * 10000.0) / 10000.0)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Ev, UserRunning}
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 10:15:00"), 1, "view", 2.0),
+    Ev(3, ts("2024-01-01 10:45:00"), 2, "click", 3.0))
+  private val batch2 = Seq(
+    Ev(4, ts("2024-01-01 11:05:00"), 1, "click", 4.0),
+    Ev(5, ts("2024-01-01 11:20:00"), 2, "view", 5.0))
+
+  test("streaming windowed counts equal the batch computation (update-to-complete parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      val batch = (batch1 ++ batch2).toDF()
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stateful running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table("running_out").as[UserRunning].collect()
+      // last emission per user carries the cumulative totals
+      val last = rows.groupBy(_.user_id).map { case (u, rs) =>
+        u -> rs.maxBy(_.n_events)
+      }
+      assert(last(1L) === UserRunning(1L, 3L, 7.0))
+      assert(last(2L) === UserRunning(2L, 2L, 8.0))
+    } finally q.stop()
+  }
+
+  test("streaming session counts produce gap-separated sessions after watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table("sess_out").orderBy("user_id", "session_start").collect()
+      // user 1: 10:05+10:15 in one session (10min gap), 11:05 separate;
+      // user 2: 10:45 and 11:20 separate (35min gap)
+      assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+        Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+}
