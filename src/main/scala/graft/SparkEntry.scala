@@ -58,6 +58,9 @@ object SparkEntry {
     "events_sessionize" -> (Events.sessionize _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
+    // --- multimodal binary columns (decode stubbed, plumbing real) ---
+    "multimodal_features" -> (Multimodal.features _),
+    "multimodal_summary" -> (Multimodal.modalitySummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,6 +304,41 @@ object SparkEntry {
       """SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY n DESC, user_id ASC, hour ASC LIMIT 50""".stripMargin,
+    "multimodal_features" ->
+      """WITH b AS (SELECT doc_id,
+        |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |             ord(substr(text, 1, 1)) AS first,
+        |             md5(text) AS checksum
+        |           FROM documents)
+        |SELECT doc_id, modality, n_bytes,
+        |  CASE WHEN modality IN ('image','video')
+        |       THEN CAST(64 + ((n_bytes * 3 + first) % 1856) AS INT) ELSE 0 END AS width,
+        |  CASE WHEN modality IN ('image','video')
+        |       THEN CAST(64 + ((n_bytes * 5 + first) % 1016) AS INT) ELSE 0 END AS height,
+        |  CASE modality WHEN 'video' THEN CAST(1 + (n_bytes % 240) AS INT)
+        |       WHEN 'image' THEN 1 ELSE 0 END AS n_frames,
+        |  CASE WHEN modality = 'audio'
+        |       THEN CAST(8000 + (first % 8) * 4000 AS INT) ELSE 0 END AS sample_rate,
+        |  checksum
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "multimodal_summary" ->
+      """WITH f AS (SELECT doc_id,
+        |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |             ord(substr(text, 1, 1)) AS first
+        |           FROM documents)
+        |SELECT modality, count(*) AS n_blobs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  round(avg(CASE WHEN modality IN ('image','video')
+        |                 THEN 64 + ((n_bytes * 3 + first) % 1856) ELSE 0 END), 4) AS avg_width,
+        |  round(avg(CASE WHEN modality IN ('image','video')
+        |                 THEN 64 + ((n_bytes * 5 + first) % 1016) ELSE 0 END), 4) AS avg_height,
+        |  max(CASE modality WHEN 'video' THEN CAST(1 + (n_bytes % 240) AS INT)
+        |      WHEN 'image' THEN 1 ELSE 0 END) AS max_frames
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
   )
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact
