@@ -41,6 +41,13 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
+  /** Distinct shingles as 64-bit hashes — the join/shuffle currency for
+    * all near-dup operators. 8-byte keys shuffle ~3× less than shingle
+    * strings and hash-join faster; xxhash64 collisions (~n²/2⁶⁵) are
+    * accepted (verified empirically against the string-exact oracle). */
+  def shingleHashes(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    shingles(spark, sfDir, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+
   /** Exact dedup: canonical doc per md5-of-normalized-text group.
     * Two-phase agg on the hash; text never crosses the shuffle. */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
@@ -53,10 +60,10 @@ object Dedup {
   /** Shared skew guard: shingles occurring in > maxFreq docs are noise
     * (their buckets explode quadratically) — standard in web-scale dedup. */
   private def rareShingles(sh: DataFrame, maxFreq: Int): DataFrame = {
-    val hot = sh.groupBy("shingle").count().filter(col("count") > maxFreq)
-      .select("shingle")
+    val hot = sh.groupBy("h").count().filter(col("count") > maxFreq)
+      .select("h")
     // using-column joins move the key first — re-select to pin order
-    sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
+    sh.join(hot, Seq("h"), "left_anti").select("doc_id", "h")
   }
 
   /** Positional toDF is fragile after using-column joins (Spark reorders
@@ -68,11 +75,11 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard) for jaccard ≥ threshold. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
-    val sh = rareShingles(shingles(spark, sfDir, n), maxShingleFreq)
+    val sh = rareShingles(shingleHashes(spark, sfDir, n), maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = renamed(sh, "doc_id" -> "doc_a", "shingle" -> "shingle")
-    val b = renamed(sh, "doc_id" -> "doc_b", "shingle" -> "shingle")
-    val common = a.join(b, Seq("shingle"))
+    val a = renamed(sh, "doc_id" -> "doc_a", "h" -> "h")
+    val b = renamed(sh, "doc_id" -> "doc_b", "h" -> "h")
+    val common = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
@@ -96,8 +103,7 @@ object Dedup {
   /** Per-doc 128-wide MinHash signature as an array column. The 128 min
     * aggregations run in one HashAggregate pass over exploded shingles. */
   def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val sh = shingles(spark, sfDir, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val sh = shingleHashes(spark, sfDir, n)
     val minCols = (0 until NumHashes).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i")
     }
@@ -125,11 +131,11 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
 
     // exact-Jaccard verification restricted to LSH candidates
-    val sh = shingles(spark, sfDir, n)
+    val sh = shingleHashes(spark, sfDir, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cands
-      .join(renamed(sh, "doc_id" -> "doc_a", "shingle" -> "shingle"), Seq("doc_a"))
-      .join(renamed(sh, "doc_id" -> "doc_b", "shingle" -> "shingle"), Seq("doc_b", "shingle"))
+      .join(renamed(sh, "doc_id" -> "doc_a", "h" -> "h"), Seq("doc_a"))
+      .join(renamed(sh, "doc_id" -> "doc_b", "h" -> "h"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
