@@ -61,6 +61,9 @@ object SparkEntry {
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
+    // --- custom operators ---
+    "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
+    "events_approx_distinct" -> (Events.approxDistinctUsers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -339,6 +342,14 @@ object SparkEntry {
         |  max(CASE modality WHEN 'video' THEN CAST(1 + (n_bytes % 240) AS INT)
         |      WHEN 'image' THEN 1 ELSE 0 END) AS max_frames
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
+    // events_approx_distinct: HLL sketch values differ per engine -> rows-only check
+    "events_asof_purchase" ->
+      """SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  p.ts AS last_purchase_ts, round(p.value, 4) AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
   )
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact

@@ -75,6 +75,19 @@ object Events {
         round(avg("value"), 4).as("avg_value"))
       .orderBy("user_id")
 
+  /** Sketch aggregation: HyperLogLog++ distinct-user estimates next to
+    * exact counts (the exact column doubles as the accuracy witness in
+    * tests; HLL itself is not portably oracle-able). At scale the sketch
+    * is mergeable — partial aggregation ships fixed-size registers, not
+    * user sets. */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** Top event bursts: highest-count (user, hour) cells — window over an
     * aggregated (already small) frame. */
   def topUserHours(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Events}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of golden: latest right row at-or-before each left row, per key") {
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 5.0),
+      (10L, ts("2024-01-01 11:00:00"), 7.0),
+      (20L, ts("2024-01-01 09:00:00"), 9.0) // exact tie: <= matches
+    ).toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("value"))
+
+    val got = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts",
+        Map("p_ts" -> "last_ts", "value" -> "last_value"))
+      .orderBy("event_id")
+      .select("event_id", "last_ts", "last_value")
+      .collect()
+
+    assert(got(0).getTimestamp(1) === ts("2024-01-01 09:30:00"))
+    assert(got(0).getDouble(2) === 5.0)
+    assert(got(1).getTimestamp(1) === ts("2024-01-01 11:00:00"))
+    assert(got(1).getDouble(2) === 7.0)
+    assert(got(2).getTimestamp(1) === ts("2024-01-01 09:00:00"), "equal ts must match (<=)")
+    assert(got(2).getDouble(2) === 9.0)
+  }
+
+  test("left rows with no prior right row get nulls (left join semantics)") {
+    val clicks = Seq((1L, 10L, ts("2024-01-01 08:00:00"))).toDF("event_id", "user_id", "ts")
+    val purchases = Seq((10L, ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("value"))
+    val got = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts",
+      Map("p_ts" -> "last_ts", "value" -> "last_value")).collect()
+    assert(got.length === 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
+  }
+
+  test("as-of plan shuffles once: a single Exchange for both sides") {
+    val plan = AsOfJoin.clickAttribution(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected union-sort shape (1 data shuffle + top-level sort), got:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "as-of must not fall back to a product join")
+  }
+
+  test("approx distinct users within 10% of exact") {
+    Events.approxDistinctUsers(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}
