@@ -87,17 +87,17 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY letter ASC""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(sum(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_base_price,
+        |  floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+        |  floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS sum_charge,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(l_quantity) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |  floor((CAST(sum(CAST(floor((l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(l_discount) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -106,7 +106,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -117,7 +117,7 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "top_customers" ->
-      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend,
+      """SELECT c_custkey, c_name, floor((CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2 AS total_spend,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
@@ -136,7 +136,7 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "nation_customer_stats" ->
       """SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments,
-        |  count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+        |  count(*) AS n_customers, floor((CAST(sum(CAST(floor((c_acctbal) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(c_acctbal) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "window_top_orders" ->
@@ -171,23 +171,23 @@ object SparkEntry {
         |  CASE WHEN o_totalprice >= 300000 THEN 'high'
         |       WHEN o_totalprice >= 100000 THEN 'mid'
         |       ELSE 'low' END AS price_band,
-        |  round(sqrt(o_totalprice), 4) AS sqrt_price,
-        |  round(ln(o_totalprice + 1), 4) AS log_price
+        |  floor((sqrt(o_totalprice)) * 1e4 + 0.5) / 1e4 AS sqrt_price,
+        |  floor((ln(o_totalprice + 1)) * 1e4 + 0.5) / 1e4 AS log_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "brand_top_parts" ->
       """SELECT p_brand, p_partkey, p_name, part_revenue, CAST(rn AS INT) AS rn
         |FROM (SELECT p_brand, p_partkey, p_name, part_revenue,
         |        row_number() OVER (PARTITION BY p_brand
         |                           ORDER BY part_revenue DESC, p_partkey ASC) AS rn
-        |      FROM (SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+        |      FROM (SELECT l_partkey, floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS part_revenue
         |            FROM lineitem GROUP BY l_partkey)
         |        JOIN part ON l_partkey = p_partkey)
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \n]')) AS INT) AS n_bpe_tokens,
-        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-        |        / greatest(len(toks), 1), 4) AS avg_token_len,
+        |  floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |        / greatest(len(toks), 1)) * 1e4 + 0.5) / 1e4 AS avg_token_len,
         |  CAST(length(text) AS INT) AS n_chars
         |FROM (SELECT doc_id, text,
         |        list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS toks
@@ -195,12 +195,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
-        |  round(n_stop / greatest(n_tok, 1.0), 4) AS stopword_ratio,
-        |  round(n_punct / greatest(len, 1.0), 4) AS punct_ratio,
-        |  round(least(len / 500.0, 1.0), 4) AS len_saturation,
-        |  round(0.5 * (n_stop / greatest(n_tok, 1.0))
+        |  floor((n_stop / greatest(n_tok, 1.0)) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+        |  floor((n_punct / greatest(len, 1.0)) * 1e4 + 0.5) / 1e4 AS punct_ratio,
+        |  floor((least(len / 500.0, 1.0)) * 1e4 + 0.5) / 1e4 AS len_saturation,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
         |      + 0.3 * least(len / 500.0, 1.0)
-        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0)), 4) AS quality
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
         |FROM (SELECT doc_id,
         |        CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
         |        CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
@@ -240,11 +240,11 @@ object SparkEntry {
     "dedup_embedding" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(list_sum(list_transform(range(1, 65),
+        |    floor((list_sum(list_transform(range(1, 65),
         |            i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
         |               * CAST(list_extract(b.embedding, i) AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 4) AS cosine
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))) * 1e4 + 0.5) / 1e4 AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
     // ann_topk_lsh is approximate by construction -> rows-only check
@@ -253,10 +253,10 @@ object SparkEntry {
         |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
         |           FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        round(list_sum(list_transform(range(1, 65),
+        |        floor((list_sum(list_transform(range(1, 65),
         |                i -> CAST(list_extract(q.embedding, i) AS DOUBLE)
         |                   * CAST(list_extract(c.embedding, i) AS DOUBLE)))
-        |          / (q.nrm * c.nrm), 4) AS cosine
+        |          / (q.nrm * c.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
         |      FROM n q JOIN n c ON q.vec_id != c.vec_id
         |      WHERE q.vec_id < 20)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -266,17 +266,17 @@ object SparkEntry {
         |  FROM p)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "events_json_stats" ->
-      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+      """SELECT event_type, count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(value) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_value,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |  count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sliding" ->
-      """SELECT ws AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+      """SELECT ws AS window_start, count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
         |FROM (SELECT unnest([
         |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND,
         |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * INTERVAL 1 SECOND
@@ -295,13 +295,13 @@ object SparkEntry {
         |                          ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
-        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |  count(*) AS n_events, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS session_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "events_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,
         |  min(ts) AS first_ts, max(ts) AS last_ts,
-        |  round(avg(value), 4) AS avg_value
+        |  floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(value) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_top_user_hours" ->
       """SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
@@ -335,17 +335,17 @@ object SparkEntry {
         |           FROM documents)
         |SELECT modality, count(*) AS n_blobs,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        |  round(avg(CASE WHEN modality IN ('image','video')
-        |                 THEN 64 + ((n_bytes * 3 + first) % 1856) ELSE 0 END), 4) AS avg_width,
-        |  round(avg(CASE WHEN modality IN ('image','video')
-        |                 THEN 64 + ((n_bytes * 5 + first) % 1016) ELSE 0 END), 4) AS avg_height,
+        |  floor((avg(CASE WHEN modality IN ('image','video')
+        |                 THEN 64 + ((n_bytes * 3 + first) % 1856) ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS avg_width,
+        |  floor((avg(CASE WHEN modality IN ('image','video')
+        |                 THEN 64 + ((n_bytes * 5 + first) % 1016) ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS avg_height,
         |  max(CASE modality WHEN 'video' THEN CAST(1 + (n_bytes % 240) AS INT)
         |      WHEN 'image' THEN 1 ELSE 0 END) AS max_frames
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
     // events_approx_distinct: HLL sketch values differ per engine -> rows-only check
     "events_asof_purchase" ->
       """SELECT c.event_id, c.user_id, c.ts AS click_ts,
-        |  p.ts AS last_purchase_ts, round(p.value, 4) AS last_purchase_value
+        |  p.ts AS last_purchase_ts, floor((p.value) * 1e4 + 0.5) / 1e4 AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
@@ -365,11 +365,11 @@ object SparkEntry {
       |             FROM w)),
       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(count(*) * 1.0 / (sa.sz + sb.sz - count(*)), 4) AS jaccard
+      |  floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 AS jaccard
       |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  JOIN sz sa ON sa.doc_id = a.doc_id
       |  JOIN sz sb ON sb.doc_id = b.doc_id
       |GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
-      |HAVING round(count(*) * 1.0 / (sa.sz + sb.sz - count(*)), 4) >= 0.8
+      |HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Deterministic.rd
 import graft.sources.Tables
 
 /** As-of (point-in-time) join — an operator Spark lacks natively
@@ -76,7 +77,7 @@ object AsOfJoin {
     asOf(clicks, purchases, Seq("user_id"), "ts",
       Map("purchase_ts" -> "last_purchase_ts", "purchase_value" -> "last_purchase_value"))
       .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
-        col("last_purchase_ts"), round(col("last_purchase_value"), 4).as("last_purchase_value"))
+        col("last_purchase_ts"), rd(col("last_purchase_value"), 4).as("last_purchase_value"))
       .orderBy("event_id")
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.rd
 import graft.sources.Tables
 
 /** Deduplication operators for large-scale corpus curation: exact,
@@ -86,7 +87,7 @@ object Dedup {
       .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
       .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") /
+        rd(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -141,7 +142,7 @@ object Dedup {
       .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
       .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") /
+        rd(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -203,7 +204,7 @@ object Dedup {
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+        rd(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Deterministic.{rd, qavg, qsum}
 import graft.sources.Tables
 
 /** Batch analytics over the `events` stream table (event_id, ts, user_id,
@@ -29,7 +30,7 @@ object Events {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("value"), 4).as("avg_value"),
+        rd(qavg(col("value"), 6), 4).as("avg_value"),
         sum("k").as("sum_k"),
         min("k").as("min_k"),
         max("k").as("max_k"))
@@ -39,7 +40,7 @@ object Events {
   def tumblingHourly(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
@@ -47,7 +48,7 @@ object Events {
   def slidingHourly(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
       .orderBy("window_start")
 
@@ -59,7 +60,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         max("ts").as("session_last"),
-        round(sum("value"), 4).as("session_value"))
+        rd(qsum(col("value"), 6), 4).as("session_value"))
       .select("user_id", "session_start", "session_last", "n_events", "session_value")
       .orderBy("user_id", "session_start")
 
@@ -72,7 +73,7 @@ object Events {
         count_distinct(col("event_type")).as("n_types"),
         min("ts").as("first_ts"),
         max("ts").as("last_ts"),
-        round(avg("value"), 4).as("avg_value"))
+        rd(qavg(col("value"), 6), 4).as("avg_value"))
       .orderBy("user_id")
 
   /** Sketch aggregation: HyperLogLog++ distinct-user estimates next to

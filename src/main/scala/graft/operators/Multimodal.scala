@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.rd
 import graft.sources.Tables
 
 /** Multimodal (image/audio/video) column handling for a training-data
@@ -92,8 +93,8 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_blobs"),
         sum(col("n_bytes").cast("long")).as("total_bytes"),
-        round(avg("width"), 4).as("avg_width"),
-        round(avg("height"), 4).as("avg_height"),
+        rd(avg("width"), 4).as("avg_width"),
+        rd(avg("height"), 4).as("avg_height"),
         max("n_frames").as("max_frames"))
       .orderBy("modality")
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Deterministic.{rd, qavg, qsum}
 import graft.sources.Tables
 
 /** Relational query surface over the TPC-H-ish star schema.
@@ -34,12 +35,12 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact in any order
+        qsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2).as("sum_disc_price"),
+        rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6), 2).as("sum_charge"),
+        rd(qavg(col("l_quantity"), 6), 4).as("avg_qty"),
+        rd(qavg(col("l_discount"), 6), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -59,7 +60,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
   }
@@ -82,7 +83,7 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
@@ -91,7 +92,7 @@ object Relational {
   def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = orders(spark, sfDir)
       .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 2).as("total_spend"), count(lit(1)).as("n_orders"))
+      .agg(rd(qsum(col("o_totalprice"), 4), 2).as("total_spend"), count(lit(1)).as("n_orders"))
     spend.join(customer(spark, sfDir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select("c_custkey", "c_name", "total_spend", "n_orders")
@@ -135,7 +136,7 @@ object Relational {
       .agg(
         count_distinct(col("c_mktsegment")).as("n_segments"),
         count(lit(1)).as("n_customers"),
-        round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        rd(qavg(col("c_acctbal"), 6), 4).as("avg_acctbal"))
       .orderBy("n_name")
 
   /** Window function: top-3 orders per customer by value. Single shuffle
@@ -188,8 +189,8 @@ object Relational {
         when(col("o_totalprice") >= 300000, "high")
           .when(col("o_totalprice") >= 100000, "mid")
           .otherwise("low").as("price_band"),
-        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
-        round(log(col("o_totalprice") + 1), 4).as("log_price"))
+        rd(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        rd(log(col("o_totalprice") + 1), 4).as("log_price"))
       .orderBy("o_orderkey")
 
   /** Part revenue: fact⋈fact join then top-N per brand via window —
@@ -197,7 +198,7 @@ object Relational {
   def brandTopParts(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = lineitem(spark, sfDir)
       .groupBy("l_partkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("part_revenue"))
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2).as("part_revenue"))
     val p = part(spark, sfDir).select("p_partkey", "p_brand", "p_name")
     val w = Window.partitionBy("p_brand").orderBy(desc("part_revenue"), asc("p_partkey"))
     rev.join(p, col("l_partkey") === col("p_partkey"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Deterministic.rd
 import graft.functions.VectorOps._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -43,7 +44,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -78,7 +79,7 @@ object Similarity {
     q.join(c, Seq("band", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("e_query"), col("n_query"), col("e_neighbor"), col("n_neighbor")), 4).as("cosine"))
+        rd(cosine(col("e_query"), col("n_query"), col("e_neighbor"), col("n_neighbor")), 4).as("cosine"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

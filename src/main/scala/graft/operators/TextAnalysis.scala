@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.rd
 import graft.sources.Tables
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -37,8 +38,7 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"),
-        round(
-          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        rd(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
             greatest(size(col("toks")), lit(1)), 4).as("avg_token_len"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
@@ -58,10 +58,10 @@ object TextAnalysis {
         length(col("text")).cast("double").as("len"))
       .select(
         col("doc_id"),
-        round(col("n_stop") / greatest(col("n_tok"), lit(1.0)), 4).as("stopword_ratio"),
-        round(col("n_punct") / greatest(col("len"), lit(1.0)), 4).as("punct_ratio"),
-        round(least(col("len") / lit(500.0), lit(1.0)), 4).as("len_saturation"),
-        round(
+        rd(col("n_stop") / greatest(col("n_tok"), lit(1.0)), 4).as("stopword_ratio"),
+        rd(col("n_punct") / greatest(col("len"), lit(1.0)), 4).as("punct_ratio"),
+        rd(least(col("len") / lit(500.0), lit(1.0)), 4).as("len_saturation"),
+        rd(
           lit(0.5) * (col("n_stop") / greatest(col("n_tok"), lit(1.0))) +
           lit(0.3) * least(col("len") / lit(500.0), lit(1.0)) +
           lit(0.2) * (lit(1.0) - col("n_punct") / greatest(col("len"), lit(1.0))), 4)
