@@ -64,6 +64,7 @@ object SparkEntry {
     // --- custom operators ---
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
+    "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,13 +140,9 @@ object SparkEntry {
         |  count(*) AS n_customers, floor((CAST(sum(CAST(floor((c_acctbal) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(c_acctbal) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "window_top_orders" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
-        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-        |        row_number() OVER (PARTITION BY o_custkey
-        |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |      FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_top_orders" -> windowTopOrdersOracle,
+    // same results, heap-aggregated (TopKAggregate) instead of windowed
+    "window_top_orders_heap" -> windowTopOrdersOracle,
     "rollup_lineitem" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -351,6 +348,14 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
   )
+
+  private val windowTopOrdersOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact
     * query and the LSH query (which verifies candidates exactly). */

@@ -77,6 +77,28 @@ object WordCount {
       .agg(count(lit(1)).as("n_words"), count_distinct(col("word")).as("n_distinct"))
       .orderBy("letter")
 
+  /** The reference's pipeline in its literal MapReduce shape — RDD
+    * `flatMap` (Map, `slave.cc:101-116`) → `reduceByKey` (combiner +
+    * Reduce, `slave.cc:159-210`) → `takeOrdered` (top-K,
+    * `master.cc:395-453`). Kept as documentation-by-code of the
+    * reference↔Spark mapping and as a differential check against the
+    * DataFrame plan (which remains the primary path: codegen +
+    * Tungsten beat RDD lambdas). `reduceByKey` IS the map-side combine
+    * the reference lacks; `takeOrdered` IS the per-partition top-K heap
+    * its driver loop lacks. */
+  def topKviaRDD(spark: SparkSession, sfDir: String, k: Int): Seq[(String, Long)] = {
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.by { case (w, c) => (-c, w) } // count desc, word asc
+    Tables.documents(spark, sfDir)
+      .select("text").rdd.map(_.getString(0))
+      .flatMap(_.split("[ \n]"))                      // Map     (O4)
+      .filter(w => w.nonEmpty && w.head >= 'a' && w.head <= 'z') // O7
+      .map((_, 1L))
+      .reduceByKey(_ + _)                             // Reduce  (O8, with combiner)
+      .takeOrdered(k)                                 // top-K   (O11)
+      .toSeq
+  }
+
   /** Word counts over an arbitrary newline-delimited text file — the exact
     * ingestion path of the reference (O2/O3: `spark.read.text` replaces
     * the hand-rolled chunked scan + split-boundary repair,

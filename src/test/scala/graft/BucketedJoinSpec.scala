@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Co-located (bucketed) joins — the zero-shuffle scale path for
+  * repeated fact⋈fact joins on a stable key. Both tables are written
+  * bucketed by the join key into the session warehouse; Spark then
+  * plans the join with NO Exchange on either side.
+  *
+  * This is the design answer to "would this join survive 100×?": at
+  * 100 TB, bucketing lineitem and orders by orderkey once amortizes
+  * the shuffle across every subsequent join. */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without any shuffle") {
+    // warehouse dir is a static conf — set via javaOptions in build.sbt
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority")
+
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      // force a non-broadcast join to prove bucketing removes the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = j.queryExecution.executedPlan.toString
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // plan prints top-down: the join's INPUTS are below (after) the
+      // SortMergeJoin line; the aggregate's exchange above it is expected
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+      assert(belowJoin.contains("Bucketed: true"), "scans must be bucketed")
+      // and it still computes the right thing
+      assert(j.count() === 5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
