@@ -65,6 +65,7 @@ object SparkEntry {
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
     "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
+    "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -229,6 +230,16 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "text_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                (acc, x) -> (acc * 131 + x) % 2147483647) END AS rhash,
+        |  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+        |                               c -> CAST(ord(c) AS BIGINT)),
+        |                (acc, x) -> (acc * 131 + x) % 2147483647) END AS rhash_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

@@ -107,4 +107,16 @@ object TextAnalysis {
       .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"),
         sha2(normText(col("text")), 256).as("fingerprint_sha256"))
       .orderBy("doc_id")
+
+  /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
+    * hashing primitive behind winnowing/chunk dedup, as a native codegen
+    * expression (graft.functions.RollingHash): one pass over the bytes,
+    * no allocation. Oracle replays the identical recurrence in DuckDB
+    * via list_reduce. */
+  def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("rhash"),
+        graft.functions.RollingHash.rolling_hash(normText(col("text"))).as("rhash_norm"))
+      .orderBy("doc_id")
 }

@@ -39,6 +39,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: readEvents over parquet equals the batch window agg") {
+    // stream the real events table file-by-file into the windowed agg
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val src = graft.sources.Tables.events(spark, sf).limit(500)
+    src.write.mode("overwrite").parquet(dir.toString)
+    val q = EventStream.windowedCounts(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win_out")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      val batch = spark.read.parquet(dir.toString)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
