@@ -66,6 +66,9 @@ object SparkEntry {
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
     "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
     "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
+    "events_pivot" -> (Events.userTypePivot _),
+    "quantity_percentiles" -> (Events.quantityPercentiles _),
+    "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +243,71 @@ object SparkEntry {
         |                               c -> CAST(ord(c) AS BIGINT)),
         |                (acc, x) -> (acc * 131 + x) % 2147483647) END AS rhash_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "quantity_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "curation_pipeline" ->
+      ("""WITH q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
+        |       WHEN hf > greatest(he, hs) THEN 'fr'
+        |       WHEN hs > he THEN 'es'
+        |       WHEN he > 0 THEN 'en'
+        |       ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id,
+        |          len(regexp_extract_all(text, '\b(the|and|of|to|is|that|it)\b')) AS he,
+        |          len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las)\b')) AS hs,
+        |          len(regexp_extract_all(text, '\b(le|la|les|de|et|est|une)\b')) AS hf,
+        |          len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS hd
+        |        FROM documents)),
+        |t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |""".stripMargin +
+       """w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |       FROM (SELECT doc_id,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |             FROM w)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8)
+        |SELECT d.doc_id, q.quality, t.n_tokens
+        |FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN l ON l.doc_id = d.doc_id
+        |  JOIN t ON t.doc_id = d.doc_id
+        |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
+        |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

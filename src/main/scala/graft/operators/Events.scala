@@ -89,6 +89,33 @@ object Events {
         count_distinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Pivot: one column per event type with per-user counts. Explicit
+    * pivot values keep the schema static (no extra distinct-values job
+    * and a plan that scales like any other agg). */
+  def userTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Exact interpolated percentiles of lineitem quantity per returnflag
+    * (quantities are integral, so interpolation midpoints are binary-
+    * exact and engine-identical). */
+  def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag")
+
   /** Top event bursts: highest-count (user, hour) cells — window over an
     * aggregated (already small) frame. */
   def topUserHours(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =

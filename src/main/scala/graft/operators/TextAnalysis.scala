@@ -108,6 +108,28 @@ object TextAnalysis {
         sha2(normText(col("text")), 256).as("fingerprint_sha256"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus curation — the composition story: quality gate →
+    * near-dup removal (keep the canonical lower-id doc of each pair) →
+    * language filter, emitting the surviving docs with their stats. Each
+    * stage is the already-verified operator; the pipeline is pure
+    * DataFrame composition, so Catalyst plans the whole thing as one
+    * job (shared scans, pushed filters). */
+  def curationPipeline(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.4): DataFrame = {
+    val quality = qualityScore(spark, sfDir).select("doc_id", "quality")
+    val lang = langId(spark, sfDir).select("doc_id", "lang_pred")
+    val toks = tokenStats(spark, sfDir).select("doc_id", "n_tokens")
+    val dupLosers = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(quality, Seq("doc_id")).filter(col("quality") >= minQuality)
+      .join(lang, Seq("doc_id")).filter(col("lang_pred") === "en")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(toks, Seq("doc_id"))
+      .select("doc_id", "quality", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
     * hashing primitive behind winnowing/chunk dedup, as a native codegen
     * expression (graft.functions.RollingHash): one pass over the bytes,
