@@ -69,6 +69,10 @@ object SparkEntry {
     "events_pivot" -> (Events.userTypePivot _),
     "quantity_percentiles" -> (Events.quantityPercentiles _),
     "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
+    "events_range_join" -> ((s, d) => Events.nearbyEventPairs(s, d)),
+    "lineitem_unpivot" -> (Events.lineitemUnpivot _),
+    "stratified_sample" -> (Events.stratifiedSample _),
+    "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,6 +312,57 @@ object SparkEntry {
         |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    "events_range_join" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS diff_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
+    "lineitem_unpivot" ->
+      """SELECT l_returnflag, 'mean_discount' AS metric, floor((CAST(sum(CAST(floor((l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(l_discount) * 1e6)) * 1e4 + 0.5) / 1e4 AS value
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'total_price' AS metric, CAST(sum(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS value
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'total_qty' AS metric, sum(l_quantity) AS value
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // stratified_sample: engine-specific RNG -> rows-only check
+    "ann_topk_ivf" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, embedding, nrm FROM n WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cent_id AS cluster,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |                         ORDER BY floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(v.embedding, i) AS DOUBLE) * CAST(list_extract(c.embedding, i) AS DOUBLE))) / (v.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 DESC, c.cent_id ASC) AS arn
+        |    FROM n v, cent c)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT query_id, cluster FROM (
+        |    SELECT q.vec_id AS query_id, c.cent_id AS cluster,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |                         ORDER BY floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(c.embedding, i) AS DOUBLE))) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 DESC, c.cent_id ASC) AS prn
+        |    FROM n q, cent c WHERE q.vec_id < 20)
+        |  WHERE prn <= 4),
+        |pairs AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+        |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+        |  FROM probes p
+        |    JOIN assigned a ON a.cluster = p.cluster
+        |    JOIN n q ON q.vec_id = p.query_id
+        |    JOIN n v ON v.vec_id = a.vec_id
+        |  WHERE p.query_id != a.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

@@ -116,6 +116,60 @@ object Events {
         max("l_quantity").as("max_qty"))
       .orderBy("l_returnflag")
 
+  /** Range join, time-bucketed: pairs of a user's events within
+    * `gapMinutes` of each other. The naive `|a.ts − b.ts| ≤ g` join is a
+    * per-key cross product; the scalable shape joins on (user, coarse
+    * time bucket) with one side replicated to its 3 adjacent buckets,
+    * then filters exactly — candidates are bounded by bucket occupancy,
+    * not by per-user event counts squared. */
+  def nearbyEventPairs(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 5): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", expr(s"us div ${gapUs}L"))
+    val a = ev.select(col("user_id"), col("event_id").as("event_a"),
+      col("us").as("us_a"), col("bucket"))
+    val b = ev.select(col("user_id"), col("event_id").as("event_b"),
+      col("us").as("us_b"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("event_a") < col("event_b") &&
+        abs(col("us_b") - col("us_a")) <= gapUs)
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (col("us_b") - col("us_a")).as("diff_us"))
+      .orderBy("user_id", "event_a", "event_b")
+  }
+
+  /** Unpivot (wide → long): per-returnflag metric columns melted into
+    * (returnflag, metric, value) rows — the inverse of pivot. */
+  def lineitemUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum("l_quantity").as("total_qty"),
+        qsum(col("l_extendedprice"), 2).as("total_price"),
+        rd(qavg(col("l_discount"), 6), 4).as("mean_discount"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("total_qty"), col("total_price"), col("mean_discount")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** Stratified sampling: per-stratum Bernoulli fractions with a fixed
+    * seed (deterministic across runs; RNG is engine-specific so this is
+    * a rows-only driver check — proportions asserted in tests). */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .stat.sampleBy("event_type",
+        Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
+            "error" -> 0.1, "signup" -> 0.0),
+        seed = 42L)
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+
   /** Top event bursts: highest-count (user, hour) cells — window over an
     * aggregated (already small) frame. */
   def topUserHours(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =

@@ -61,6 +61,51 @@ object Similarity {
     emb.withColumn("sig", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
+  /** IVF-style ANN: coarse quantization with deterministic centroids
+    * (the first `numCentroids` vectors — a seeded k-means would train the
+    * same way at scale, one extra job), vectors assigned to their nearest
+    * centroid, queries probing the `nprobe` nearest cells. Unlike LSH
+    * this is fully SQL-expressible, so the oracle checks it end-to-end.
+    * Cost: assignment is |N|×C (tiny C), search is |Q|×(probed cells) —
+    * the classic recall/cost dial via nprobe. */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      numQueries: Int = 20, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
+    // assignment: nearest centroid per vector (rank over C candidates)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
+        rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cluster"))
+    // probe list: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("e_q"), col("n_q"), col("cent_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("e_q"), col("n_q"), col("cent_id").as("cluster"))
+    // search only the probed cells
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    probes.join(assigned
+        .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+          col("nrm").as("n_c"), col("cluster")), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN top-k via LSH banding: 4 bands × 4 bits; pairs sharing any band
     * are candidates; exact cosine ranks candidates only. Same output
     * schema as brute force; recall < 1 by construction. */

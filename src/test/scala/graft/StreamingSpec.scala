@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // append mode: only watermark-closed windows are emitted
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window (+10 min delay)
+      mem.addData(Ev(2, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 2h51m late — behind the watermark, must be dropped
+      mem.addData(Ev(3, ts("2024-01-01 10:09:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 16:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .filter($"window_start" === ts("2024-01-01 10:00:00")).collect()
+      assert(out.length === 1)
+      assert(out(0).getLong(2) === 1L, "late event must not be counted")
+      assert(out(0).getDouble(3) === 1.0, "late event's value must not appear")
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
