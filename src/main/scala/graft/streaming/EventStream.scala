@@ -43,6 +43,15 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
 
+  /** Streaming exact dedup: keep the first occurrence of each event_id,
+    * with state bounded by the watermark (duplicates are only possible
+    * within the lateness horizon, so expired keys are dropped from
+    * state — the streaming twin of Dedup.exact). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- custom state: running per-user counters with flatMapGroupsWithState ---
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,

@@ -1,0 +1,37 @@
+package graft
+
+/** Plan lint over EVERY registered query: catches accidental cartesian
+  * products and driver-side explosions for current and future entries.
+  * Queries that are quadratic BY DESIGN (exact all-pairs baselines) are
+  * allow-listed explicitly — adding a new product join anywhere else
+  * fails this suite. */
+class PlanLintSpec extends SparkSpec {
+
+  // exact all-pairs scans (documented baselines; the scale paths are
+  // their LSH/IVF/banded siblings)
+  private val byDesignQuadratic = Set(
+    "dedup_embedding", "ann_topk_brute", "ann_topk_ivf")
+
+  test("no registered query plans an accidental product join") {
+    val offenders = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !byDesignQuadratic(name) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        (name, bad)
+    }.filter(_._2).map(_._1)
+    assert(offenders.isEmpty, s"product joins in: $offenders")
+  }
+
+  test("every query's plan builds and has output columns") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no output columns")
+    }
+  }
+
+  test("every oracle key has a matching query key") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+}

@@ -87,6 +87,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.dedupedEvents(
+        mem.toDF().withColumnRenamed("ts", "ts").select(
+          $"event_id", $"ts", $"user_id", $"event_type", $"value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "click", 2.0)) // dup in-batch
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts("2024-01-01 10:01:00"), 1, "click", 3.0)) // dup cross-batch
+      mem.addData(Ev(2, ts("2024-01-01 10:02:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").orderBy("event_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(rows(0).getDouble(4) === 1.0, "first occurrence wins")
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
