@@ -73,6 +73,8 @@ object SparkEntry {
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> (Events.stratifiedSample _),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "parts_left_revenue" -> (Relational.partsLeftRevenue _),
+    "customer_activity_transition" -> (Relational.customerActivityTransition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -363,6 +365,28 @@ object SparkEntry {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
         |  FROM pairs)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "parts_left_revenue" ->
+      """SELECT p_partkey, p_brand, coalesce(rev, 0.0) AS revenue_1996,
+        |  rev IS NULL AS unsold_1996
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey) r ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    "customer_activity_transition" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS c96 FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (SELECT DISTINCT o_custkey AS c97 FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT CASE WHEN c96 IS NOT NULL THEN 'active' ELSE 'inactive' END AS y1996,
+        |  CASE WHEN c97 IS NOT NULL THEN 'active' ELSE 'inactive' END AS y1997,
+        |  count(*) AS n_customers
+        |FROM a FULL OUTER JOIN b ON c96 = c97
+        |GROUP BY y1996, y1997 ORDER BY y1996, y1997""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

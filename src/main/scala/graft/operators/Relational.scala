@@ -193,6 +193,40 @@ object Relational {
         rd(log(col("o_totalprice") + 1), 4).as("log_price"))
       .orderBy("o_orderkey")
 
+  /** LEFT OUTER: every part with its 1996 revenue, zero when never
+    * shipped that year — nulls materialized then coalesced (the join
+    * class the inner/semi/anti queries don't cover). */
+  def partsLeftRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev96 = lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_partkey")
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2).as("rev"))
+    part(spark, sfDir).select("p_partkey", "p_brand")
+      .join(rev96, col("p_partkey") === col("l_partkey"), "left_outer")
+      .select(col("p_partkey"), col("p_brand"),
+        coalesce(col("rev"), lit(0.0d)).as("revenue_1996"),
+        col("rev").isNull.as("unsold_1996"))
+      .orderBy("p_partkey")
+  }
+
+  /** FULL OUTER: customer activity transition 1996→1997 — both sides
+    * preserved, null patterns folded into a 2×2-ish transition matrix. */
+  def customerActivityTransition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+    def active(year: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey").as(s"c$year")).distinct()
+    active(1996).join(active(1997), col("c1996") === col("c1997"), "full_outer")
+      .select(
+        when(col("c1996").isNotNull, "active").otherwise("inactive").as("y1996"),
+        when(col("c1997").isNotNull, "active").otherwise("inactive").as("y1997"))
+      .groupBy("y1996", "y1997")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("y1996", "y1997")
+  }
+
   /** Part revenue: fact⋈fact join then top-N per brand via window —
     * combines join, agg, and window in one plan. */
   def brandTopParts(spark: SparkSession, sfDir: String): DataFrame = {

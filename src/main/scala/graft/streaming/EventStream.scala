@@ -57,6 +57,53 @@ object EventStream {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_last: Timestamp, n_events: Long)
+
+  /** Gap-sessionization with EXPLICIT state + event-time timeout — the
+    * fully-custom form of what session_window does declaratively (kept
+    * both: this one controls exactly when sessions close and what state
+    * exists). A session closes either when a later in-batch event
+    * exceeds the gap, or when the event-time timeout fires (watermark
+    * passed last+gap). State per user is one O(1) OpenSession. */
+  def sessionizeWithTimeout(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last < gapMs =>
+                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Custom stateful operator: running per-user event count + value sum,
     * emitting the updated running totals every micro-batch. State is one

@@ -32,6 +32,24 @@ class SinksSpec extends SparkSpec {
     assert(back === orig)
   }
 
+  test("csv and json sinks round-trip the counts table") {
+    import org.apache.spark.sql.functions.col
+    val counts = WordCount.counts(spark, sf)
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    counts.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val backCsv = spark.read.option("header", "true")
+      .schema("word STRING, cnt BIGINT").csv(csvDir)
+      .as[(String, Long)].collect().toSet
+    assert(backCsv === counts.as[(String, Long)].collect().toSet)
+
+    val jsonDir = Files.createTempDirectory("graft-json").toString
+    counts.write.mode("overwrite").json(jsonDir)
+    val backJson = spark.read.json(jsonDir)
+      .select(col("word"), col("cnt"))
+      .as[(String, Long)].collect().toSet
+    assert(backJson === counts.as[(String, Long)].collect().toSet)
+  }
+
   test("partitioned parquet sink round-trips with partition pruning available") {
     val out = Files.createTempDirectory("graft-psink").toString
     val df = graft.sources.Tables.orders(spark, sf)

@@ -128,6 +128,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionizer: in-batch gap split + event-time timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionizeWithTimeout(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("custom_sess_out")
+      .outputMode("append").start()
+    try {
+      // one batch with an in-batch gap: 10:00,10:05 then 11:30 (85m gap)
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("custom_sess_out")
+        .as[EventStream.ClosedSession].collect()
+      assert(afterBatch1.map(s => (s.n_events, s.session_start)).toSeq ===
+        Seq((2L, ts("2024-01-01 10:00:00"))), "in-batch gap closes first session")
+      // advance watermark far past 11:30+30m → timeout closes the open session
+      mem.addData(Ev(4, ts("2024-01-01 15:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts("2024-01-01 16:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("custom_sess_out")
+        .as[EventStream.ClosedSession].filter(_.user_id == 1L).collect()
+      assert(all.map(_.n_events).sorted.toSeq === Seq(1L, 2L),
+        "timeout must emit the 11:30 singleton session")
+    } finally q.stop()
+  }
+
   test("streaming session counts produce gap-separated sessions after watermark close") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
