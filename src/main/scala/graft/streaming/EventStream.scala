@@ -43,6 +43,29 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
 
+  /** Production sink wiring: windowed counts → parquet files with a
+    * checkpoint (exactly-once via the file-sink commit log + the
+    * checkpointed offsets; restart resumes from the log). Returns the
+    * started query. */
+  def startFileSink(events: DataFrame, outDir: String, checkpointDir: String) =
+    windowedCounts(events)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** foreachBatch escape hatch: arbitrary batch-side logic per
+    * micro-batch (upserts, multi-sink fanout) with the batchId for
+    * idempotence. */
+  def startForeachBatch(events: DataFrame)(f: (DataFrame, Long) => Unit) =
+    windowedCounts(events)
+      .writeStream
+      .foreachBatch(f)
+      .outputMode("update")
+      .start()
+
   /** Streaming exact dedup: keep the first occurrence of each event_id,
     * with state bounded by the watermark (duplicates are only possible
     * within the lateness horizon, so expired keys are dropped from

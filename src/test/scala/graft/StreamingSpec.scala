@@ -87,6 +87,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink with checkpoint: append-mode windows land as parquet, restart resumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-fsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q1 = EventStream.startFileSink(mem.toDF(), out, ckpt)
+    try {
+      mem.addData(batch1: _*); q1.processAllAvailable()
+      mem.addData(Ev(9, ts("2024-01-01 14:00:00"), 3, "view", 1.0)) // closes 10:00/11:00 windows
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0, "watermark-closed windows must be committed to parquet")
+    // restart from the same checkpoint: no reprocessing, new data appends
+    val q2 = EventStream.startFileSink(mem.toDF(), out, ckpt)
+    try {
+      mem.addData(Ev(10, ts("2024-01-01 18:00:00"), 3, "view", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() >= afterFirst, "restart must not lose committed output")
+    assert(rows.groupBy("window_start", "event_type").count()
+      .filter($"count" > 1).count() === 0, "no window duplicated across restarts")
+  }
+
+  test("foreachBatch receives each micro-batch with its id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventStream.startForeachBatch(mem.toDF()) { (df, id) =>
+      seen += ((id, df.count()))
+    }
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._1).distinct.size === seen.size, "batch ids are unique")
+    assert(seen.map(_._2).sum > 0, "batches carry aggregated rows")
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
