@@ -32,7 +32,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        # sort part files: glob order is filesystem-arbitrary, and the
+        # ordered compare below relies on the query's total order being
+        # preserved across files (Verify writes coalesce(1), but stay
+        # robust if that ever changes)
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"[MISS] {name}: no spark result"); n_bad += 1; continue
         got = norm(pd.concat([pd.read_parquet(f) for f in files]))

@@ -24,16 +24,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + codegen + parquet footer reads, not billed
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // warm-up on the BENCHED dataset (JVM, codegen, parquet footers of
+    // sfDir itself — warming a different SF would bill this SF's footer
+    // reads to the first measured query)
+    SparkEntry.queries("wordcount_topk")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
 
     // min of 2 runs per query: host timing noise on single runs measured
     // at ±20% (occasional 10x outliers under contention); the min is the
-    // reproducible cost of the plan
+    // reproducible cost of the plan. Run 1 absorbs per-query footer reads
+    // and codegen; min discards them.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        if (!failed.contains(name)) failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -44,7 +50,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must be visible in the one line the driver reads,
+    // not just as a buried stderr message
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,11 +44,4 @@ object Deterministic {
     sum(floor(c * lit(p10(n)) + lit(0.5)).cast("long")).cast("double") /
       (count(c) * lit(p10(n)))
 
-  /** SQL spellings of the same helpers, for oracle strings. */
-  def rdSql(expr: String, n: Int): String =
-    s"floor(($expr) * 1e$n + 0.5) / 1e$n"
-  def qsumSql(expr: String, n: Int): String =
-    s"CAST(sum(CAST(floor(($expr) * 1e$n + 0.5) AS BIGINT)) AS DOUBLE) / 1e$n"
-  def qavgSql(expr: String, n: Int): String =
-    s"CAST(sum(CAST(floor(($expr) * 1e$n + 0.5) AS BIGINT)) AS DOUBLE) / (count($expr) * 1e$n)"
 }

@@ -27,42 +27,57 @@ import graft.sources.Tables
 object AsOfJoin {
 
   /** Generic as-of join.
+    *
+    * The right row's payload travels as ONE nullable struct, carried
+    * forward atomically with a single `last(ignoreNulls)` — carrying the
+    * columns independently would splice values from DIFFERENT right rows
+    * whenever a payload field is legitimately NULL.
+    *
     * @param left      left rows (probe side)
     * @param right     right rows (reference side)
     * @param keyCols   equi-key column names present on both sides
     * @param tsCol     event-time column name present on both sides
     * @param payload   right-side columns to attach (renamed as given)
+    * @param tiebreak  optional right-side column ordering rows that share
+    *                  (key, ts) — the greatest wins; without it such ties
+    *                  are matched arbitrarily (as in DuckDB's ASOF)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      tsCol: String, payload: Map[String, String]): DataFrame = {
+      tsCol: String, payload: Map[String, String],
+      tiebreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = payload.toSeq // (rightCol, outName)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map { case (in, out) =>
+        org.apache.spark.sql.types.StructField(out, right.schema(in).dataType)
+      })
 
-    val l = left
+    val lp = left
       .withColumn("__side", lit(1))
-      .select(leftCols.map(col) ++
-        Seq(col("__side")) ++
-        rightPayload.map { case (_, out) => lit(null).as(s"__r_$out") }: _*)
-    val r = right
+      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .select(leftCols.map(col) ++ Seq(col("__side"), col("__tb"), col("__payload")): _*)
+    val rp = right
       .withColumn("__side", lit(0))
+      .withColumn("__tb", tiebreak.map(col).getOrElse(lit(0L)).cast("long"))
+      .withColumn("__payload",
+        struct(rightPayload.map { case (in, out) => col(in).as(out) }: _*))
       .select(keyCols.map(col) ++
         Seq(col(tsCol)) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("__side")) ++
-        rightPayload.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
-      .select(l.columns.map(col): _*) // align column order
+        Seq(col("__side"), col("__tb"), col("__payload")): _*)
+      .select(lp.columns.map(col): _*) // align column order
 
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
-      .select(col("*") +: rightPayload.map { case (_, out) =>
-        last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out)
-      }: _*)
+    lp.unionByName(rp)
+      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightPayload.map { case (_, out) => col(out) }: _*)
+      .select(leftCols.map(col) ++
+        rightPayload.map { case (_, out) => col(s"__matched.$out").as(out) }: _*)
   }
 
   /** Driver-contract query: for every click, the user's most recent
@@ -72,10 +87,11 @@ object AsOfJoin {
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
+      .select(col("user_id"), col("ts"), col("event_id"),
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
     asOf(clicks, purchases, Seq("user_id"), "ts",
-      Map("purchase_ts" -> "last_purchase_ts", "purchase_value" -> "last_purchase_value"))
+      Map("purchase_ts" -> "last_purchase_ts", "purchase_value" -> "last_purchase_value"),
+      tiebreak = Some("event_id"))
       .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
         col("last_purchase_ts"), rd(col("last_purchase_value"), 4).as("last_purchase_value"))
       .orderBy("event_id")

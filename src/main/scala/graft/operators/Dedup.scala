@@ -72,8 +72,29 @@ object Dedup {
   private def renamed(df: DataFrame, pairs: (String, String)*): DataFrame =
     df.select(pairs.map { case (from, to) => col(from).as(to) }: _*)
 
+  /** Shared tail of the near-dup operators: given (doc_a, doc_b, common
+    * shingle count) and the per-doc shingle sizes, compute rounded
+    * Jaccard, filter by threshold, total-order. Single definition so the
+    * exact and LSH paths can never diverge. */
+  private def jaccardFromCommon(common: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    common
+      .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
+      .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        rd(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
-    * Output: (doc_a, doc_b, jaccard) for jaccard ≥ threshold. */
+    * Output: (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
+    *
+    * NOTE on the skew guard: when maxShingleFreq actually fires, Jaccard
+    * is computed over the FILTERED shingle universe (sizes post-filter) —
+    * an approximation by design; the LSH variant applies the identical
+    * guard so the two paths agree. The driver-contract default keeps the
+    * guard inert so the oracle compares exact semantics. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
     val sh = rareShingles(shingleHashes(spark, sfDir, n), maxShingleFreq)
@@ -83,14 +104,7 @@ object Dedup {
     val common = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
-      .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        rd(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    jaccardFromCommon(common, sizes, threshold)
   }
 
   // --- MinHash + LSH ---
@@ -120,7 +134,7 @@ object Dedup {
     * cost). Recall at j=0.8 with 32 bands × 4 rows: 1-(1-0.8^4)^32 ≈
     * 1-5e-8 — effectively exact on any real corpus. */
   def minhashLshPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
     val sig = minhashSignatures(spark, sfDir, n)
     val banded = sig.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $BandRows + 1, $BandRows)))")))
@@ -131,21 +145,15 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // exact-Jaccard verification restricted to LSH candidates
-    val sh = shingleHashes(spark, sfDir, n)
+    // exact-Jaccard verification restricted to LSH candidates — same
+    // skew guard and same shared tail as the exact path
+    val sh = rareShingles(shingleHashes(spark, sfDir, n), maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(renamed(sh, "doc_id" -> "doc_a", "h" -> "h"), Seq("doc_a"))
       .join(renamed(sh, "doc_id" -> "doc_b", "h" -> "h"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(renamed(sizes, "doc_id" -> "doc_a", "sz" -> "sz_a"), Seq("doc_a"))
-      .join(renamed(sizes, "doc_id" -> "doc_b", "sz" -> "sz_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        rd(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    jaccardFromCommon(common, sizes, threshold)
   }
 
   // --- SimHash ---

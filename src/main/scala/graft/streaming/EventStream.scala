@@ -110,8 +110,16 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.last < gapMs =>
-                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                // within gap of the session's span (late in-gap events
+                // extend the START backwards, not just the end)
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  open = Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                // late event strictly before the open session's reach:
+                // its own (already gap-closed) singleton session — state
+                // only tracks the latest session, so emit immediately
+                case Some(s) if t < s.start - gapMs =>
+                  closed += ClosedSession(uid, new Timestamp(t), new Timestamp(t), 1)
+                // beyond the gap after the session: close it, open new
                 case Some(s) =>
                   closed += ClosedSession(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   open = Some(OpenSession(t, t, 1))

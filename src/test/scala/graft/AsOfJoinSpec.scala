@@ -36,6 +36,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(2).getDouble(2) === 9.0)
   }
 
+  test("NULL payload fields never splice values from older right rows") {
+    val clicks = Seq((1L, 10L, ts("2024-01-01 10:30:00"))).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (10L, ts("2024-01-01 10:00:00"), Option.empty[Double]) // newer row, NULL value
+    ).toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("value"))
+    val got = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts",
+      Map("p_ts" -> "last_ts", "value" -> "last_value")).head()
+    assert(got.getTimestamp(3) === ts("2024-01-01 10:00:00"),
+      "must match the NEWEST right row")
+    assert(got.isNullAt(4),
+      "its NULL value must come through, not the older row's 5.0")
+  }
+
+  test("tiebreak column resolves equal-timestamp right rows deterministically") {
+    val clicks = Seq((1L, 10L, ts("2024-01-01 11:00:00"))).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 101L, 5.0),
+      (10L, ts("2024-01-01 10:00:00"), 102L, 7.0) // same ts, higher id wins
+    ).toDF("user_id", "ts", "pid", "value")
+      .select(col("user_id"), col("ts"), col("pid"), col("value"))
+    val got = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts",
+      Map("value" -> "last_value"), tiebreak = Some("pid")).head()
+    assert(got.getDouble(3) === 7.0)
+  }
+
   test("left rows with no prior right row get nulls (left join semantics)") {
     val clicks = Seq((1L, 10L, ts("2024-01-01 08:00:00"))).toDF("event_id", "user_id", "ts")
     val purchases = Seq((10L, ts("2024-01-01 09:00:00"), 5.0))

@@ -28,12 +28,18 @@ class BucketedJoinSpec extends SparkSpec {
         .join(spark.table("ord_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
-      // force a non-broadcast join to prove bucketing removes the shuffle
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val plan = j.queryExecution.executedPlan.toString
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // force a non-broadcast join to prove bucketing removes the shuffle;
+      // restore in finally — a leak would poison the shared session for
+      // every later suite
+      val plan =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          j.queryExecution.executedPlan.toString
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
       // plan prints top-down: the join's INPUTS are below (after) the
       // SortMergeJoin line; the aggregate's exchange above it is expected
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")

@@ -197,6 +197,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionizer handles late events: in-gap extends start, far-late is its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionizeWithTimeout(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // 11:55 is late but inside the 10-min watermark: reaches state and
+      // extends the session start backwards. 09:00 is far behind the
+      // watermark: dropped by Spark before the state function (the
+      // state-side far-late branch stays as defense for longer delays).
+      mem.addData(
+        Ev(2, ts("2024-01-01 11:55:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 09:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val closedEarly = spark.table("late_sess_out")
+        .as[EventStream.ClosedSession].collect()
+      assert(closedEarly.isEmpty, "far-late event is watermark-dropped, nothing closes yet")
+      // close the open session via timeout and check the extended start
+      mem.addData(Ev(4, ts("2024-01-01 15:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts("2024-01-01 16:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("late_sess_out")
+        .as[EventStream.ClosedSession].filter(_.user_id == 1L).collect()
+      assert(u1.length === 1)
+      assert(u1(0).session_start === ts("2024-01-01 11:55:00"),
+        "in-gap late event must extend session start backwards")
+      assert(u1(0).n_events === 2L)
+    } finally q.stop()
+  }
+
   test("streaming session counts produce gap-separated sessions after watermark close") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
