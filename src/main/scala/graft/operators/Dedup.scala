@@ -31,9 +31,10 @@ object Dedup {
   import TextAnalysis.normText
 
   /** Distinct word n-gram shingles per document, hashed to 64-bit.
-    * Shingling is per-row (no shuffle); `.distinct` dedups within doc. */
-  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
-    Tables.documents(spark, sfDir)
+    * Shingling is per-row (no shuffle); `.distinct` dedups within doc.
+    * Library form: any (doc_id, text) DataFrame. */
+  def shinglesOf(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
       // guard: sequence(0, negative) DESCENDS in Spark — docs shorter
       // than n words must yield an empty shingle set, not junk slices
@@ -41,6 +42,9 @@ object Dedup {
         s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END"))
         .as("shingle"))
       .distinct()
+
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    shinglesOf(Tables.documents(spark, sfDir), n)
 
   /** Distinct shingles as 64-bit hashes — the join/shuffle currency for
     * all near-dup operators. 8-byte keys shuffle ~3× less than shingle
@@ -95,9 +99,10 @@ object Dedup {
     * an approximation by design; the LSH variant applies the identical
     * guard so the two paths agree. The driver-contract default keeps the
     * guard inert so the oracle compares exact semantics. */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
-    val sh = rareShingles(shingleHashes(spark, sfDir, n), maxShingleFreq)
+  def ngramJaccardPairsOf(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
+    val hashed = shinglesOf(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val sh = rareShingles(hashed, maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = renamed(sh, "doc_id" -> "doc_a", "h" -> "h")
     val b = renamed(sh, "doc_id" -> "doc_b", "h" -> "h")
@@ -106,6 +111,10 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     jaccardFromCommon(common, sizes, threshold)
   }
+
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, sfDir), threshold, n, maxShingleFreq)
 
   // --- MinHash + LSH ---
 

@@ -45,12 +45,17 @@ object WordCount {
     * `slave.cc:103-104`). `^[a-z]` implies non-empty. */
   def azFilter(word: Column): Column = word.rlike("^[a-z]")
 
+  /** Tokenized, filtered word stream from any DataFrame with a text
+    * column (library form). */
+  def wordsOf(texts: DataFrame, textCol: String = "text"): DataFrame =
+    texts
+      .select(tokens(col(textCol)).as("word"))
+      .filter(azFilter(col("word")))
+
   /** Tokenized, filtered word stream from the `documents` corpus.
     * (`documents.text` plays the role of the reference's HDFS file.) */
   def words(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(tokens(col("text")).as("word"))
-      .filter(azFilter(col("word")))
+    wordsOf(Tables.documents(spark, sfDir))
 
   /** O8 — hash-aggregated word counts (partial + final agg). */
   def counts(spark: SparkSession, sfDir: String): DataFrame =

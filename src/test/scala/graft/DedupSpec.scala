@@ -31,6 +31,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("jaccard math on hand-built docs: identical=1.0, disjoint absent, computed overlap exact") {
+    // doc 0 == doc 1 (jaccard 1.0); doc 2 shares a 5-of-? shingle overlap;
+    // doc 3 disjoint
+    val docs = Seq(
+      (0L, "a b c d e f g"),   // shingles: abc bcd cde def efg (5)
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f z"),   // abc bcd cde def efz -> 4 common of 6 union
+      (3L, "q r s t u v w")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.ngramJaccardPairsOf(docs, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 2L)) === 0.6667) // 4 / (5 + 5 - 4)
+    assert(pairs((1L, 2L)) === 0.6667)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to row count") {
     val ex = Dedup.exact(spark, sf)
     val total = ex.agg(sum("n_copies")).as[Long].head()

@@ -67,6 +67,20 @@ class WordCountSpec extends SparkSpec {
     assert(sumBuckets === WordCount.words(spark, sf).count())
   }
 
+  test("table pipeline equals text-file pipeline over the same corpus (O2 equivalence)") {
+    // dump the documents table to a newline-delimited text file and run
+    // the reference's exact ingestion path over it — same counts
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toFile
+    val f = new java.io.File(dir, "docs.txt")
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    java.nio.file.Files.writeString(f.toPath, texts.mkString("\n"))
+    val viaFile = WordCount.countsFromTextFile(spark, f.getAbsolutePath, 1000)
+      .as[(String, Long)].collect().toSeq
+    val viaTable = WordCount.topK(spark, sf, 1000).as[(String, Long)].collect().toSeq
+    assert(viaFile === viaTable)
+  }
+
   test("text-file ingestion path (O2/O3) matches in-memory tokenization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wc").toFile
     val f = new java.io.File(dir, "corpus.txt")
