@@ -75,6 +75,9 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "parts_left_revenue" -> (Relational.partsLeftRevenue _),
     "customer_activity_transition" -> (Relational.customerActivityTransition _),
+    // --- SQL front door (correlated subqueries, decorrelated by Catalyst) ---
+    "sql_brand_floor_parts" -> (Relational.sqlBrandFloorParts _),
+    "sql_priority_customers" -> (Relational.sqlPriorityCustomers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -387,6 +390,20 @@ object SparkEntry {
         |  count(*) AS n_customers
         |FROM a FULL OUTER JOIN b ON c96 = c97
         |GROUP BY y1996, y1997 ORDER BY y1996, y1997""".stripMargin,
+    "sql_brand_floor_parts" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part
+        |                       WHERE p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "sql_priority_customers" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

@@ -227,6 +227,34 @@ object Relational {
       .orderBy("y1996", "y1997")
   }
 
+  /** SQL surface with a correlated scalar subquery — Catalyst
+    * decorrelates it into an aggregate+join (`RewriteCorrelatedScalarSubquery`),
+    * so the executed plan is shuffle-shaped, not nested-loop. The
+    * reference had no query language at all (SURVEY.md §3). */
+  def sqlBrandFloorParts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part
+        |                       WHERE p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin)
+  }
+
+  /** SQL surface with IN + NOT IN subqueries (semi/anti through the SQL
+    * front door, decorrelated by Catalyst). */
+  def sqlPriorityCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Part revenue: fact⋈fact join then top-N per brand via window —
     * combines join, agg, and window in one plan. */
   def brandTopParts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -31,6 +31,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir) else table(spark, sfDir, name)
 
+  /** Register every table as a temp view so `spark.sql` works over the
+    * catalog — the declarative query surface the reference never had
+    * (its only "query" was a hard-coded pipeline, SURVEY.md §3). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
