@@ -78,6 +78,10 @@ object SparkEntry {
     // --- SQL front door (correlated subqueries, decorrelated by Catalyst) ---
     "sql_brand_floor_parts" -> (Relational.sqlBrandFloorParts _),
     "sql_priority_customers" -> (Relational.sqlPriorityCustomers _),
+    // --- analytics: running-total caps, second moments, binning ---
+    "curation_token_budget" -> ((s, d) => TextAnalysis.tokenBudgetSample(s, d)),
+    "events_hourly_anomaly" -> ((s, d) => Events.hourlyAnomalies(s, d)),
+    "order_value_histogram" -> ((s, d) => Events.orderValueHistogram(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,6 +408,36 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+    "curation_token_budget" ->
+      """SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM (SELECT source, doc_id, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM (SELECT d.source, d.doc_id,
+        |              CAST(len(list_filter(string_split_regex(d.text, '[ 
+]'), t -> t != '')) AS INT) AS n_tokens
+        |            FROM documents d))
+        |WHERE cum_tokens <= 800
+        |ORDER BY source, doc_id""".stripMargin,
+    "events_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+        |    sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) /
+        |         (count(*) * (count(*) - 1))) AS std_n
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.n,
+        |  floor(((h.n - m.mean_n) / m.std_n) * 1e4 + 0.5) / 1e4 AS z
+        |FROM hourly h JOIN m ON h.event_type = m.event_type
+        |WHERE abs(floor(((h.n - m.mean_n) / m.std_n) * 1e4 + 0.5) / 1e4) >= 2.0
+        |ORDER BY h.event_type, h.hour""".stripMargin,
+    "order_value_histogram" ->
+      """SELECT bin, bin * 25000.0 AS bin_low, count(*) AS n
+        |FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin FROM orders)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

@@ -170,6 +170,44 @@ object Events {
       .select("event_id", "event_type", "user_id")
       .orderBy("event_id")
 
+  /** Hourly anomaly detection per event type: z-score of each hour's
+    * count against the type's distribution. Moments are computed from
+    * EXACT integer sums (Σc, Σc², n) rather than stddev_samp — Welford
+    * accumulation is summation-order-dependent and would diverge from
+    * the oracle at rounding boundaries; the closed form is
+    * partition-count-independent. */
+  def hourlyAnomalies(spark: SparkSession, sfDir: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    import graft.functions.Deterministic.rd
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val moments = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n_hours")).as("mean_n"),
+        sqrt((col("n_hours") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n_hours") * (col("n_hours") - 1))).as("std_n"))
+    hourly.join(moments, Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"),
+        rd((col("n") - col("mean_n")) / col("std_n"), 4).as("z"))
+      .filter(abs(col("z")) >= zThreshold)
+      .orderBy("event_type", "hour")
+  }
+
+  /** Fixed-width histogram of order values — the binning operator class.
+    * Bin ids are exact integer arithmetic; one partial-agged shuffle. */
+  def orderValueHistogram(spark: SparkSession, sfDir: String,
+      binWidth: Double = 25000.0): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * binWidth).as("bin_low"), col("n"))
+      .orderBy("bin")
+
   /** Top event bursts: highest-count (user, hour) cells — window over an
     * aggregated (already small) frame. */
   def topUserHours(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =

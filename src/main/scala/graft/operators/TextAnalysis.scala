@@ -130,6 +130,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-budget sampling: keep documents per source, in doc_id order,
+    * until the running token total exceeds the budget — how pretraining
+    * mixtures cap each source's contribution. One shuffle on source;
+    * running totals via a frame-bounded window. */
+  def tokenBudgetSample(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tokenStats(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
     * hashing primitive behind winnowing/chunk dedup, as a native codegen
     * expression (graft.functions.RollingHash): one pass over the bytes,
