@@ -82,6 +82,7 @@ object SparkEntry {
     "curation_token_budget" -> ((s, d) => TextAnalysis.tokenBudgetSample(s, d)),
     "events_hourly_anomaly" -> ((s, d) => Events.hourlyAnomalies(s, d)),
     "order_value_histogram" -> ((s, d) => Events.orderValueHistogram(s, d)),
+    "events_dense_hourly" -> (Events.denseHourlyCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,6 +439,16 @@ object SparkEntry {
       """SELECT bin, bin * 25000.0 AS bin_low, count(*) AS n
         |FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin FROM orders)
         |GROUP BY bin ORDER BY bin""".stripMargin,
+    "events_dense_hourly" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+        |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+        |hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (SELECT event_type, hour, count(*) AS cnt FROM ev GROUP BY 1, 2)
+        |SELECT t.event_type, h.hour, coalesce(c.cnt, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = h.hour
+        |ORDER BY t.event_type, h.hour""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

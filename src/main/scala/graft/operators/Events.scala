@@ -197,6 +197,25 @@ object Events {
       .orderBy("event_type", "hour")
   }
 
+  /** Dense hourly series with gap filling: every (event_type, hour) cell
+    * across the corpus span, zero-filled where no events landed —
+    * sequence generation + dimension product + left join. Both generated
+    * sides are bounded (hours × types), so the product is a broadcast of
+    * dimensions, not a data explosion. */
+  def denseHourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+    val hours = ev.agg(min("hour").as("mn"), max("hour").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "hour"), "left_outer")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Fixed-width histogram of order values — the binning operator class.
     * Bin ids are exact integer arithmetic; one partial-agged shuffle. */
   def orderValueHistogram(spark: SparkSession, sfDir: String,

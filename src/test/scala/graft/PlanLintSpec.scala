@@ -8,9 +8,11 @@ package graft
 class PlanLintSpec extends SparkSpec {
 
   // exact all-pairs scans (documented baselines; the scale paths are
-  // their LSH/IVF/banded siblings)
+  // their LSH/IVF/banded siblings) and bounded dimension products
+  // (hours × event types in the gap-filled series)
   private val byDesignQuadratic = Set(
-    "dedup_embedding", "ann_topk_brute", "ann_topk_ivf")
+    "dedup_embedding", "ann_topk_brute", "ann_topk_ivf",
+    "events_dense_hourly")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {
