@@ -66,6 +66,32 @@ object EventStream {
       .outputMode("update")
       .start()
 
+  /** Stream-stream join: clicks joined to purchases by the same user
+    * within the attribution window (purchase no earlier than 1h before
+    * the click, no later than the click). Watermarks on BOTH sides bound
+    * the join state — without them state grows forever; with them rows
+    * outside the watermark+range envelope are evicted. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("interval 1 hour") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+  }
+
+  /** Stream-static join: the event stream enriched with a static
+    * dimension (per-user profile built batch-side). The static side is
+    * re-read per micro-batch — no state, broadcast-joined. */
+  def enrichWithUserProfile(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(profile), Seq("user_id"), "left_outer")
+
   /** Streaming exact dedup: keep the first occurrence of each event_id,
     * with state bounded by the watermark (duplicates are only possible
     * within the lateness horizon, so expired keys are dropped from

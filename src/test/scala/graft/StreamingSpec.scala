@@ -127,6 +127,49 @@ class StreamingSpec extends SparkSpec {
     assert(seen.map(_._2).sum > 0, "batches carry aggregated rows")
   }
 
+  test("stream-stream join: purchases attach to clicks within the 1h window, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStream.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      purchases.addData(Ev(100, ts("2024-01-01 09:30:00"), 1, "purchase", 5.0))
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      // cross-batch: a click arriving later still joins the earlier purchase
+      clicks.addData(Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 0.0))
+      // out of window: purchase 2h before this click
+      clicks.addData(Ev(3, ts("2024-01-01 11:40:00"), 1, "click", 0.0))
+      // different user: no match
+      clicks.addData(Ev(4, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").orderBy("click_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+        "clicks 1,2 join; click 3 out of window; click 4 wrong user")
+      assert(rows.forall(_.getLong(3) === 100L))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events with a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val profile = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventStream.enrichWithUserProfile(mem.toDF(), profile)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 3, "click", 1.0)) // no profile
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").orderBy("event_id").collect()
+      assert(rows(0).getString(rows(0).fieldIndex("tier")) === "gold")
+      assert(rows(1).isNullAt(rows(1).fieldIndex("tier")), "unknown user keeps null tier")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
