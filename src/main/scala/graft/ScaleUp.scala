@@ -27,12 +27,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      // universes must not overlap: a source key >= KeyOffset would
+      // silently cross-link copies and corrupt every join downstream
+      val maxKey = df.agg(greatest(keyCols.map(max): _*)).head().getLong(0)
+      require(maxKey < KeyOffset,
+        s"source keys reach $maxKey >= offset $KeyOffset; raise KeyOffset")
       (0 until factor).map { i =>
         keyCols.foldLeft(df) { (d, k) =>
           d.withColumn(k, col(k) + lit(i * KeyOffset))
         }
       }.reduce(_ unionByName _)
+    }
 
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> Tables.region(spark, src),                       // bounded dim

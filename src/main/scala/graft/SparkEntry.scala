@@ -427,8 +427,9 @@ object SparkEntry {
         |m AS (
         |  SELECT event_type,
         |    CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
-        |    sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) /
-        |         (count(*) * (count(*) - 1))) AS std_n
+        |    sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(n * n) AS DOUBLE) -
+        |          CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) /
+        |         (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE))) AS std_n
         |  FROM hourly GROUP BY event_type)
         |SELECT h.event_type, h.hour, h.n,
         |  floor(((h.n - m.mean_n) / m.std_n) * 1e4 + 0.5) / 1e4 AS z

@@ -52,6 +52,15 @@ object AsOfJoin {
         org.apache.spark.sql.types.StructField(out, right.schema(in).dataType)
       })
 
+    // a non-integral tiebreak would cast to NULL and silently disable
+    // the promised determinism — fail loudly instead
+    tiebreak.foreach { tb =>
+      val dt = right.schema(tb).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+        s"tiebreak column '$tb' must be integral, got ${dt.catalogString}")
+    }
+
     val lp = left
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast("long"))

@@ -63,9 +63,14 @@ object Dedup {
       .orderBy("canonical_id")
 
   /** Shared skew guard: shingles occurring in > maxFreq docs are noise
-    * (their buckets explode quadratically) — standard in web-scale dedup. */
+    * (their buckets explode quadratically) — standard in web-scale dedup.
+    * When the shingle set comes from canonical docs, each canonical
+    * carries its duplicate-group size as `w`, so the frequency counted
+    * here is the TRUE document frequency — identical to running the
+    * guard on the un-collapsed corpus. */
   private def rareShingles(sh: DataFrame, maxFreq: Int): DataFrame = {
-    val hot = sh.groupBy("h").count().filter(col("count") > maxFreq)
+    val weight = if (sh.columns.contains("w")) sum("w") else sum(lit(1L))
+    val hot = sh.groupBy("h").agg(weight.as("df")).filter(col("df") > maxFreq)
       .select("h")
     // using-column joins move the key first — re-select to pin order
     sh.join(hot, Seq("h"), "left_anti").select("doc_id", "h")
@@ -119,6 +124,28 @@ object Dedup {
     (members, canonDocs)
   }
 
+  /** Canonical shingle hashes weighted by duplicate-group size (`w`) so
+    * downstream frequency logic sees true document frequencies. */
+  private def canonShingleHashes(members: DataFrame, canonDocs: DataFrame,
+      n: Int): DataFrame = {
+    val grpSize = members.groupBy("canon_id").agg(count(lit(1)).as("w"))
+    shinglesOf(canonDocs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .join(renamed(grpSize, "canon_id" -> "doc_id", "w" -> "w"), Seq("doc_id"))
+  }
+
+  /** 128-wide MinHash signature from a (doc_id, h) shingle-hash frame —
+    * single definition shared by the signature query and the LSH path. */
+  private def signaturesFromHashes(hashed: DataFrame): DataFrame = {
+    val minCols = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** Expand canonical-level pairs back to member pairs: cross-group
     * pairs inherit the canonical jaccard; intra-group pairs (identical
     * docs) are jaccard 1.0 — but only for groups whose canonical has at
@@ -143,8 +170,9 @@ object Dedup {
   def ngramJaccardPairsOf(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
-    // quadratic part on canonicals only
-    val hashed = shinglesOf(canonDocs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // quadratic part on canonicals only; skew guard sees true document
+    // frequencies via group-size weights
+    val hashed = canonShingleHashes(members, canonDocs, n)
     val sh = rareShingles(hashed, maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = renamed(sh, "doc_id" -> "doc_a", "h" -> "h")
@@ -169,16 +197,8 @@ object Dedup {
 
   /** Per-doc 128-wide MinHash signature as an array column. The 128 min
     * aggregations run in one HashAggregate pass over exploded shingles. */
-  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val sh = shingleHashes(spark, sfDir, n)
-    val minCols = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    sh.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    signaturesFromHashes(shingleHashes(spark, sfDir, n))
 
   /** LSH banding: each doc emits 32 (band_idx, band_hash) keys; docs
     * colliding in any band become candidate pairs; candidates are then
@@ -197,14 +217,8 @@ object Dedup {
   def minhashLshPairsOf(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
-    val hashed = shinglesOf(canonDocs, n).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val minCols = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    val sig = hashed.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val hashed = canonShingleHashes(members, canonDocs, n)
+    val sig = signaturesFromHashes(hashed)
     val banded = sig.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $BandRows + 1, $BandRows)))")))
       .toDF("doc_id", "band", "band_hash")

@@ -182,14 +182,19 @@ object Events {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
+    // sums stay integer (exact, order-independent); products are taken
+    // AFTER casting to double — n_hours*s2 and s1*s1 would overflow Long
+    // at real event volumes, and the double spelling is IEEE-identical
+    // in the DuckDB oracle
     val moments = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"),
         sum("n").as("s1"),
         sum(col("n") * col("n")).as("s2"))
       .select(col("event_type"),
         (col("s1").cast("double") / col("n_hours")).as("mean_n"),
-        sqrt((col("n_hours") * col("s2") - col("s1") * col("s1")).cast("double") /
-          (col("n_hours") * (col("n_hours") - 1))).as("std_n"))
+        sqrt((col("n_hours").cast("double") * col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double")) /
+          (col("n_hours").cast("double") * (col("n_hours") - 1).cast("double"))).as("std_n"))
     hourly.join(moments, Seq("event_type"))
       .select(col("event_type"), col("hour"), col("n"),
         rd((col("n") - col("mean_n")) / col("std_n"), 4).as("z"))

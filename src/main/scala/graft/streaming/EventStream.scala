@@ -132,27 +132,45 @@ object EventStream {
           } else {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var open = state.getOption
+            // accumulator for runs of far-late events (before the open
+            // session's reach): they form their own sessions, merged
+            // among themselves, emitted when the run breaks
+            var lateOpen: Option[OpenSession] = None
             val closed = Seq.newBuilder[ClosedSession]
+            def flushLate(): Unit = lateOpen.foreach { s =>
+              closed += ClosedSession(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
+              lateOpen = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                // within gap of the session's span (late in-gap events
-                // extend the START backwards, not just the end)
-                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                // strictly within gap of the session's span — STRICT
+                // bounds to match session_window (an event at exactly
+                // last+gap starts a NEW session, same as the timeout)
+                case Some(s) if t > s.start - gapMs && t < s.last + gapMs =>
+                  flushLate()
                   open = Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                // late event strictly before the open session's reach:
-                // its own (already gap-closed) singleton session — state
-                // only tracks the latest session, so emit immediately
-                case Some(s) if t < s.start - gapMs =>
-                  closed += ClosedSession(uid, new Timestamp(t), new Timestamp(t), 1)
-                // beyond the gap after the session: close it, open new
+                // far-late: before the open session's reach — merge into
+                // the late-run accumulator (consecutive late events that
+                // are within gap of each other form ONE session)
+                case Some(s) if t <= s.start - gapMs =>
+                  lateOpen match {
+                    case Some(ls) if t < ls.last + gapMs =>
+                      lateOpen = Some(OpenSession(math.min(ls.start, t), math.max(ls.last, t), ls.n + 1))
+                    case _ =>
+                      flushLate()
+                      lateOpen = Some(OpenSession(t, t, 1))
+                  }
+                // at/beyond the gap after the session: close it, open new
                 case Some(s) =>
+                  flushLate()
                   closed += ClosedSession(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   open = Some(OpenSession(t, t, 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }
             }
+            flushLate()
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)
