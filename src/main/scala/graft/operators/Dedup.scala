@@ -96,23 +96,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
-    * Output: (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
-    *
-    * NOTE on the skew guard: when maxShingleFreq actually fires, Jaccard
-    * is computed over the FILTERED shingle universe (sizes post-filter) —
-    * an approximation by design; the LSH variant applies the identical
-    * guard so the two paths agree. The driver-contract default keeps the
-    * guard inert so the oracle compares exact semantics. */
-  /** Exact-dup collapse BEFORE the quadratic shingle join: identical
-    * raw texts share identical shingle sets, so (a) pairs WITHIN a
-    * duplicate group are jaccard 1.0 by definition, and (b) pairs ACROSS
-    * groups have the jaccard of their canonical representatives. The
-    * inverted-index join therefore runs on canonicals only — on
-    * duplicate-heavy corpora (the web-scale norm) this removes the
-    * dominant quadratic term (measured 80.6s → canonical-only cost on
-    * the 10×-amplified stress set). Output is pair-for-pair identical
-    * to the naive formulation. */
   /** Exact-dup grouping: (members: doc_id→canon_id, canonDocs). */
   private def exactGroups(docs: DataFrame): (DataFrame, DataFrame) = {
     val grouped = docs.select(col("doc_id"), md5(col("text")).as("fp"), col("text"))
@@ -147,26 +130,40 @@ object Dedup {
   }
 
   /** Expand canonical-level pairs back to member pairs: cross-group
-    * pairs inherit the canonical jaccard; intra-group pairs (identical
-    * docs) are jaccard 1.0 — but only for groups whose canonical has at
-    * least one shingle (the naive join emits nothing for shingle-less
-    * docs). */
+    * pairs inherit the canonical similarity value; intra-group pairs
+    * (identical docs) get `intraValue` (jaccard 1.0 / hamming 0) — but
+    * only for groups whose canonical produced a signature (`eligible`):
+    * the naive formulations emit nothing for shingle-/token-less docs. */
   private def expandToMembers(canonPairs: DataFrame, members: DataFrame,
-      sizes: DataFrame): DataFrame = {
+      eligible: DataFrame, valueCol: String,
+      intraValue: org.apache.spark.sql.Column): DataFrame = {
     val cross = canonPairs
       .join(renamed(members, "doc_id" -> "m_a", "canon_id" -> "doc_a"), Seq("doc_a"))
       .join(renamed(members, "doc_id" -> "m_b", "canon_id" -> "doc_b"), Seq("doc_b"))
       .select(least(col("m_a"), col("m_b")).as("doc_a"),
-        greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
-    val withShingles = sizes.select(col("doc_id").as("canon_id"))
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col(valueCol))
     val intra = renamed(members, "doc_id" -> "m_a", "canon_id" -> "canon_id")
       .join(renamed(members, "doc_id" -> "m_b", "canon_id" -> "canon_id"), Seq("canon_id"))
       .filter(col("m_a") < col("m_b"))
-      .join(withShingles, Seq("canon_id"), "left_semi")
-      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), lit(1.0d).as("jaccard"))
+      .join(eligible.select(col("doc_id").as("canon_id")), Seq("canon_id"), "left_semi")
+      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), intraValue.as(valueCol))
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Output: (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
+    *
+    * Exact-dup collapse runs BEFORE the quadratic join: identical raw
+    * texts share identical shingle sets, so intra-group pairs are 1.0
+    * by definition and cross-group pairs inherit their canonicals'
+    * jaccard — the join cost depends on DISTINCT texts only (80.6s →
+    * 3.5s on the 10×-amplified stress set). Output pair-for-pair equals
+    * the naive formulation; the skew guard counts true document
+    * frequency via group-size weights. When maxShingleFreq fires,
+    * jaccard is computed over the filtered shingle universe (an
+    * approximation by design, identical in the LSH path); the
+    * driver-contract default keeps the guard inert so the oracle
+    * compares exact semantics. */
   def ngramJaccardPairsOf(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
@@ -180,7 +177,8 @@ object Dedup {
     val common = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    expandToMembers(jaccardFromCommon(common, sizes, threshold), members, sizes)
+    expandToMembers(jaccardFromCommon(common, sizes, threshold), members,
+      sizes, "jaccard", lit(1.0d))
   }
 
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
@@ -236,7 +234,8 @@ object Dedup {
       .join(renamed(sh, "doc_id" -> "doc_a", "h" -> "h"), Seq("doc_a"))
       .join(renamed(sh, "doc_id" -> "doc_b", "h" -> "h"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    expandToMembers(jaccardFromCommon(common, sizes, threshold), members, sizes)
+    expandToMembers(jaccardFromCommon(common, sizes, threshold), members,
+      sizes, "jaccard", lit(1.0d))
   }
 
   // --- SimHash ---
@@ -244,8 +243,12 @@ object Dedup {
   /** 64-bit SimHash per doc: token-frequency-weighted bit votes over
     * xxhash64(token). One wide aggregation; signature assembled from 64
     * sign sums with a bitwiseOR fold (all codegen'd). */
-  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSignaturesOf(Tables.documents(spark, sfDir))
+
+  /** SimHash signature from any (doc_id, text) frame. */
+  def simhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
       .agg(count(lit(1)).as("cnt"))
@@ -262,21 +265,27 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, blocked
     * by 16-bit chunks (pigeonhole: hd ≤ 3 ⇒ at least one of 4 chunks
-    * equal), so no quadratic all-pairs comparison. */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(spark, sfDir)
+    * equal), so no quadratic all-pairs comparison. Same canonical
+    * collapse as the other near-dup paths: identical docs share
+    * identical signatures, so blocking them directly is the worst-case
+    * bucket blowup; pairs expand back afterward (intra-group hamming 0). */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(Tables.documents(spark, sfDir), maxHamming)
+
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val (members, canonDocs) = exactGroups(docs)
+    val sig = simhashSignaturesOf(canonDocs)
     val blocked = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
         "transform(sequence(0, 3), k -> (simhash >> (k * 16)) & 65535)")))
       .toDF("doc_id", "simhash", "block", "block_val")
-    val pairs = blocked.toDF("doc_a", "sim_a", "block", "block_val")
+    val canonPairs = blocked.toDF("doc_a", "sim_a", "block", "block_val")
       .join(blocked.toDF("doc_b", "sim_b", "block", "block_val"), Seq("block", "block_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-    pairs
+    expandToMembers(canonPairs, members, sig, "hamming", lit(0))
   }
 
   // --- Embedding cosine near-dup ---
