@@ -83,6 +83,7 @@ object SparkEntry {
     "events_hourly_anomaly" -> ((s, d) => Events.hourlyAnomalies(s, d)),
     "order_value_histogram" -> ((s, d) => Events.orderValueHistogram(s, d)),
     "events_dense_hourly" -> (Events.denseHourlyCounts _),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,6 +451,31 @@ object SparkEntry {
         |FROM hours h CROSS JOIN types t
         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = h.hour
         |ORDER BY t.event_type, h.hour""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH w AS (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ 
+]'), t -> t != '') AS words
+        |             FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle
+        |         FROM (SELECT doc_id,
+        |                 unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                         for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |               FROM w)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src)
+        |SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
     // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies

@@ -288,6 +288,49 @@ object Dedup {
     expandToMembers(canonPairs, members, sig, "hamming", lit(0))
   }
 
+  // --- Duplicate clustering (connected components over near-dup pairs) ---
+
+  /** Collapse near-dup PAIRS into duplicate CLUSTERS: connected
+    * components by iterative hash-min label propagation — each doc
+    * converges to the minimum doc_id reachable through the pair graph.
+    * This is the operator a curation pipeline actually consumes (keep
+    * one doc per cluster), and the engine's example of an ITERATIVE
+    * DataFrame algorithm: converges in O(log diameter) shuffle rounds,
+    * with a driver-side convergence check per round (near-dup components
+    * are tiny — typically 1–2 rounds). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // each node takes the min of its own label and its neighbors'
+      val neighborMin = edges
+        .join(renamed(labels, "doc_id" -> "dst", "lbl" -> "nlbl"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nlbl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      val changed = updated.join(renamed(labels, "doc_id" -> "doc_id", "lbl" -> "old"),
+          Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = updated.localCheckpoint() // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: clusters over the n-gram Jaccard pairs. */
+  def nearDupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame =
+    duplicateClusters(ngramJaccardPairs(spark, sfDir, threshold))
+
   // --- Embedding cosine near-dup ---
 
   /** All-pairs cosine ≥ threshold. Exact (quadratic) — the baseline; the

@@ -48,6 +48,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("duplicate clusters: transitive chains collapse to one component") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.95))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to row count") {
     val ex = Dedup.exact(spark, sf)
     val total = ex.agg(sum("n_copies")).as[Long].head()
