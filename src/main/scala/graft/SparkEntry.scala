@@ -42,12 +42,13 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -210,20 +211,43 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id,
-        |  floor((n_stop / greatest(n_tok, 1.0)) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
-        |  floor((n_punct / greatest(len, 1.0)) * 1e4 + 0.5) / 1e4 AS punct_ratio,
-        |  floor((least(len / 500.0, 1.0)) * 1e4 + 0.5) / 1e4 AS len_saturation,
-        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
-        |      + 0.3 * least(len / 500.0, 1.0)
-        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
-        |FROM (SELECT doc_id,
-        |        CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+      """WITH base AS (SELECT doc_id,
+        |        list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS toks,
         |        CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
         |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
-        |        CAST(length(text) AS DOUBLE) AS len
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |        CAST(length(text) AS DOUBLE) AS len,
+        |        list_filter(string_split(text, chr(10)), x -> x != '') AS lines
+        |      FROM documents),
+        |t2 AS (SELECT doc_id, max(cnt) AS top2
+        |       FROM (SELECT doc_id, gram, count(*) AS cnt
+        |             FROM (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |                                          for i in range(1, greatest(len(toks), 1))]) AS gram
+        |                   FROM base)
+        |             GROUP BY doc_id, gram)
+        |       GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  floor((n_stop / greatest(CAST(len(b.toks) AS DOUBLE), 1.0)) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+        |  floor((n_punct / greatest(len, 1.0)) * 1e4 + 0.5) / 1e4 AS punct_ratio,
+        |  floor((least(len / 500.0, 1.0)) * 1e4 + 0.5) / 1e4 AS len_saturation,
+        |  floor(((CAST(len(b.lines) AS DOUBLE) - CAST(len(list_distinct(b.lines)) AS DOUBLE))
+        |        / greatest(CAST(len(b.lines) AS DOUBLE), 1.0)) * 1e4 + 0.5) / 1e4 AS dup_line_frac,
+        |  floor((CAST(coalesce(t2.top2, 0) AS DOUBLE)
+        |        / greatest(CAST(len(b.toks) AS DOUBLE) - 1.0, 1.0)) * 1e4 + 0.5) / 1e4 AS top_2gram_frac,
+        |  floor((0.5 * (n_stop / greatest(CAST(len(b.toks) AS DOUBLE), 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |FROM base b LEFT JOIN t2 ON b.doc_id = t2.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\(?[0-9]{3}\)?[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\(?[0-9]{3}\)?[- .][0-9]{3}[- .][0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang AS lang_label,
         |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'

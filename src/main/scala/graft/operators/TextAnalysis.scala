@@ -45,22 +45,58 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Largest 2-gram multiplicity in `toks`, computed ROW-LOCALLY: sort
+    * the 2-gram array and take the longest equal run via a struct-folding
+    * `aggregate` — O(k log k) per row, no shuffle, stays in codegen. The
+    * relational alternative (explode → two groupBys) shuffles every
+    * 2-gram of the corpus for a quantity each row already holds. */
+  private[graft] val top2GramRunSql =
+    """CASE WHEN size(toks) < 2 THEN CAST(0 AS BIGINT) ELSE
+      |  aggregate(
+      |    array_sort(transform(sequence(1, size(toks) - 1),
+      |      i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))),
+      |    named_struct('prev', CAST(NULL AS STRING),
+      |                 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+      |    (acc, x) -> named_struct(
+      |      'prev', x,
+      |      'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+      |               THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+      |      'best', greatest(acc.best,
+      |        CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+      |          THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END)),
+      |    acc -> acc.best)
+      |END""".stripMargin
+
   /** Per-document quality score: stopword ratio, punctuation ratio,
     * length saturation — the classic cheap heuristics used to filter
-    * pretraining corpora. Pure double arithmetic → oracle-stable. */
+    * pretraining corpora — plus the Gopher/C4 repetition signals:
+    * duplicate-line fraction (share of non-empty lines that repeat an
+    * earlier line) and top-2-gram fraction (share of all word 2-grams
+    * taken by the most frequent one). Pure arithmetic over row-local
+    * arrays → oracle-stable, map-only. The composite `quality` formula
+    * is unchanged (repetition columns are gates, not score inputs). */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val stopPat = "\\b(" + Stopwords.mkString("|") + ")\\b"
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"),
-        size(wsTokens(col("text"))).cast("double").as("n_tok"),
+      .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"),
+        filter(split(col("text"), "\n"), x => x =!= "").as("lines"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("double").as("n_tok"),
         regexp_count(col("text"), lit(stopPat)).cast("double").as("n_stop"),
         regexp_count(col("text"), lit("[^a-zA-Z0-9 \n]")).cast("double").as("n_punct"),
-        length(col("text")).cast("double").as("len"))
+        length(col("text")).cast("double").as("len"),
+        size(col("lines")).cast("double").as("n_lines"),
+        size(array_distinct(col("lines"))).cast("double").as("n_dlines"),
+        expr(top2GramRunSql).cast("double").as("top2"))
       .select(
         col("doc_id"),
         rd(col("n_stop") / greatest(col("n_tok"), lit(1.0)), 4).as("stopword_ratio"),
         rd(col("n_punct") / greatest(col("len"), lit(1.0)), 4).as("punct_ratio"),
         rd(least(col("len") / lit(500.0), lit(1.0)), 4).as("len_saturation"),
+        rd((col("n_lines") - col("n_dlines")) / greatest(col("n_lines"), lit(1.0)), 4)
+          .as("dup_line_frac"),
+        rd(col("top2") / greatest(col("n_tok") - lit(1.0), lit(1.0)), 4)
+          .as("top_2gram_frac"),
         rd(
           lit(0.5) * (col("n_stop") / greatest(col("n_tok"), lit(1.0))) +
           lit(0.3) * least(col("len") / lit(500.0), lit(1.0)) +
@@ -119,7 +155,9 @@ object TextAnalysis {
     val quality = qualityScore(spark, sfDir).select("doc_id", "quality")
     val lang = langId(spark, sfDir).select("doc_id", "lang_pred")
     val toks = tokenStats(spark, sfDir).select("doc_id", "n_tokens")
-    val dupLosers = Dedup.ngramJaccardPairs(spark, sfDir)
+    // read the pair table from its materialized sink — computed once per
+    // corpus, shared with dedup_clusters (see Dedup.materializedPairs)
+    val dupLosers = Dedup.materializedPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, sfDir).select("doc_id")
       .join(quality, Seq("doc_id")).filter(col("quality") >= minQuality)
@@ -146,6 +184,43 @@ object TextAnalysis {
       .select("source", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("source", "doc_id")
   }
+
+  // --- PII scrubbing ---
+
+  /** Patterns deliberately restricted to constructs RE2 (DuckDB) and
+    * java.util.regex (Spark) evaluate identically: char classes, bounded
+    * repetition, optional literals — no backrefs, no lookaround. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\(?[0-9]{3}\\)?[- .][0-9]{3}[- .][0-9]{4}"
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Redact emails, phone numbers, and SSN-shaped ids from a text column
+    * — the stock pretraining scrub step. Order matters and is fixed
+    * (email → phone → SSN) so digit runs inside an address can't be
+    * re-matched as numbers. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(PhonePattern), lit("<PHONE>")),
+      lit(SsnPattern), lit("<SSN>"))
+
+  /** PII scrub over any (doc_id, text) frame: redacted text plus match
+    * counts per category (counted on the raw text, before any
+    * redaction). Map-only — per-row regex work, no shuffle; the scrubbed
+    * text column is the one a curation pipeline writes back out. */
+  def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      scrubPii(col("text")).as("scrubbed"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(PhonePattern)).as("n_phones"),
+      regexp_count(col("text"), lit(SsnPattern)).as("n_ssn"))
+      .orderBy("doc_id")
+
+  /** Driver-contract form over the documents table. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, sfDir))
 
   /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
     * hashing primitive behind winnowing/chunk dedup, as a native codegen

@@ -74,4 +74,39 @@ class DedupSpec extends SparkSpec {
     assert(p.forall(r => r.getLong(0) < r.getLong(1)))
     assert(p.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
   }
+
+  test("blocked embedding pairs equal the crossJoin baseline pair-for-pair") {
+    val exact = Dedup.embeddingNearDupPairs(spark, sf, 0.3)
+      .collect().map(_.toString).toSeq
+    val blocked = Dedup.embeddingNearDupPairsBlocked(spark, sf, 0.3)
+      .collect().map(_.toString).toSeq
+    assert(exact.nonEmpty, "corpus should contain near-dup embeddings at 0.3")
+    assert(blocked === exact)
+  }
+
+  test("blocked embedding pairs plan has no product join") {
+    val plan = Dedup.embeddingNearDupPairsBlocked(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("materialized pair table round-trips the direct pair computation") {
+    val direct = Dedup.ngramJaccardPairs(spark, sf).collect().map(_.toString).toSeq
+    val mat = Dedup.ngramJaccardPairsMaterialized(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(mat === direct)
+    // second call hits the JVM-wide cache: same rows again, no rebuild
+    val again = Dedup.ngramJaccardPairsMaterialized(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again === direct)
+  }
+
+  test("nearDupClusters via the materialized pair table matches the direct path") {
+    val direct = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(spark, sf))
+      .collect().map(_.toString).toSeq
+    val viaSink = Dedup.nearDupClusters(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaSink === direct)
+  }
 }

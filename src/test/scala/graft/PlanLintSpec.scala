@@ -9,9 +9,10 @@ class PlanLintSpec extends SparkSpec {
 
   // exact all-pairs scans (documented baselines; the scale paths are
   // their LSH/IVF/banded siblings) and bounded dimension products
-  // (hours × event types in the gap-filled series)
+  // (hours × event types in the gap-filled series). dedup_embedding is
+  // no longer exempt: the blocked self-join plans as two hash joins.
   private val byDesignQuadratic = Set(
-    "dedup_embedding", "ann_topk_brute", "ann_topk_ivf",
+    "ann_topk_brute", "ann_topk_ivf",
     "events_dense_hourly")
 
   test("no registered query plans an accidental product join") {

@@ -17,11 +17,57 @@ class TextAnalysisSpec extends SparkSpec {
     val q = TextAnalysis.qualityScore(spark, sf).collect()
     assert(q.nonEmpty)
     q.foreach { r =>
-      (1 to 4).foreach { i =>
+      (1 to 6).foreach { i =>
         val v = r.getDouble(i)
         assert(v >= 0.0 && v <= 1.0, s"col $i out of range: $v")
       }
     }
+  }
+
+  test("repetition signals: duplicate-line and top-2-gram fractions on crafted docs") {
+    // doc 1: 4 non-empty lines, 'same line' repeats twice -> dup frac 1/4;
+    //        tokens: same line same line other text one two -> 7 2-grams,
+    //        'line same' and 'same line' each appear twice -> top2 = 2/7
+    // doc 2: all lines distinct, all 2-grams distinct -> both 0
+    // doc 3: one token -> no 2-grams -> 0; single line -> 0
+    val docs = Seq(
+      (1L, "same line\nsame line\nother\ntext one two"),
+      (2L, "alpha beta\ngamma delta"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // route through the same column logic by writing to a temp view is
+    // overkill; replicate via the public operator over a parquet round
+    // trip is heavier still — assert on the library expression instead
+    val out = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"),
+        filter(split(col("text"), "\n"), x => x =!= "").as("lines"))
+      .select(col("doc_id"),
+        (size(col("lines")) - size(array_distinct(col("lines")))).as("dup"),
+        size(col("lines")).as("nl"),
+        expr(TextAnalysis.top2GramRunSql).as("top2"),
+        size(col("toks")).as("ntok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2)), (r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) === ((1, 4), (2L, 8)))  // 8 tokens -> 7 2-grams, best run 2
+    assert(out(2L) === ((0, 2), (1L, 4)))  // 4 tokens, all 2-grams distinct
+    assert(out(3L) === ((0, 1), (0L, 1)))  // no 2-grams at all
+  }
+
+  test("PII scrub redacts emails, phones, SSNs and counts them") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@example.co.uk or call (555) 123-4567"),
+      (2L, "ssn 123-45-6789 and phone 555.987.6543 twice 555.987.6543"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) === (("mail me at <EMAIL> or call <PHONE>", 1, 1, 0)))
+    assert(out(2L) === (("ssn <SSN> and phone <PHONE> twice <PHONE>", 0, 2, 1)))
+    assert(out(3L) === (("no pii here", 0, 0, 0)))
+  }
+
+  test("PII scrub over the corpus is clean (no emails/phones in synthetic docs)") {
+    val agg = TextAnalysis.piiScrub(spark, sf)
+      .agg(sum("n_emails"), sum("n_phones"), sum("n_ssn")).collect()(0)
+    assert((0 to 2).forall(i => agg.getLong(i) === 0L))
   }
 
   test("lang id predicts a known language or 'und'") {
