@@ -24,8 +24,19 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
-  /** Fixed random hyperplanes (seed 42): 16 planes × 64 dims. */
-  private val NumPlanes = 16
+  /** Fixed random hyperplanes (seed 42): 64 planes × 64 dims → a 64-bit
+    * signature banded as 16 bands × 4 bits. Sized for this corpus's
+    * worst case: it is near-uniform (top-10 neighbors sit at cosine
+    * ≈0.35–0.5, i.e. ~65–70°, where the per-plane agreement probability
+    * is only ~0.61–0.65), so recall ≥0.8 needs 1−(1−p⁴)¹⁶ — sixteen
+    * 4-bit bands. The price is a high candidate rate (~60% of the
+    * corpus per query here); on clustered real embeddings the same
+    * banding yields both high recall and low candidate rate. When the
+    * corpus has no similarity structure, IVF (ivfTopK) is the better
+    * cost/recall dial — both are registered. */
+  private val NumPlanes = 64
+  private val NumBands = 16
+  private val BandBits = NumPlanes / NumBands // 4
   private val Dim = 64
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
@@ -51,7 +62,7 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** 16-bit sign-random-projection signature per embedding. */
+  /** 64-bit sign-random-projection signature per embedding. */
   def signatures(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = normalizedEmbeddings(spark, sfDir)
     val bits = planes.zipWithIndex.map { case (p, i) =>
@@ -106,9 +117,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** ANN top-k via LSH banding: 4 bands × 4 bits; pairs sharing any band
+  /** ANN top-k via LSH banding: 16 bands × 4 bits; pairs sharing any band
     * are candidates; exact cosine ranks candidates only. Same output
-    * schema as brute force; recall < 1 by construction. */
+    * schema as brute force; recall < 1 by construction (≥0.8 asserted
+    * in SimilaritySpec against the brute-force baseline). */
   def lshTopK(spark: SparkSession, sfDir: String,
       k: Int = 10, numQueries: Int = 20): DataFrame = {
     val sig = signatures(spark, sfDir)
@@ -116,7 +128,8 @@ object Similarity {
       df.select(col("vec_id").as(s"${prefix}_id"), col("e").as(s"e_$prefix"),
           col("nrm").as(s"n_$prefix"), col("sig"))
         .select(col(s"${prefix}_id"), col(s"e_$prefix"), col(s"n_$prefix"),
-          posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 4)) & 15)")))
+          posexplode(expr(
+            s"transform(sequence(0, ${NumBands - 1}), b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
     val q = banded(sig.filter(col("vec_id") < numQueries), "query")
     val c = banded(sig, "neighbor")

@@ -20,20 +20,24 @@ class SimilaritySpec extends SparkSpec {
     assert(df.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
-  test("LSH top-k recall vs brute force (documents the approx tradeoff)") {
+  test("LSH top-k recall vs brute force is at least 0.8") {
     val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(spark, sf, k = 10, numQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
-    // this synthetic corpus is near-uniform (max pair cosine ~0.5), the
-    // worst case for LSH; recall ~0.4 measured. On clustered real
-    // embeddings the same banding gives far higher recall.
-    assert(recall >= 0.25, s"LSH recall collapsed: $recall")
+    // this synthetic corpus is near-uniform (top-10 neighbors at cosine
+    // ~0.35-0.5), the worst case for SRP-LSH; 16 bands x 4 bits of 64
+    // planes is sized for recall >= 0.8 here (see Similarity scaladoc)
+    assert(recall >= 0.8, s"LSH recall below target: $recall")
   }
 
-  test("signatures are 16-bit") {
-    val sigs = Similarity.signatures(spark, sf).select("sig").collect()
-    assert(sigs.forall { r => val s = r.getLong(0); s >= 0 && s < (1L << 16) })
+  test("signatures are deterministic 64-bit words") {
+    val sigs = Similarity.signatures(spark, sf).select("vec_id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val again = Similarity.signatures(spark, sf).select("vec_id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sigs === again)
+    assert(sigs.values.toSet.size > 1, "signatures should not collapse to one value")
   }
 }
