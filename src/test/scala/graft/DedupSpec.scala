@@ -16,10 +16,10 @@ class DedupSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq === Seq("one two three", "two three four"))
   }
 
-  test("minhash signatures are 128-wide and deterministic") {
+  test("minhash signatures are 64-wide and deterministic") {
     val sig = Dedup.minhashSignatures(spark, sf).limit(5).collect()
     assert(sig.nonEmpty)
-    assert(sig.forall(_.getSeq[Long](1).length === 128))
+    assert(sig.forall(_.getSeq[Long](1).length === 64))
     val again = Dedup.minhashSignatures(spark, sf).limit(5).collect()
     assert(sig.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
