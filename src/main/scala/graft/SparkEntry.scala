@@ -365,39 +365,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag, metric""".stripMargin,
     // stratified_sample: engine-specific RNG -> rows-only check
-    "ann_topk_ivf" ->
-      """WITH n AS (SELECT vec_id, embedding,
-        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |           FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, embedding, nrm FROM n WHERE vec_id < 16),
-        |assigned AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT v.vec_id, c.cent_id AS cluster,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |                         ORDER BY floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(v.embedding, i) AS DOUBLE) * CAST(list_extract(c.embedding, i) AS DOUBLE))) / (v.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 DESC, c.cent_id ASC) AS arn
-        |    FROM n v, cent c)
-        |  WHERE arn = 1),
-        |probes AS (
-        |  SELECT query_id, cluster FROM (
-        |    SELECT q.vec_id AS query_id, c.cent_id AS cluster,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |                         ORDER BY floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(c.embedding, i) AS DOUBLE))) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6 DESC, c.cent_id ASC) AS prn
-        |    FROM n q, cent c WHERE q.vec_id < 20)
-        |  WHERE prn <= 4),
-        |pairs AS (
-        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
-        |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
-        |  FROM probes p
-        |    JOIN assigned a ON a.cluster = p.cluster
-        |    JOIN n q ON q.vec_id = p.query_id
-        |    JOIN n v ON v.vec_id = a.vec_id
-        |  WHERE p.query_id != a.vec_id)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
-        |  FROM pairs)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_topk_ivf" -> ivfTrainedOracle(2),
     "parts_left_revenue" ->
       """SELECT p_partkey, p_brand, coalesce(rev, 0.0) AS revenue_1996,
         |  rev IS NULL AS unsold_1996
@@ -628,6 +596,64 @@ object SparkEntry {
       |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       |      FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Similarity.ivfTopK]] including
+    * its deterministic k-means training loop: csim ranks on the same
+    * floor-rounded cosine as the Spark side's rd(·, 6); centroid means
+    * are the qavg quantized form (exact BIGINT sums of 1e-6 units), so
+    * both engines train bit-identical centroids. One assign/mean CTE
+    * pair per Lloyd iteration. */
+  private def ivfCsim(vEmb: String, vNrm: String): String =
+    s"floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract($vEmb, i) AS DOUBLE) * " +
+      s"list_extract(c.cvec, i))) / ($vNrm * c.nrm)) * 1e6 + 0.5) / 1e6"
+
+  private def ivfAssignCte(name: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfCsim("v.embedding", "v.nrm")} DESC, c.cent_id ASC) AS arn
+       |    FROM n v, $cent c)
+       |  WHERE arn = 1)""".stripMargin
+
+  private def ivfMeanCte(name: String, asg: String): String =
+    s"""$name AS (SELECT cent_id, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS nrm
+       |  FROM (SELECT cent_id, list(val ORDER BY pos) AS cvec FROM (
+       |      SELECT a.cluster AS cent_id, p.pos AS pos,
+       |        CAST(CAST(sum(CAST(floor(CAST(list_extract(v.embedding, p.pos) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS val
+       |      FROM n v JOIN $asg a ON v.vec_id = a.vec_id CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+       |      GROUP BY a.cluster, p.pos) GROUP BY cent_id))""".stripMargin
+
+  private def ivfTrainedOracle(iters: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |probes AS (SELECT query_id, cluster FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfCsim("q.embedding", "q.nrm")} DESC, c.cent_id ASC) AS prn
+       |    FROM n q, $cFinal c WHERE q.vec_id < 20)
+       |  WHERE prn <= 8),
+       |pairs AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+       |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |  FROM probes p
+       |    JOIN assigned a ON a.cluster = p.cluster
+       |    JOIN n q ON q.vec_id = p.query_id
+       |    JOIN n v ON v.vec_id = a.vec_id
+       |  WHERE p.query_id != a.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact
     * query and the LSH query (which verifies candidates exactly). */
