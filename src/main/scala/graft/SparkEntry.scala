@@ -43,6 +43,7 @@ object SparkEntry {
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "text_chunks" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
@@ -248,6 +249,28 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\(?[0-9]{3}\)?[- .][0-9]{3}[- .][0-9]{4}')) AS INT) AS n_phones,
         |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chunkDocs(chunkSize=32, overlap=8, stride=24): identical candidate
+    // starts (multiples of 24 below n, kept iff first or adding tokens)
+    // and list-slice arithmetic as the Spark side
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(list_filter(range(0, greatest(len(toks), 1), 24),
+        |                       s -> s = 0 OR s + 8 < len(toks))) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+        |    CAST(start AS INT) AS start_tok,
+        |    list_slice(toks, start + 1, start + 32) AS ctoks
+        |  FROM s)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang AS lang_label,
         |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'

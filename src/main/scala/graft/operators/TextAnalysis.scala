@@ -222,6 +222,36 @@ object TextAnalysis {
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
     piiScrubOf(Tables.documents(spark, sfDir))
 
+  /** Token-bounded overlapping document chunks — the step before
+    * tokenize-and-pack in a pretraining pipeline. Chunks start every
+    * `chunkSize - overlap` tokens; a chunk is kept iff it is the first
+    * (so empty/short docs still yield one chunk) or it contributes at
+    * least one token beyond the previous chunk's coverage
+    * (start + overlap < n). All row-local: tokens → candidate starts
+    * (`sequence` + `filter`) → `posexplode` → `slice` — no shuffle, no
+    * UDF, the whole projection stays in codegen; at 100 TB this is a
+    * map-only pass whose output is ~n/stride rows per doc. The identical
+    * start/slice arithmetic replays in DuckDB list functions, so the
+    * oracle is hash-exact. */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(filter(
+          sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)),
+          s => (s === 0) || (s + lit(overlap) < col("n")))))
+      .select(col("doc_id"), col("pos").as("chunk_id"), col("col").as("start_tok"),
+        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ctoks")).as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
     * hashing primitive behind winnowing/chunk dedup, as a native codegen
     * expression (graft.functions.RollingHash): one pass over the bytes,

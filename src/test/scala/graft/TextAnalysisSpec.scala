@@ -76,6 +76,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "es", "fr", "de", "und")))
   }
 
+  test("document chunking: coverage, overlap, and short-doc behavior") {
+    val chunks = TextAnalysis.chunkDocs(spark, sf, chunkSize = 32, overlap = 8)
+      .collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, rows) =>
+      val toks = docs(docId)
+      val byId = rows.sortBy(_.getInt(1))
+      // chunk ids are 0..m-1, starts at stride intervals
+      assert(byId.map(_.getInt(1)).toSeq === byId.indices)
+      byId.foreach { r =>
+        val (start, nTok, text) = (r.getInt(2), r.getInt(3), r.getString(4))
+        assert(start === r.getInt(1) * 24)
+        // chunk content is exactly the token slice
+        assert(text === toks.slice(start, start + 32).mkString(" "))
+        assert(nTok === math.min(32, math.max(toks.size - start, 0)))
+      }
+      // full coverage: last chunk reaches the end of the doc
+      val last = byId.last
+      assert(last.getInt(2) + last.getInt(3) === toks.size || toks.isEmpty)
+      // every non-first chunk adds new tokens beyond the overlap
+      byId.tail.foreach(r => assert(r.getInt(2) + 8 < toks.size))
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fp = Seq("Hello  World", "hello world", "different")
       .toDF("text")
