@@ -317,7 +317,7 @@ object Dedup {
     * DataFrame algorithm: converges in O(log diameter) shuffle rounds,
     * with a driver-side convergence check per round (near-dup components
     * are tiny — typically 1–2 rounds). */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Materialize the edge graph ONCE. `pairs` is typically the output of
     // the full near-dup pipeline (shingle → inverted-index join → verify);
     // without this checkpoint every iteration's action re-runs that whole
@@ -333,7 +333,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIters) {
       // each node takes the min of its own label and its neighbors'
       val neighborMin = edges
         .join(renamed(labels, "doc_id" -> "dst", "lbl" -> "nlbl"), Seq("dst"))
@@ -351,36 +351,112 @@ object Dedup {
       labels = updated.select("doc_id", "lbl")
       iter += 1
     }
+    // min-label propagation needs one round per hop of component
+    // diameter: exiting on the cap means some component is only
+    // partially merged — surface it (an exact oracle would mismatch
+    // confusingly otherwise) rather than return silently-wrong clusters
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $iter rounds — " +
+          "component diameter exceeds the iteration cap; raise maxIters")
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
 
   // --- Materialized pair table (write-then-reuse composition) ---
 
-  /** JVM-wide registry: (corpus dir, params) → materialized parquet path. */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Explicit pair-table sink: write the n-gram Jaccard pair table for
+    * the corpus at `sfDir` to `outPath` (parquet), or — read-if-exists —
+    * reuse a completed artifact already there (presence of the writer's
+    * `_SUCCESS` marker; a partial/failed write is re-written). This is
+    * the user-facing write-then-reuse surface: at 100 TB the pair table
+    * is always a stored catalog artifact, computed once per corpus
+    * snapshot and consumed by clustering, curation, and ad-hoc queries
+    * alike (the reference's own map→reduce file contract,
+    * `slave.cc:64-66` → `slave.cc:177`, is the precedent). Row order is
+    * not preserved by the parquet round-trip; consumers re-sort. */
+  def materializePairs(spark: SparkSession, sfDir: String, outPath: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    if (!complete)
+      graft.sources.Sinks.writePartitionedParquet(
+        ngramJaccardPairs(spark, sfDir, threshold, n), outPath)
+    spark.read.parquet(outPath)
+  }
 
-  /** The near-dup pair table, materialized ONCE per (corpus, params) as a
-    * parquet sink and re-read by every consumer — the engine's
-    * write-then-reuse composition (the reference's own map→reduce file
-    * contract, `slave.cc:64-66` → `slave.cc:177`, is the precedent).
-    * `curation_pipeline` and `dedup_clusters` both consume the most
-    * expensive join in the system (the shingle inverted-index join);
-    * computing it per-query multiplies that cost by the number of
-    * consumers — at 100 TB the pair table is always a materialized
-    * artifact. Row order is not preserved by the parquet round-trip;
-    * consumers re-sort if they need order. */
+  /** JVM-wide registry: (corpus dir, params, corpus fingerprint) → the
+    * one thread that writes the session-cache artifact. Values are
+    * futures so the Spark write job runs outside the map's bin lock
+    * (concurrent first-callers of unrelated keys don't serialize), and a
+    * failed write removes its entry so the next caller retries. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Cheap corpus fingerprint — name, length and mtime of every file of
+    * the documents table, hashed. Regenerating the parquet under the
+    * same `sfDir` (data refresh, different scale factor in the same dir)
+    * changes the fingerprint and invalidates the session cache. */
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts: Seq[String] =
+      if (!fs.exists(path)) Seq("absent")
+      else {
+        val it = fs.listFiles(path, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          buf += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** The near-dup pair table for this session: [[materializePairs]] into
+    * a deterministic cache location keyed by (corpus dir, params, corpus
+    * fingerprint), computed at most once per JVM and reused read-only by
+    * every consumer (`dedup_ngram_jaccard`, `dedup_clusters`,
+    * `curation_pipeline`). Because the location is deterministic and the
+    * write is read-if-exists, a SECOND session over the same unchanged
+    * corpus reuses the on-disk artifact without recomputing; a changed
+    * corpus fingerprints to a fresh location (stale siblings for the
+    * same key prefix are deleted). */
   def materializedPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val key = s"$sfDir|$threshold|$n"
-    val path = pairsCache.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-pairs-")
-      val out = dir.resolve("pairs.parquet").toString
-      graft.sources.Sinks.writePartitionedParquet(
-        ngramJaccardPairs(spark, sfDir, threshold, n), out)
-      out
-    })
-    spark.read.parquet(path)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val keyHash = md.digest(s"$sfDir|$threshold|$n".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val fp = corpusFingerprint(spark, sfDir)
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-pair-cache", keyHash)
+    val out = base.resolve(fp).toString
+    val key = s"$keyHash/$fp"
+    val fut = new java.util.concurrent.CompletableFuture[String]()
+    val prev = pairsCache.putIfAbsent(key, fut)
+    if (prev == null) {
+      try {
+        // stale fingerprints of the same (corpus, params) are garbage
+        val dir = base.toFile
+        if (dir.isDirectory)
+          dir.listFiles().filter(_.getName != fp).foreach(deleteRecursively)
+        materializePairs(spark, sfDir, out, threshold, n)
+        fut.complete(out)
+      } catch { case e: Throwable =>
+        pairsCache.remove(key, fut)
+        fut.completeExceptionally(e)
+        throw e
+      }
+    }
+    spark.read.parquet((if (prev == null) fut else prev).join())
   }
 
   /** Driver-contract form of the exact pair query: reads the materialized

@@ -109,4 +109,51 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viaSink === direct)
   }
+
+  test("materializePairs is read-if-exists: a second session reuses the artifact") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pairs-test-")
+      .resolve("pairs.parquet").toString
+    val first = Dedup.materializePairs(spark, sf, out)
+      .collect().map(_.toString).sorted.toSeq
+    val marker = new java.io.File(out, "_SUCCESS")
+    assert(marker.exists(), "completed artifact must carry _SUCCESS")
+    val written = new java.io.File(out).listFiles().map(f => f.getName -> f.lastModified).toMap
+    // second call (fresh consumer, simulating another session's read path)
+    // must serve the same rows WITHOUT rewriting the artifact
+    val second = Dedup.materializePairs(spark, sf, out)
+      .collect().map(_.toString).sorted.toSeq
+    assert(second === first)
+    val after = new java.io.File(out).listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after === written, "read-if-exists must not rewrite the artifact")
+  }
+
+  test("session pair cache invalidates when the corpus fingerprint changes") {
+    // build a private corpus dir; materializedPairs keys on its content
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-test-")
+    val corpus = dir.toString
+    def writeDocs(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val dup = "alpha beta gamma delta epsilon zeta"
+    writeDocs(Seq((1L, dup), (2L, dup), (3L, "one two three four five six")))
+    val v1 = Dedup.materializedPairs(spark, corpus).count()
+    // regenerate the corpus in place: same dir, different data
+    writeDocs(Seq((1L, dup), (2L, "unrelated text entirely here now"),
+      (3L, "one two three four five six")))
+    val v2 = Dedup.materializedPairs(spark, corpus).count()
+    assert(v1 === 1L, "identical docs 1,2 are an exact-dup pair")
+    assert(v2 === 0L, "refreshed corpus has no near-dup pairs — stale cache not served")
+  }
+
+  test("duplicateClusters surfaces non-convergence instead of partial clusters") {
+    // a 5-hop chain cannot converge in 1 round of min-label propagation
+    val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1), 0.9)).toSeq
+      .toDF("doc_a", "doc_b", "jaccard")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
