@@ -26,13 +26,23 @@ object EventStream {
       .parquet(dir)
 
   /** Tumbling 1-hour windowed counts with a 10-minute watermark —
-    * incremental twin of Events.tumblingHourly. */
-  def windowedCounts(events: DataFrame): DataFrame =
+    * incremental twin of Events.tumblingHourly, down to the rounding:
+    * `sum_value` is the same quantized exact sum (`qsum`: per-row floor
+    * to 1e-6 units, long-summed) the batch operator uses, so
+    * batch/stream parity holds even at rounding boundaries. The
+    * quantized form is also the RIGHT streaming aggregate: the state is
+    * an exact long partial sum, so the emitted value is independent of
+    * how events split across micro-batches — a plain double `sum` would
+    * drift by add-order ulps and can flip a half-up rounding at a
+    * boundary (e.g. 0.00004 + 0.00001 at 4 dp). */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import graft.functions.Deterministic.{qsum, rd}
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
 
   /** Streaming gap-sessionization via native session_window (state is
     * merged per key as watermark advances). */

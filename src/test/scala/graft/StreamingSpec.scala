@@ -32,10 +32,40 @@ class StreamingSpec extends SparkSpec {
         .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
       val batch = (batch1 ++ batch2).toDF()
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Deterministic.rd(
+            graft.functions.Deterministic.qsum($"value", 6), 4).as("sum_value"))
         .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
         .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
       assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stream/batch rounding parity at a half-up boundary, split across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("boundary_out")
+      .outputMode("complete").start()
+    try {
+      // 0.00004 + 0.00001 sums to the exact 4-dp half-up boundary 0.00005;
+      // a double sum is off by an ulp in an order-dependent direction and
+      // can round to 0.0000 or 0.0001 depending on micro-batch split —
+      // the quantized sum (40 + 10 = 50 millionths) always rounds 0.0001
+      mem.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 0.00004))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts("2024-01-01 10:15:00"), 1, "click", 0.00001))
+      q.processAllAvailable()
+      val streamed = spark.table("boundary_out").collect()
+      assert(streamed.length === 1)
+      assert(streamed(0).getDouble(3) === 0.0001,
+        "quantized streaming sum must half-up round the exact boundary")
+      // identical to the batch operator's formula on the same rows
+      val batchVal = Seq(Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 0.00004),
+          Ev(2, ts("2024-01-01 10:15:00"), 1, "click", 0.00001)).toDF()
+        .agg(graft.functions.Deterministic.rd(
+          graft.functions.Deterministic.qsum($"value", 6), 4)).collect()(0).getDouble(0)
+      assert(streamed(0).getDouble(3) === batchVal)
     } finally q.stop()
   }
 
@@ -53,7 +83,9 @@ class StreamingSpec extends SparkSpec {
         .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
       val batch = spark.read.parquet(dir.toString)
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Deterministic.rd(
+            graft.functions.Deterministic.qsum($"value", 6), 4).as("sum_value"))
         .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
         .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
       assert(streamed === batch)
