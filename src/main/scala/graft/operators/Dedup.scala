@@ -376,50 +376,9 @@ object Dedup {
     * `slave.cc:64-66` → `slave.cc:177`, is the precedent). Row order is
     * not preserved by the parquet round-trip; consumers re-sort. */
   def materializePairs(spark: SparkSession, sfDir: String, outPath: String,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(outPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val complete = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
-    if (!complete)
-      graft.sources.Sinks.writePartitionedParquet(
-        ngramJaccardPairs(spark, sfDir, threshold, n), outPath)
-    spark.read.parquet(outPath)
-  }
-
-  /** JVM-wide registry: (corpus dir, params, corpus fingerprint) → the
-    * one thread that writes the session-cache artifact. Values are
-    * futures so the Spark write job runs outside the map's bin lock
-    * (concurrent first-callers of unrelated keys don't serialize), and a
-    * failed write removes its entry so the next caller retries. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
-
-  /** Cheap corpus fingerprint — name, length and mtime of every file of
-    * the documents table, hashed. Regenerating the parquet under the
-    * same `sfDir` (data refresh, different scale factor in the same dir)
-    * changes the fingerprint and invalidates the session cache. */
-  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts: Seq[String] =
-      if (!fs.exists(path)) Seq("absent")
-      else {
-        val it = fs.listFiles(path, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val f = it.next()
-          buf += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-        }
-        buf.sorted.toSeq
-      }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(parts.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+      threshold: Double = 0.8, n: Int = 3): DataFrame =
+    graft.sources.ArtifactCache.materialize(spark, outPath)(
+      ngramJaccardPairs(spark, sfDir, threshold, n))
 
   /** The near-dup pair table for this session: [[materializePairs]] into
     * a deterministic cache location keyed by (corpus dir, params, corpus
@@ -429,35 +388,12 @@ object Dedup {
     * write is read-if-exists, a SECOND session over the same unchanged
     * corpus reuses the on-disk artifact without recomputing; a changed
     * corpus fingerprints to a fresh location (stale siblings for the
-    * same key prefix are deleted). */
+    * same key prefix are deleted). See [[graft.sources.ArtifactCache]]. */
   def materializedPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val keyHash = md.digest(s"$sfDir|$threshold|$n".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val fp = corpusFingerprint(spark, sfDir)
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-pair-cache", keyHash)
-    val out = base.resolve(fp).toString
-    val key = s"$keyHash/$fp"
-    val fut = new java.util.concurrent.CompletableFuture[String]()
-    val prev = pairsCache.putIfAbsent(key, fut)
-    if (prev == null) {
-      try {
-        // stale fingerprints of the same (corpus, params) are garbage
-        val dir = base.toFile
-        if (dir.isDirectory)
-          dir.listFiles().filter(_.getName != fp).foreach(deleteRecursively)
-        materializePairs(spark, sfDir, out, threshold, n)
-        fut.complete(out)
-      } catch { case e: Throwable =>
-        pairsCache.remove(key, fut)
-        fut.completeExceptionally(e)
-        throw e
-      }
-    }
-    spark.read.parquet((if (prev == null) fut else prev).join())
-  }
+      threshold: Double = 0.8, n: Int = 3): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "pairs",
+      s"$sfDir|$threshold|$n", s"$sfDir/documents.parquet")(
+      ngramJaccardPairs(spark, sfDir, threshold, n))
 
   /** Driver-contract form of the exact pair query: reads the materialized
     * pair table (identical rows to [[ngramJaccardPairs]]; total order

@@ -72,6 +72,17 @@ object Similarity {
     emb.withColumn("sig", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
+  /** The SRP signature INDEX: (vec_id, sig) materialized once per corpus
+    * snapshot and read back by every query (write-then-reuse, same
+    * surface as the dedup pair table). At scale the index is ids +
+    * 8-byte signatures — a tiny fraction of the corpus — and queries
+    * join it back to the vectors they actually rank, instead of
+    * recomputing 64 hyperplane dot products per vector per query. */
+  def signatureIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "srp-sig",
+      s"$sfDir|$NumPlanes", s"$sfDir/embeddings.parquet")(
+      signatures(spark, sfDir).select("vec_id", "sig"))
+
   /** Nearest-centroid assignment: (vec_id, e, nrm, cluster) for every
     * vector, ranked by rounded cosine (ties to the lower cent_id) — the
     * one deterministic assignment rule shared by training, indexing and
@@ -123,6 +134,28 @@ object Similarity {
     cent.localCheckpoint()
   }
 
+  /** The trained IVF coarse quantizer as a stored artifact: (cent_id,
+    * e_cent, n_cent), trained once per corpus snapshot and read back by
+    * indexing and probing alike. C rows — broadcast-sized by design. */
+  def centroidIndex(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, iters: Int = 2): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "ivf-centroids",
+      s"$sfDir|$numCentroids|$iters", s"$sfDir/embeddings.parquet")(
+      trainedCentroids(spark, sfDir, numCentroids, iters))
+
+  /** The IVF assignment INDEX: (vec_id, cluster) against the stored
+    * centroids, materialized once per corpus snapshot. Queries join it
+    * back to the vectors by id — the posting-list shape of a real IVF
+    * index (ids per cell), not a copy of the corpus. */
+  def assignmentIndex(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, iters: Int = 2): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "ivf-assign",
+      s"$sfDir|$numCentroids|$iters", s"$sfDir/embeddings.parquet")(
+      assignToCentroids(normalizedEmbeddings(spark, sfDir),
+        centroidIndex(spark, sfDir, numCentroids, iters)
+          .select(col("cent_id"), col("e_cent"), col("n_cent")))
+        .select(col("vec_id"), col("cluster")))
+
   /** IVF-style ANN: coarse quantization with k-means-trained centroids
     * (deterministic seeded training, see [[trainedCentroids]]), vectors
     * assigned to their nearest centroid, queries probing the `nprobe`
@@ -138,9 +171,12 @@ object Similarity {
       numQueries: Int = 20, numCentroids: Int = 16, nprobe: Int = 8,
       trainIters: Int = 2): DataFrame = {
     val emb = normalizedEmbeddings(spark, sfDir)
-    val cent = trainedCentroids(spark, sfDir, numCentroids, trainIters)
-    // assignment: nearest trained centroid per vector (rank over C candidates)
-    val assigned = assignToCentroids(emb, cent)
+    // both halves of the index are stored artifacts (train/assign once
+    // per corpus snapshot); the query only joins vectors back by id
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+    val assigned = assignmentIndex(spark, sfDir, numCentroids, trainIters)
+      .join(emb, Seq("vec_id"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
     // probe list: nprobe nearest centroids per query
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
     val probes = emb.filter(col("vec_id") < numQueries)
@@ -172,7 +208,9 @@ object Similarity {
     * in SimilaritySpec against the brute-force baseline). */
   def lshTopK(spark: SparkSession, sfDir: String,
       k: Int = 10, numQueries: Int = 20): DataFrame = {
-    val sig = signatures(spark, sfDir)
+    // read the stored signature index; join vectors back by id
+    val sig = normalizedEmbeddings(spark, sfDir)
+      .join(signatureIndex(spark, sfDir), Seq("vec_id"))
     def banded(df: DataFrame, prefix: String): DataFrame =
       df.select(col("vec_id").as(s"${prefix}_id"), col("e").as(s"e_$prefix"),
           col("nrm").as(s"n_$prefix"), col("sig"))

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-then-reuse materialization for derived artifacts (near-dup pair
+  * tables, ANN signature/centroid indexes): compute once per corpus
+  * snapshot, store as parquet, and have every consumer read the stored
+  * artifact — the posture any 100 TB pipeline takes, where an index or
+  * pair table is a catalog table, not a per-query recomputation. The
+  * reference's own map→reduce file contract (`slave.cc:64-66` →
+  * `slave.cc:177`) is the single-node precedent.
+  *
+  * Two layers:
+  *  - [[materialize]]: explicit, user-facing. Write to the caller's
+  *    path unless a COMPLETED artifact (writer's `_SUCCESS` marker) is
+  *    already there — a partial/failed write is redone, a finished one
+  *    is reused even by a different JVM.
+  *  - [[readOrWrite]]: session cache. Deterministic location under the
+  *    JVM temp dir keyed by (artifact name, params, corpus fingerprint);
+  *    at most one writer per key per JVM (per-key future, so the Spark
+  *    job runs outside any map bin lock and a failed write retries);
+  *    stale fingerprints of the same key are deleted; a second session
+  *    over an unchanged corpus reuses the on-disk artifact via the
+  *    [[materialize]] read-if-exists check.
+  */
+object ArtifactCache {
+
+  /** Write `df` to `outPath` (parquet) unless a completed artifact is
+    * already there; return a reader over the artifact. Row order is not
+    * preserved by the parquet round-trip; consumers re-sort. */
+  def materialize(spark: SparkSession, outPath: String)(df: => DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      Sinks.writePartitionedParquet(df, outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /** Cheap corpus fingerprint — name, length and mtime of every file of
+    * the given table path, hashed. Regenerating the data in place (data
+    * refresh, a different scale factor written to the same dir) changes
+    * the fingerprint and so invalidates the session cache. */
+  def fingerprint(spark: SparkSession, tablePath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts: Seq[String] =
+      if (!fs.exists(path)) Seq("absent")
+      else {
+        val it = fs.listFiles(path, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          buf += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      }
+    md5(parts.mkString("\n"))
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** (artifact key, fingerprint) → the one in-flight/completed write. */
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Session-cached artifact: materialize `df` at a deterministic
+    * location keyed by (`name`, `params`, fingerprint of `tablePath`),
+    * computed at most once per JVM and reusable across sessions. */
+  def readOrWrite(spark: SparkSession, name: String, params: String,
+      tablePath: String)(df: => DataFrame): DataFrame = {
+    val keyHash = md5(s"$name|$params").take(16)
+    val fp = fingerprint(spark, tablePath)
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-artifact-cache", s"$name-$keyHash")
+    val out = base.resolve(fp).toString
+    val key = s"$name-$keyHash/$fp"
+    val fut = new java.util.concurrent.CompletableFuture[String]()
+    val prev = inFlight.putIfAbsent(key, fut)
+    if (prev == null) {
+      try {
+        // stale fingerprints of the same (name, params) are garbage
+        val dir = base.toFile
+        if (dir.isDirectory)
+          dir.listFiles().filter(_.getName != fp).foreach(deleteRecursively)
+        materialize(spark, out)(df)
+        fut.complete(out)
+      } catch { case e: Throwable =>
+        inFlight.remove(key, fut)
+        fut.completeExceptionally(e)
+        throw e
+      }
+    }
+    spark.read.parquet((if (prev == null) fut else prev).join())
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

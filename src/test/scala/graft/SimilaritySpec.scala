@@ -57,6 +57,33 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.exists { case (id, v) => seeds.get(id).exists(_ != v) })
   }
 
+  test("ANN indexes persist: signature/centroid/assignment artifacts are reused on disk") {
+    import org.apache.spark.sql.functions.col
+    // first access writes the artifacts into the session cache location
+    val sig1 = Similarity.signatureIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val asg1 = Similarity.assignmentIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cacheRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-artifact-cache").toFile
+    val dirs = cacheRoot.listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("srp-sig-")), "signature index on disk")
+    assert(dirs.exists(_.startsWith("ivf-centroids-")), "centroid index on disk")
+    assert(dirs.exists(_.startsWith("ivf-assign-")), "assignment index on disk")
+    // second access serves identical content from the stored artifact
+    val sig2 = Similarity.signatureIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig2 === sig1)
+    val asg2 = Similarity.assignmentIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(asg2 === asg1)
+    // the assignment index matches a live assignment against the stored centroids
+    assert(asg1.keySet.size === Similarity.signatureIndex(spark, sf).count())
+    assert(asg1.values.toSet.subsetOf(
+      Similarity.centroidIndex(spark, sf).select(col("cent_id"))
+        .collect().map(_.getLong(0)).toSet))
+  }
+
   test("signatures are deterministic 64-bit words") {
     val sigs = Similarity.signatures(spark, sf).select("vec_id", "sig")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
