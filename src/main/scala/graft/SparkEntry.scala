@@ -44,12 +44,15 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_chunks" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "text_pack" -> ((s, d) => TextAnalysis.packManifest(s, d)),
+    "corpus_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
+    "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -271,6 +274,29 @@ object SparkEntry {
         |  CAST(len(ctoks) AS INT) AS n_chunk_tokens,
         |  array_to_string(ctoks, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // packManifest(capacity=512): concat-and-split packing — per-source
+    // window cumsum then exact integer div/mod
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(tok_before // 512 AS BIGINT) AS seq_id,
+        |  CAST(tok_before % 512 AS BIGINT) AS seq_offset,
+        |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(((tok_before + n_tokens - 1) // 512) - (tok_before // 512) + 1 AS BIGINT) END AS n_seqs_spanned
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    // epochShuffle(seed=epoch0): md5 evaluates identically in both engines
+    "corpus_shuffle" ->
+      """SELECT md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  doc_id, source
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang AS lang_label,
         |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
@@ -492,6 +518,30 @@ object SparkEntry {
         |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src)
         |SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // decontaminate(n=3, evalSource=src9, threshold=0.2): the oracle
+    // joins on shingle STRINGS where Spark joins 64-bit xxhash64 keys —
+    // same set barring astronomically unlikely collisions (the same
+    // equivalence the jaccard oracle relies on)
+    "text_decontamination" ->
+      """WITH w AS (SELECT doc_id, source,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, shingle
+        |       FROM (SELECT doc_id, source,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |             FROM w)),
+        |evs AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src9'),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE source != 'src9'),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap
+        |         FROM tr JOIN evs USING (shingle) GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_shingles,
+        |  coalesce(h.n_overlap, 0) AS n_overlap,
+        |  floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles) * 1e4 + 0.5) / 1e4 AS contamination,
+        |  floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles) * 1e4 + 0.5) / 1e4 >= 0.2 AS contaminated
+        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     // minhash+LSH verifies candidates with exact Jaccard; at 16 bands x 4
     // rows recall at j>=0.8 is ~0.9998 (and 1.0 measured on this corpus),
     // so the exact-Jaccard oracle applies

@@ -307,6 +307,41 @@ object Dedup {
     expandToMembers(canonPairs, members, sig, "hamming", lit(0))
   }
 
+  // --- Benchmark decontamination (train vs eval n-gram overlap) ---
+
+  /** Decontamination check: for every training document, the fraction of
+    * its word n-grams that appear ANYWHERE in a held-out eval set — the
+    * standard pre-training hygiene step (an eval answer leaking into the
+    * train split inflates benchmarks). Here the eval set is one source
+    * partition of the corpus; in production it is the benchmark suite.
+    *
+    * Scale posture: eval sets are tiny next to a 100 TB train corpus, so
+    * the distinct eval shingle set is BROADCAST and the train side
+    * streams through executors exactly once (shingling is row-local; the
+    * count is a map-side semi-join + per-doc agg — no all-pairs, no big
+    * shuffle). Docs with fewer than n tokens have no shingles and no
+    * contamination surface — they are absent from the output (both
+    * engines agree). */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 3,
+      evalSource: String = "src9", threshold: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val evalShingles = shinglesOf(docs.filter(col("source") === evalSource), n)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val trainShingles =
+      shinglesOf(docs.filter(col("source") =!= evalSource), n)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val sizes = trainShingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainShingles.join(broadcast(evalShingles), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        rd(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("contamination"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+      .orderBy("doc_id")
+  }
+
   // --- Duplicate clustering (connected components over near-dup pairs) ---
 
   /** Collapse near-dup PAIRS into duplicate CLUSTERS: connected

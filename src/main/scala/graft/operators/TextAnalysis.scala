@@ -185,6 +185,52 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Sequence-packing manifest (concat-and-split, the GPT-style packing):
+    * per source, documents concatenate in doc_id order and the token
+    * stream splits every `capacity` tokens; each doc's row says which
+    * training sequence its tokens start in (`seq_id`), at what offset,
+    * and how many sequences it spans — exactly what a data loader needs
+    * to slice sequences without materializing them. All integer
+    * arithmetic over a per-source window cumsum (exact, order-fixed, no
+    * float drift): one shuffle on source, then map-only. At 100 TB the
+    * cumulative count is a long (2⁶³ tokens ≈ 9e18 — no overflow) and
+    * the `div`/`%` stay exact where a double floor would not. */
+  def packManifest(spark: SparkSession, sfDir: String,
+      capacity: Int = 512): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"tok_before div $capacity").as("seq_id"),
+        (col("tok_before") % capacity).as("seq_offset"),
+        expr(s"""CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                 ELSE ((tok_before + n_tokens - 1) div $capacity)
+                    - (tok_before div $capacity) + 1 END""").as("n_seqs_spanned"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Deterministic epoch shuffle: the global pseudorandom training order
+    * as a SORT by a seeded content-independent hash key — reproducible
+    * (same seed → same permutation, new epoch seed → fresh permutation),
+    * unlike `rand()` which differs per run and per partitioning. At
+    * scale this is exactly one range-partitioned distributed sort (the
+    * cheapest global shuffle Spark knows how to do); the permutation is
+    * the order itself — no global row_number window, which would
+    * collapse to a single partition. Consumers read the sorted output
+    * sequentially; md5 evaluates identically in the DuckDB oracle. */
+  def epochShuffle(spark: SparkSession, sfDir: String,
+      seed: String = "epoch0"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))).as("shuffle_key"),
+        col("doc_id"), col("source"))
+      .orderBy("shuffle_key")
+
   // --- PII scrubbing ---
 
   /** Patterns deliberately restricted to constructs RE2 (DuckDB) and

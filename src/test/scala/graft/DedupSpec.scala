@@ -147,6 +147,25 @@ class DedupSpec extends SparkSpec {
     assert(v2 === 0L, "refreshed corpus has no near-dup pairs — stale cache not served")
   }
 
+  test("decontamination flags the eval-leaked doc and skips shingle-less docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon-test-")
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, leak, "train"),                                  // verbatim eval leak
+      (2L, "one two three four five six seven eight", "train"), // clean
+      (3L, "tiny doc", "train"),                            // < 3 tokens: no shingles
+      (9L, leak, "src9"))                                   // the eval doc
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.decontaminate(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet === Set(1L, 2L), "eval doc and shingle-less doc are absent")
+    assert(out(1L) === ((6L, 6L, 1.0, true)), "full-overlap doc is contaminated")
+    assert(out(2L)._2 === 0L && !out(2L)._4, "clean doc has zero overlap")
+  }
+
   test("duplicateClusters surfaces non-convergence instead of partial clusters") {
     // a 5-hop chain cannot converge in 1 round of min-label propagation
     val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1), 0.9)).toSeq

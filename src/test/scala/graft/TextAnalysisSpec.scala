@@ -103,6 +103,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("pack manifest: concat-and-split arithmetic on crafted docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-test-")
+    // source s: 300 + 300 + 500 tokens at capacity 512:
+    //   doc 1 starts seq 0 off 0; doc 2 starts seq 0 off 300, spans into seq 1;
+    //   doc 3 starts seq 1 off 88, spans into seq 2. Empty doc spans nothing.
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(300), "s"), (2L, words(300), "s"), (3L, words(500), "s"),
+        (4L, "", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.packManifest(spark, dir.toString, capacity = 512)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(1L) === ((300L, 0L, 0L, 1L)))
+    assert(rows(2L) === ((300L, 0L, 300L, 2L)), "doc 2 straddles seqs 0 and 1")
+    assert(rows(3L) === ((500L, 1L, 88L, 2L)), "doc 3 starts mid-seq 1")
+    assert(rows(4L) === ((0L, 2L, 76L, 0L)), "empty doc spans zero sequences")
+  }
+
+  test("epoch shuffle is a deterministic permutation; a new seed reorders") {
+    val e0a = TextAnalysis.epochShuffle(spark, sf, "epoch0")
+      .select("doc_id").as[Long].collect().toSeq
+    val e0b = TextAnalysis.epochShuffle(spark, sf, "epoch0")
+      .select("doc_id").as[Long].collect().toSeq
+    val e1 = TextAnalysis.epochShuffle(spark, sf, "epoch1")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(e0a === e0b, "same seed must reproduce the permutation")
+    assert(e0a.sorted === e1.sorted, "every epoch is a permutation of the corpus")
+    assert(e0a !== e1, "a new seed must produce a different order")
+    assert(e0a !== e0a.sorted, "the order must not be the identity")
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fp = Seq("Hello  World", "hello world", "different")
       .toDF("text")
