@@ -173,7 +173,15 @@ object Dedup {
     val (members, canonDocs) = exactGroups(docs)
     // quadratic part on canonicals only; skew guard sees true document
     // frequencies via group-size weights
-    val hashed = canonShingleHashes(members, canonDocs, n)
+    ngramJaccardFrom(members, canonShingleHashes(members, canonDocs, n),
+      threshold, maxShingleFreq)
+  }
+
+  /** Shared inverted-index-join tail over any canonical shingle-hash
+    * frame — used by the in-memory form above and by the corpus form,
+    * which reads the stored [[shingleIndex]]. */
+  private def ngramJaccardFrom(members: DataFrame, hashed: DataFrame,
+      threshold: Double, maxShingleFreq: Int): DataFrame = {
     val sh = rareShingles(hashed, maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = renamed(sh, "doc_id" -> "doc_a", "h" -> "h")
@@ -185,9 +193,15 @@ object Dedup {
       sizes, "jaccard", lit(1.0d))
   }
 
+  /** Corpus form: shingle hashes come from the stored [[shingleIndex]],
+    * so the pair-table materialization and the sketch indexes share one
+    * shingling pass per corpus snapshot. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame =
-    ngramJaccardPairsOf(Tables.documents(spark, sfDir), threshold, n, maxShingleFreq)
+      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
+    val (members, _) = exactGroups(Tables.documents(spark, sfDir))
+    ngramJaccardFrom(members, shingleIndex(spark, sfDir, n), threshold,
+      maxShingleFreq)
+  }
 
   // --- MinHash + LSH ---
 
@@ -210,15 +224,48 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
     signaturesFromHashes(shingleHashes(spark, sfDir, n))
 
+  /** The canonical shingle-hash INDEX for the corpus at `sfDir`:
+    * (doc_id, h, w) — distinct 64-bit shingle hashes of each canonical
+    * doc, weighted by its duplicate-group size — materialized once per
+    * corpus snapshot and read back by every sketch consumer (signature
+    * build, skew guard, size agg, exact verification). At 100 TB the
+    * shingle table is the expensive derived frame (tokenize → explode →
+    * distinct over the whole corpus); computing it once and storing ids
+    * + 8-byte hashes is the same write-then-reuse posture as the pair
+    * table and the ANN indexes. */
+  def shingleIndex(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "shingle-hashes",
+      s"$sfDir|$n", s"$sfDir/documents.parquet") {
+      val (members, canonDocs) = exactGroups(Tables.documents(spark, sfDir))
+      canonShingleHashes(members, canonDocs, n)
+    }
+
+  /** The MinHash signature INDEX: (doc_id, sig[64]) per canonical doc,
+    * derived from [[shingleIndex]] and stored once per corpus snapshot.
+    * The 64 per-row xxhash64 evaluations are the dominant cost of the
+    * whole LSH path (measured: 18% of the round-2 bench) — exactly the
+    * computation an index exists to not repeat. */
+  def minhashIndex(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "minhash-sig",
+      s"$sfDir|$n|$NumHashes", s"$sfDir/documents.parquet")(
+      signaturesFromHashes(shingleIndex(spark, sfDir, n)))
+
   /** LSH banding: each doc emits 16 (band_idx, band_hash) keys; docs
     * colliding in any band become candidate pairs; candidates are then
     * verified with exact Jaccard (threshold-accurate output, LSH-shaped
     * cost). Recall at j=0.8 with 16 bands × 4 rows: 1-(1-0.8^4)^16 ≈
     * 0.9998 — effectively exact on any real corpus (and the sf0.1 test
-    * corpus matches the exact-Jaccard oracle pair-for-pair). */
+    * corpus matches the exact-Jaccard oracle pair-for-pair).
+    *
+    * Corpus form: signatures and shingle hashes come from the STORED
+    * indexes ([[minhashIndex]]/[[shingleIndex]]) — only the banding join
+    * and the candidate verification run per query. */
   def minhashLshPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame =
-    minhashLshPairsOf(Tables.documents(spark, sfDir), threshold, n, maxShingleFreq)
+      threshold: Double = 0.8, n: Int = 3, maxShingleFreq: Int = 1000000): DataFrame = {
+    val (members, _) = exactGroups(Tables.documents(spark, sfDir))
+    minhashLshFrom(members, shingleIndex(spark, sfDir, n),
+      minhashIndex(spark, sfDir, n), threshold, maxShingleFreq)
+  }
 
   /** Library form, with the same exact-dup collapse as the exact path:
     * signatures, banding, and verification all run on canonicals only
@@ -232,10 +279,19 @@ object Dedup {
     // signature agg, the skew guard (twice), the size agg, and both sides
     // of the verification join — without this checkpoint the shingle
     // pipeline (tokenize → explode → distinct → canonical join) re-runs
-    // per consumer, multiplying the scan cost ~5×. At cluster scale the
-    // same role is a persisted shingle table (see materializedPairs).
+    // per consumer, multiplying the scan cost ~5×. The corpus form
+    // ([[minhashLshPairs]]) plays the same card with stored artifacts.
     val hashed = canonShingleHashes(members, canonDocs, n).localCheckpoint()
-    val sig = signaturesFromHashes(hashed)
+    minhashLshFrom(members, hashed, signaturesFromHashes(hashed), threshold,
+      maxShingleFreq)
+  }
+
+  /** Shared LSH tail: banding join over signatures, exact-Jaccard
+    * verification over shingle hashes, member expansion. Single
+    * definition so the artifact-backed and in-memory forms can never
+    * diverge. */
+  private def minhashLshFrom(members: DataFrame, hashed: DataFrame,
+      sig: DataFrame, threshold: Double, maxShingleFreq: Int): DataFrame = {
     val banded = sig.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $BandRows + 1, $BandRows)))")))
       .toDF("doc_id", "band", "band_hash")
@@ -282,18 +338,37 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** The SimHash signature INDEX: (doc_id, simhash) per canonical doc,
+    * stored once per corpus snapshot — the 64-column bit-vote aggregation
+    * is the dominant cost of the simhash path and is pure corpus
+    * preprocessing, independent of any query parameter. */
+  def simhashIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "simhash-sig",
+      sfDir, s"$sfDir/documents.parquet") {
+      val (_, canonDocs) = exactGroups(Tables.documents(spark, sfDir))
+      simhashSignaturesOf(canonDocs)
+    }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, blocked
     * by 16-bit chunks (pigeonhole: hd ≤ 3 ⇒ at least one of 4 chunks
     * equal), so no quadratic all-pairs comparison. Same canonical
     * collapse as the other near-dup paths: identical docs share
     * identical signatures, so blocking them directly is the worst-case
-    * bucket blowup; pairs expand back afterward (intra-group hamming 0). */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
-    simhashPairsOf(Tables.documents(spark, sfDir), maxHamming)
+    * bucket blowup; pairs expand back afterward (intra-group hamming 0).
+    * Corpus form — signatures read from the stored [[simhashIndex]]. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val (members, _) = exactGroups(Tables.documents(spark, sfDir))
+    simhashPairsFrom(members, simhashIndex(spark, sfDir), maxHamming)
+  }
 
   def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
-    val sig = simhashSignaturesOf(canonDocs)
+    simhashPairsFrom(members, simhashSignaturesOf(canonDocs), maxHamming)
+  }
+
+  /** Shared pigeonhole-blocking tail over any (doc_id, simhash) frame. */
+  private def simhashPairsFrom(members: DataFrame, sig: DataFrame,
+      maxHamming: Int): DataFrame = {
     val blocked = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
         "transform(sequence(0, 3), k -> (simhash >> (k * 16)) & 65535)")))
       .toDF("doc_id", "simhash", "block", "block_val")

@@ -147,6 +147,26 @@ class DedupSpec extends SparkSpec {
     assert(v2 === 0L, "refreshed corpus has no near-dup pairs — stale cache not served")
   }
 
+  test("sketch indexes are stored artifacts; corpus forms match the in-memory forms") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // corpus forms (artifact-backed) equal the library forms (in-memory)
+    val simDirect = Dedup.simhashPairsOf(docs).collect().map(_.toString).toSeq
+    val simIndexed = Dedup.simhashPairs(spark, sf).collect().map(_.toString).toSeq
+    assert(simIndexed === simDirect)
+    val lshDirect = Dedup.minhashLshPairsOf(docs).collect().map(_.toString).toSeq
+    val lshIndexed = Dedup.minhashLshPairs(spark, sf).collect().map(_.toString).toSeq
+    assert(lshIndexed === lshDirect)
+    // the indexes exist as completed parquet artifacts on disk
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-artifact-cache")
+    for (name <- Seq("shingle-hashes", "minhash-sig", "simhash-sig")) {
+      val dirs = base.toFile.listFiles().filter(_.getName.startsWith(s"$name-"))
+      assert(dirs.nonEmpty, s"stored artifact for $name must exist under $base")
+      assert(dirs.exists(d => d.listFiles().exists(fp =>
+        new java.io.File(fp, "_SUCCESS").exists())),
+        s"artifact for $name must carry a _SUCCESS marker")
+    }
+  }
+
   test("decontamination flags the eval-leaked doc and skips shingle-less docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-test-")
     val leak = "alpha beta gamma delta epsilon zeta eta theta"
