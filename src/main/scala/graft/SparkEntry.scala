@@ -45,7 +45,10 @@ object SparkEntry {
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_chunks" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.packManifest(s, d)),
+    "text_winnowing" -> ((s, d) => TextAnalysis.winnowingSketch(s, d)),
     "corpus_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
+    "corpus_mixture" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "curation_keep_best" -> ((s, d) => TextAnalysis.keepBestPerCluster(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
@@ -297,6 +300,64 @@ object SparkEntry {
       """SELECT md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
         |  doc_id, source
         |FROM documents ORDER BY shuffle_key""".stripMargin,
+    // mixtureSample(rates src0=0.5 src1=0.25 src2=0.1, default 0.05,
+    // seed=mix0): keep iff the 8-hex md5 prefix is below the rate's hex
+    // threshold — fixed-width lowercase hex compares like the number
+    "corpus_mixture" ->
+      """SELECT doc_id, source,
+        |  substr(md5('mix0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+        |  CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 0.1 ELSE 0.05 END AS rate
+        |FROM documents
+        |WHERE substr(md5('mix0|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '40000000'
+        |    WHEN 'src2' THEN '19999999' ELSE '0ccccccc' END
+        |ORDER BY doc_id""".stripMargin,
+    // keepBestPerCluster: near-dup clusters (recursive closure over the
+    // exact-jaccard pairs, as dedup_clusters) + quality (as text_quality),
+    // keep the argmax-quality member per cluster, ties to lower doc_id
+    "curation_keep_best" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH w AS (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle
+        |         FROM (SELECT doc_id,
+        |                 unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                         for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |               FROM w)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a),
+        |q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |withc AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id, q.quality
+        |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |    LEFT JOIN cl ON cl.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, quality,
+        |  (row_number() OVER (PARTITION BY cluster_id
+        |                      ORDER BY quality DESC, doc_id ASC)) = 1 AS kept
+        |FROM withc ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang AS lang_label,
         |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
@@ -331,6 +392,28 @@ object SparkEntry {
         |                               c -> CAST(ord(c) AS BIGINT)),
         |                (acc, x) -> (acc * 131 + x) % 2147483647) END AS rhash_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowingSketch(k=8, w=8): per-position Karp-Rabin k-gram hashes
+    // (same base-131 mod 2^31-1 recurrence as text_fingerprint_rolling),
+    // window-min selection, distinct per doc
+    "text_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, length(t) - 7),
+        |      i -> list_reduce(list_transform(string_split(substr(t, CAST(i + 1 AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT)),
+        |                       (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+        |  FROM t
+        |  WHERE length(t) >= 8),
+        |m AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(hs) - 8, 0) + 1),
+        |      j -> {'win': j, 'fp': list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + 8 AS INT)))})) AS u
+        |  FROM h)
+        |SELECT doc_id, u.fp AS fp, CAST(min(u.win) AS INT) AS first_win,
+        |  count(*) AS n_windows
+        |FROM m GROUP BY doc_id, u.fp ORDER BY doc_id, fp""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -231,6 +231,67 @@ object TextAnalysis {
         col("doc_id"), col("source"))
       .orderBy("shuffle_key")
 
+  /** Deterministic source-mixture sampler: keep each document with a
+    * per-source probability (the target mixture), decided by comparing
+    * an 8-hex-digit prefix of md5(seed|doc_id) against the rate's hex
+    * threshold — fixed-width lowercase hex compares lexicographically
+    * exactly like the number it spells, in Spark and DuckDB alike.
+    *
+    * This is how a pretraining mixture is actually drawn at 100 TB:
+    * membership is a pure per-row function of (seed, doc_id), so the
+    * sample is MAP-ONLY — no shuffle, no window, no per-source rank —
+    * and reproducible across runs, engines and partitionings; changing
+    * the seed redraws the whole sample. Contrast `tokenBudgetSample`,
+    * which caps by running token totals (ordered, window-based) —
+    * rate-based and budget-based sampling are both standard, with
+    * opposite shuffle costs. */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+      rates: Seq[(String, Double)] =
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1),
+      defaultRate: Double = 0.05, seed: String = "mix0"): DataFrame = {
+    def hexThr(r: Double): String =
+      if (r >= 1.0) "g" // above any hex digit: keep everything
+      else f"${math.max((r * 4294967296L).toLong, 0L)}%08x"
+    val thr = rates.foldLeft(lit(hexThr(defaultRate))) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(hexThr(r))).otherwise(acc) }
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc) }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))), 1, 8)
+          .as("sample_key"),
+        rate.as("rate"))
+      .filter(col("sample_key") < thr)
+      .orderBy("doc_id")
+  }
+
+  /** Cluster-aware curation: collapse near-dup clusters by keeping the
+    * HIGHEST-QUALITY member (ties to the lower doc_id) instead of the
+    * lowest-id one — the retention policy real pipelines want (the
+    * canonical copy of a boilerplate cluster is rarely the best one).
+    * Every doc appears in the output with its cluster (its own id when
+    * unclustered) and a `kept` verdict.
+    *
+    * Composition story: near-dup pairs come from the materialized pair
+    * table, clusters from [[Dedup.nearDupClusters]], quality from
+    * [[qualityScore]] — three already-verified operators joined, then
+    * one row_number window per cluster. At scale the window key is
+    * ~N distinct clusters (singletons dominate), so no skew. */
+  def keepBestPerCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = Dedup.nearDupClusters(spark, sfDir)
+    val withCluster = Tables.documents(spark, sfDir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val quality = qualityScore(spark, sfDir).select("doc_id", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("quality"), asc("doc_id"))
+    withCluster.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rk") === 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
   // --- PII scrubbing ---
 
   /** Patterns deliberately restricted to constructs RE2 (DuckDB) and
@@ -309,4 +370,40 @@ object TextAnalysis {
         graft.functions.RollingHash.rolling_hash(col("text")).as("rhash"),
         graft.functions.RollingHash.rolling_hash(normText(col("text"))).as("rhash_norm"))
       .orderBy("doc_id")
+
+  /** Winnowing document sketch (Schleimer–Wilkerson–Aiken, SIGMOD '03 —
+    * the MOSS fingerprinting scheme): hash every char `k`-gram of the
+    * normalized text with the Karp–Rabin polynomial (the same base-131
+    * mod 2³¹−1 recurrence as [[rollingFingerprint]]), then keep the
+    * MINIMUM hash of each window of `w` consecutive k-grams — one O(m)
+    * codegen'd pass per row via the native
+    * [[graft.functions.WinnowingSketch]] expression (incremental roll +
+    * monotonic-deque minima; the HOF spelling of the same arithmetic
+    * measured ~100× slower and lives on only as the DuckDB oracle). The
+    * guarantee: any shared substring of ≥ k + w − 1 chars yields a
+    * shared fingerprint, with sketch density ~2/(w+1) — the classic
+    * local-document-fingerprint sketch for plagiarism/near-dup search.
+    *
+    * Output: one row per distinct selected fingerprint per doc —
+    * (doc_id, fp, first_win, n_windows). Docs whose normalized text is
+    * shorter than k have no k-grams and are absent (both engines agree);
+    * 0 < #hashes < w degenerates to one window over all hashes.
+    *
+    * Scale posture: everything up to the final per-doc distinct-agg is
+    * row-local (tokenless char arithmetic, no dictionary, no shuffle of
+    * text); the output sketch — ids + 8-byte fingerprints at ~2/(w+1)
+    * density — is the join currency for downstream overlap search, the
+    * same inverted-index shape as [[Dedup.shingleIndex]]. */
+  def winnowingSketch(spark: SparkSession, sfDir: String,
+      k: Int = 8, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        graft.functions.WinnowingSketch.winnowing_sketch(col("t"), k, w)))
+      .groupBy(col("doc_id"), col("col").as("fp"))
+      .agg(min(col("pos")).as("first_win"), count(lit(1)).as("n_windows"))
+      .orderBy("doc_id", "fp")
+  }
 }

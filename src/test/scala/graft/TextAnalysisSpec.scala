@@ -123,6 +123,86 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4L) === ((0L, 2L, 76L, 0L)), "empty doc spans zero sequences")
   }
 
+  test("winnowing sketch: shared-substring guarantee, window count, short docs absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-test-")
+    // docs 1 and 2 share a 40-char substring (>= k + w - 1 = 15), so the
+    // winnowing guarantee promises at least one common fingerprint;
+    // doc 3 shares nothing; doc 4 is shorter than k and must be absent
+    val shared = "the winnowing guarantee holds here today"
+    Seq((1L, s"prefix one $shared"), (2L, s"$shared and a different tail"),
+        (3L, "completely unrelated content with zero overlap at all"),
+        (4L, "tiny"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.winnowingSketch(spark, dir.toString, k = 8, w = 8)
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(!byDoc.contains(4L), "docs shorter than k have no k-grams")
+    val fps = (id: Long) => byDoc(id).map(_.getLong(1)).toSet
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared >= k+w-1 substring must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs share nothing")
+    // per-doc window accounting: n_windows sums to max(m - w, 0) + 1
+    for ((id, rs) <- byDoc) {
+      val text = Seq((1L, s"prefix one $shared"), (2L, s"$shared and a different tail"),
+        (3L, "completely unrelated content with zero overlap at all"))
+        .toMap.apply(id)
+      val m = text.length - 7
+      assert(rs.map(_.getLong(3)).sum === math.max(m - 8, 0) + 1,
+        s"doc $id window count")
+      // density: sketch is a small fraction of all k-gram positions
+      assert(rs.length <= m)
+    }
+  }
+
+  test("mixture sample: deterministic, threshold-faithful, seed redraws") {
+    val s1 = TextAnalysis.mixtureSample(spark, sf).collect()
+    val s2 = TextAnalysis.mixtureSample(spark, sf).collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq, "same seed, same sample")
+    assert(s1.nonEmpty)
+    // every kept row's key is below its source's threshold
+    val thr = Map("src0" -> "80000000", "src1" -> "40000000", "src2" -> "19999999")
+    s1.foreach { r =>
+      val (src, key, rate) = (r.getString(1), r.getString(2), r.getDouble(3))
+      assert(key < thr.getOrElse(src, "0ccccccc"), s"$src key $key above threshold")
+      val expRate = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1)
+        .getOrElse(src, 0.05)
+      assert(rate === expRate)
+    }
+    // a different seed draws a different sample (overwhelmingly likely)
+    val s3 = TextAnalysis.mixtureSample(spark, sf, seed = "mix1").collect()
+    assert(s3.map(_.getLong(0)).toSet !== s1.map(_.getLong(0)).toSet)
+    // rate 1.0 keeps everything; rate 0.0 keeps nothing
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val all = TextAnalysis.mixtureSample(spark, sf,
+      rates = Seq.empty, defaultRate = 1.0)
+    assert(all.count() === n)
+    val none = TextAnalysis.mixtureSample(spark, sf,
+      rates = Seq.empty, defaultRate = 0.0)
+    assert(none.count() === 0L)
+  }
+
+  test("keep-best curation: one keeper per cluster, and it has the top quality") {
+    val rows = TextAnalysis.keepBestPerCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // total coverage: every doc appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.length ===
+      graft.sources.Tables.documents(spark, sf).count().toInt)
+    val byCluster = rows.groupBy(_._2)
+    // some cluster must be non-trivial for the test to mean anything
+    assert(byCluster.exists(_._2.length > 1), "corpus should contain near-dup clusters")
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length === 1, s"cluster $cid must keep exactly one doc")
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(kept.head._1 === best._1,
+        s"cluster $cid keeps ${kept.head._1}, expected argmax-quality ${best._1}")
+    }
+  }
+
   test("epoch shuffle is a deterministic permutation; a new seed reorders") {
     val e0a = TextAnalysis.epochShuffle(spark, sf, "epoch0")
       .select("doc_id").as[Long].collect().toSeq
