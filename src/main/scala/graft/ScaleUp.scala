@@ -30,7 +30,10 @@ object ScaleUp {
     def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
       // universes must not overlap: a source key >= KeyOffset would
       // silently cross-link copies and corrupt every join downstream
-      val maxKey = df.agg(greatest(keyCols.map(max): _*)).head().getLong(0)
+      val maxCols = keyCols.map(max)
+      val maxKey = df.agg(
+        if (maxCols.size == 1) maxCols.head else greatest(maxCols: _*))
+        .head().getLong(0)
       require(maxKey < KeyOffset,
         s"source keys reach $maxKey >= offset $KeyOffset; raise KeyOffset")
       (0 until factor).map { i =>
