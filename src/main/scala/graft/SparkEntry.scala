@@ -49,6 +49,9 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "corpus_mixture" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "curation_keep_best" -> ((s, d) => TextAnalysis.keepBestPerCluster(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
+    "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
@@ -312,6 +315,66 @@ object SparkEntry {
         |WHERE substr(md5('mix0|' || CAST(doc_id AS VARCHAR)), 1, 8) <
         |  CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '40000000'
         |    WHEN 'src2' THEN '19999999' ELSE '0ccccccc' END
+        |ORDER BY doc_id""".stripMargin,
+    // winnowingPairs(threshold=0.5, k=8, w=8): sketch-set Jaccard over
+    // the winnowing fingerprints (naive spelling; the Spark side's
+    // canonical collapse is output-equivalent, as with the ngram path)
+    "dedup_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, length(t) - 7),
+        |      i -> list_reduce(list_transform(string_split(substr(t, CAST(i + 1 AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT)),
+        |                       (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+        |  FROM t WHERE length(t) >= 8),
+        |m AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(hs) - 8, 0) + 1),
+        |      j -> list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + 8 AS INT))))) AS fp
+        |  FROM h),
+        |sk0 AS (SELECT DISTINCT doc_id, fp FROM m),
+        |hot AS (SELECT fp FROM sk0 GROUP BY fp HAVING count(*) > 64),
+        |sk AS (SELECT doc_id, fp FROM sk0 WHERE fp NOT IN (SELECT fp FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sk GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 AS sketch_jaccard
+        |FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN sz sa ON sa.doc_id = a.doc_id
+        |  JOIN sz sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // tfidfTopTerms(topK=5): rank on the ROUNDED score in both engines
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e4 + 0.5) / 1e4 AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e4 + 0.5) / 1e4 DESC, term ASC) AS INT) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // snapshotDiff: synthetic next snapshot (%11 dropped, %7 edited,
+    // %13 re-added under a shifted id), md5 compare
+    "corpus_diff" ->
+      """WITH oldd AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        |nextd AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, old_fp, new_fp,
+        |  CASE WHEN old_fp IS NULL THEN 'added'
+        |       WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp != new_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldd FULL OUTER JOIN nextd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // keepBestPerCluster: near-dup clusters (recursive closure over the
     // exact-jaccard pairs, as dedup_clusters) + quality (as text_quality),

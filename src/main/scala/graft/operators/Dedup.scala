@@ -313,6 +313,59 @@ object Dedup {
       sizes, "jaccard", lit(1.0d))
   }
 
+  // --- Winnowing near-dup (char-level, shift-robust) ---
+
+  /** Near-dup pairs over WINNOWING sketches: docs sharing selected
+    * char-k-gram fingerprints ([[TextAnalysis.winnowingSketchOf]]),
+    * scored by Jaccard over the two sketch SETS. Complements the word
+    * n-gram path: char-level winnowing is robust to token-boundary
+    * edits (punctuation, hyphenation, concatenation) that break word
+    * shingles, and the sketch is ~2/(w+1) the size of the full k-gram
+    * set — the inverted-index join runs over a deliberately sub-sampled
+    * universe, the classic MOSS trade.
+    *
+    * Same scale shape as the n-gram path: exact-dup collapse first,
+    * inverted-index join on 8-byte fingerprints among canonicals only,
+    * pairs expanded back to members (intra-group sketch-jaccard 1.0 —
+    * identical texts have identical sketches).
+    *
+    * Unlike the n-gram path's inert-by-default guard, the fingerprint
+    * frequency guard here is ON by default and part of the operator's
+    * SEMANTICS (the oracle replays it): similarity is Jaccard over
+    * INFORMATIVE fingerprints — those selected in ≤ `maxFpFreq` docs.
+    * Boilerplate k-grams that winnow to the same minimum in a large
+    * fraction of the corpus carry no discriminative signal and explode
+    * the join quadratically (measured at sf0.1: the top fingerprint
+    * appears in 74% of docs; the guard cuts candidate pairs 49M → 585k
+    * with the same near-dup pairs surfacing). */
+  def winnowingPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, k: Int = 8, w: Int = 8,
+      maxFpFreq: Int = 64): DataFrame =
+    winnowingPairsOf(Tables.documents(spark, sfDir), threshold, k, w, maxFpFreq)
+
+  def winnowingPairsOf(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 8, w: Int = 8, maxFpFreq: Int = 64): DataFrame = {
+    val (members, canonDocs) = exactGroups(docs)
+    // one sketch materialization feeds the guard, sizes, and both join
+    // sides; group-size weights make the guard count TRUE document
+    // frequency (same device as canonShingleHashes), so the collapse
+    // stays invisible to the naive-form oracle even on dup-heavy corpora
+    val grpSize = members.groupBy("canon_id").agg(count(lit(1)).as("w"))
+    val sk0 = TextAnalysis.winnowingSketchOf(canonDocs, k, w)
+      .select(col("doc_id"), col("fp").as("h"))
+      .join(renamed(grpSize, "canon_id" -> "doc_id", "w" -> "w"), Seq("doc_id"))
+      .localCheckpoint()
+    val sk = rareShingles(sk0, maxFpFreq)
+    val sizes = sk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = renamed(sk, "doc_id" -> "doc_a", "h" -> "h")
+      .join(renamed(sk, "doc_id" -> "doc_b", "h" -> "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val canonPairs = jaccardFromCommon(common, sizes, threshold)
+      .withColumnRenamed("jaccard", "sketch_jaccard")
+    expandToMembers(canonPairs, members, sizes, "sketch_jaccard", lit(1.0d))
+  }
+
   // --- SimHash ---
 
   /** 64-bit SimHash per doc: token-frequency-weighted bit votes over

@@ -144,6 +144,73 @@ object TextAnalysis {
         sha2(normText(col("text")), 256).as("fingerprint_sha256"))
       .orderBy("doc_id")
 
+  /** Top distinctive terms per document by TF-IDF: per-doc term
+    * frequency × ln(N/df), top `topK` per doc ranked on the ROUNDED
+    * score (ties to the lexicographically first term) so both engines
+    * rank identically. The corpus-size scalar N is read at plan-build
+    * time — a metadata-only parquet count (row-group stats, no data
+    * scan; at cluster scale, a catalog statistic), folded into the
+    * projection as a literal so no scalar join appears in the plan (a
+    * constant-key join degenerates to a nested-loop product —
+    * `PlanLintSpec` rejects it).
+    *
+    * Scale shape: two token-level partial-agg shuffles (tf, then df
+    * over the already-distinct (doc, term) pairs — df never sees raw
+    * token multiplicity) and one per-doc window; everything else is
+    * map-side. The (term, df) frame is vocabulary-sized and the window
+    * key is doc_id — no skew, no global sort until the final output
+    * order. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, topK: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count() // metadata-only on parquet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        rd(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Snapshot diff by content fingerprint: full-outer join of two
+    * corpus snapshots on doc_id, each row labeled
+    * added/removed/changed/unchanged by comparing md5(text). The
+    * incremental-processing primitive: a 100 TB corpus refresh is
+    * applied as a diff (reprocess `changed`+`added`, tombstone
+    * `removed`), not a full recompute — and the join ships only
+    * (id, 16-byte hash), never text. */
+  def snapshotDiffOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_fp"), col("new_fp"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: diff the corpus against a deterministic
+    * synthetic next snapshot of itself — doc_id % 11 == 0 dropped,
+    * % 7 == 0 edited (suffix appended), % 13 == 0 duplicated under a
+    * shifted id — so the DuckDB oracle replays the exact same refresh. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val next = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+    snapshotDiffOf(docs, next)
+  }
+
   /** End-to-end corpus curation — the composition story: quality gate →
     * near-dup removal (keep the canonical lower-id doc of each pair) →
     * language filter, emitting the surviving docs with their stats. Each
@@ -395,15 +462,20 @@ object TextAnalysis {
     * density — is the join currency for downstream overlap search, the
     * same inverted-index shape as [[Dedup.shingleIndex]]. */
   def winnowingSketch(spark: SparkSession, sfDir: String,
-      k: Int = 8, w: Int = 8): DataFrame = {
+      k: Int = 8, w: Int = 8): DataFrame =
+    winnowingSketchOf(Tables.documents(spark, sfDir), k, w).orderBy("doc_id", "fp")
+
+  /** Library form over any (doc_id, text) frame — unordered (the
+    * driver-contract form adds the total order; pipeline consumers like
+    * [[Dedup.winnowingPairsOf]] don't pay for a sort they re-shuffle). */
+  def winnowingSketchOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), normText(col("text")).as("t"))
       .filter(length(col("t")) >= k)
       .select(col("doc_id"), posexplode(
         graft.functions.WinnowingSketch.winnowing_sketch(col("t"), k, w)))
       .groupBy(col("doc_id"), col("col").as("fp"))
       .agg(min(col("pos")).as("first_win"), count(lit(1)).as("n_windows"))
-      .orderBy("doc_id", "fp")
   }
 }

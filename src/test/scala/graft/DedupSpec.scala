@@ -186,6 +186,35 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._2 === 0L && !out(2L)._4, "clean doc has zero overlap")
   }
 
+  test("winnowing pairs catch token-boundary edits that word shingles miss") {
+    import org.apache.spark.sql.functions.{col => c}
+    // b is a near-copy of a with token boundaries mangled (joined words,
+    // punctuation): every word 3-gram differs, but long shared char runs
+    // survive, so char-level winnowing still pairs them; d is unrelated
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    val mangled = base.replace("jumps over", "jumps-over") + " extra"
+    val docs = Seq((1L, base), (2L, mangled),
+      (3L, "entirely different content about distributed query planning engines"))
+      .toDF("doc_id", "text")
+    val win = Dedup.winnowingPairsOf(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win.contains((1L, 2L)), "char-level sketch must pair the mangled near-copy")
+    assert(!win.exists { case (a, b) => a == 3L || b == 3L })
+    val ngram = Dedup.ngramJaccardPairsOf(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the word-shingle path scores the same pair much lower (boundary
+    // edits break shingles) — the complementarity the operator exists for
+    val nj = ngram.find(p => p._1 == 1L && p._2 == 2L).map(_._3).getOrElse(0.0)
+    val wj = Dedup.winnowingPairsOf(docs, threshold = 0.0)
+      .collect().find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .map(_.getDouble(2)).get
+    assert(wj > nj, s"winnowing $wj should exceed word-shingle $nj on boundary edits")
+    // identical docs expand to sketch_jaccard 1.0 via the canonical path
+    val dup = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val pd = Dedup.winnowingPairsOf(dup, threshold = 0.5).collect()
+    assert(pd.length === 1 && pd.head.getDouble(2) === 1.0)
+  }
+
   test("duplicateClusters surfaces non-convergence instead of partial clusters") {
     // a 5-hop chain cannot converge in 1 round of min-label propagation
     val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1), 0.9)).toSeq

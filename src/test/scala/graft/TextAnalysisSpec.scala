@@ -203,6 +203,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf-test-")
+    // 'common' appears in every doc (idf = ln(1) = 0); each doc has one
+    // distinctive term repeated twice -> must rank first
+    Seq((1L, "common zebra zebra common alpha"),
+        (2L, "common yak yak common beta"),
+        (3L, "common wolf wolf common gamma"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tfidfTopTerms(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val first = rows.filter(_._6 == 1).map(r => r._1 -> r._2).toMap
+    assert(first === Map(1L -> "zebra", 2L -> "yak", 3L -> "wolf"))
+    rows.filter(_._2 == "common").foreach { r =>
+      assert(r._5 === 0.0, "term in every doc has idf 0")
+      assert(r._3 === 2L && r._4 === 3L)
+    }
+  }
+
+  test("snapshot diff labels added/removed/changed/unchanged correctly") {
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val nxt = Seq((1L, "one"), (2L, "two!"), (4L, "four")).toDF("doc_id", "text")
+    val d = TextAnalysis.snapshotDiffOf(old, nxt).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("epoch shuffle is a deterministic permutation; a new seed reorders") {
     val e0a = TextAnalysis.epochShuffle(spark, sf, "epoch0")
       .select("doc_id").as[Long].collect().toSeq
