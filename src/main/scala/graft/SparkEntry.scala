@@ -59,9 +59,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "text_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
+    "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     // --- events: JSON, event-time windows, sessionization ---
     "events_json_stats" -> (Events.jsonStats _),
     "events_tumbling" -> (Events.tumblingHourly _),

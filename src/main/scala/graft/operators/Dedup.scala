@@ -470,6 +470,116 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --- Incremental (snapshot-delta) dedup ---
+
+  /** Incremental exact dedup: fingerprint an ARRIVING batch and probe the
+    * PRIOR corpus's fingerprint index — each batch doc is either new or a
+    * duplicate of a known canonical (`dup_of`). This is how dedup actually
+    * runs on a continuously-ingested 100 TB corpus: the full corpus is
+    * never re-deduplicated; the stored fingerprint index (same artifact
+    * surface as [[shingleIndex]] — ids + 16-byte hashes, a tiny fraction
+    * of the corpus) absorbs each delta. The batch side is small relative
+    * to the index, so the probe is a broadcast of the batch fingerprints
+    * (at extreme index sizes, a bloom-filter pre-pass drops the obvious
+    * non-dups before the join); nothing ever ships document text. */
+  def incrementalDedupOf(batch: DataFrame, prior: DataFrame): DataFrame = {
+    val priorIdx = prior
+      .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint").agg(min("doc_id").as("dup_of"))
+    batch.select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+      .join(priorIdx, Seq("fingerprint"), "left_outer")
+      .select(col("doc_id"), col("fingerprint"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: odd doc_ids arrive against the even-id prior
+    * corpus — a deterministic split both engines replay. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalDedupOf(docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+  }
+
+  // --- Duplicated-span profile (substring dedup at fixed n) ---
+
+  /** Per-document duplicated-span profile: the fraction of a document's
+    * POSITIONAL token n-grams that occur in at least one OTHER document —
+    * the fixed-n approximation of suffix-array substring dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": exact substring match at span granularity rather than
+    * whole-doc similarity). Where [[ngramJaccardPairsOf]] asks "which doc
+    * PAIRS are similar", this asks "how much of EACH doc is boilerplate
+    * shared with anybody" — the signal used to trim repeated headers,
+    * licenses and templates out of otherwise-unique documents.
+    *
+    * Scale shape: positional grams are row-local; the document-frequency
+    * agg and the flag-back semi-join both ship only (8-byte hash, id)
+    * pairs, partially aggregated map-side. No quadratic anything — cost
+    * is O(total tokens), the same as word count. Docs shorter than n
+    * tokens have no spans and are absent (both engines agree). */
+  def dupSpansOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END")))
+      // join on 64-bit gram hashes, not strings — same currency (and the
+      // same accepted xxhash64-collision odds) as the jaccard path; the
+      // oracle joins the gram STRINGS and matches hash-for-hash
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val sharedGrams = grams.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("h")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dupCnt = grams.join(sharedGrams, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    sizes.join(dupCnt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        rd(coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+          col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpans(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    dupSpansOf(Tables.documents(spark, sfDir), n)
+
+  // --- Edit-distance (Levenshtein) verification over blocked candidates ---
+
+  /** Character-level near-dup pairs: normalized Levenshtein similarity
+    * (1 − dist/max_len) over CANDIDATE pairs from the shingle
+    * inverted-index join at a permissive threshold. Edit distance is the
+    * gold-standard char-level measure but is O(len²) per pair and admits
+    * no sublinear index — so the scalable shape is exactly this: a cheap
+    * set-similarity blocker proposes candidates (near-linear), and the
+    * expensive verifier runs only on them. Text crosses the shuffle ONLY
+    * for candidate pairs — the full corpus never self-joins on text.
+    * Candidate recall is inherited from the blocker: pairs below
+    * `candThreshold` shingle-Jaccard are out of scope by construction
+    * (a doc pair with edit_sim ≥ 0.8 shares far more than 30% of its
+    * 3-gram shingles — at these lengths the blocker is effectively
+    * lossless, and the oracle replays the identical blocking). */
+  def editDistancePairsOf(docs: DataFrame, simThreshold: Double = 0.8,
+      candThreshold: Double = 0.3, n: Int = 3): DataFrame = {
+    val cands = ngramJaccardPairsOf(docs, candThreshold, n)
+      .select("doc_a", "doc_b")
+    val txt = docs.select(col("doc_id"), normText(col("text")).as("t"))
+    cands
+      .join(renamed(txt, "doc_id" -> "doc_a", "t" -> "t_a"), Seq("doc_a"))
+      .join(renamed(txt, "doc_id" -> "doc_b", "t" -> "t_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).as("edit_dist"),
+        rd(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+          greatest(length(col("t_a")), length(col("t_b")), lit(1)), 4)
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= simThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def editDistancePairs(spark: SparkSession, sfDir: String,
+      simThreshold: Double = 0.8): DataFrame =
+    editDistancePairsOf(Tables.documents(spark, sfDir), simThreshold)
+
   // --- Duplicate clustering (connected components over near-dup pairs) ---
 
   /** Collapse near-dup PAIRS into duplicate CLUSTERS: connected

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multi-dimensional data-layout operators: Z-order (Morton) clustering
+  * keys for write-time file layout.
+  *
+  * The reference's only layout device is its first-letter range
+  * partitioning of word-count output (`master.cc:274-297`, one bucket
+  * per a-z letter) — a 1-dimensional clustering key. Z-ordering is the
+  * multi-dimensional generalization used by every modern lakehouse
+  * writer: interleave the bits of two (or more) join/filter keys so
+  * rows close in EITHER dimension land in the same file, giving
+  * min/max-based data skipping on both columns at once. At 100 TB the
+  * layout is applied as `repartitionByRange(zval).sortWithinPartitions
+  * (zval)` before the write — a single range shuffle — and every
+  * subsequent selective scan on either key prunes most files from
+  * parquet footer stats alone.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative long columns: x's bit i lands at output bit 2i+1,
+    * y's at 2i. Pure bitwise arithmetic — codegen'd end to end, and
+    * replayable bit-for-bit in any engine with `& << >>` (the DuckDB
+    * oracle does exactly that). Keys wider than `bits` wrap by masking;
+    * callers pick `bits` to cover their key cardinality. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val mask = (1L << bits) - 1
+    val xm = x.bitwiseAND(lit(mask))
+    val ym = y.bitwiseAND(lit(mask))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Z-order layout summary for lineitem on (l_orderkey, l_partkey):
+    * assign every row its Morton key, bucket rows by the top `bucketBits`
+    * of the key (the file a range-partitioned writer would put them in),
+    * and report each bucket's row count and per-dimension min/max — the
+    * exact footer statistics a scan would prune on. The point of the
+    * summary: z-buckets have TIGHT rectangles in both dimensions
+    * simultaneously (a 1-D sort would give tight ranges on one key and
+    * full-width ranges on the other), which is the data-skipping win.
+    * One map pass + one small aggregation — the bucket count is
+    * 2^bucketBits regardless of data size. */
+  def zorderLayout(spark: SparkSession, sfDir: String,
+      bits: Int = 16, bucketBits: Int = 8): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits, "bucketBits out of range")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        zValue(col("l_orderkey"), col("l_partkey"), bits).as("zval"))
+      .groupBy(shiftright(col("zval"), 2 * bits - bucketBits).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_orderkey"), max("l_orderkey").as("max_orderkey"),
+        min("l_partkey").as("min_partkey"), max("l_partkey").as("max_partkey"))
+      .orderBy("bucket")
+  }
+}

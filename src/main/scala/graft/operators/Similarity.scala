@@ -202,6 +202,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cosine RANGE search: every corpus vector within similarity `tau` of
+    * each query vector — the radius-query twin of top-k (retrieval wants
+    * "the best k"; dedup/recall audits want "everything this close").
+    * Same scale shape as [[bruteForceTopK]]: the query side is broadcast
+    * and the corpus streams through executors exactly once with the
+    * threshold filter fused into the scan projection — no corpus shuffle,
+    * no rank window (range search needs no ordering to decide membership;
+    * the final sort is presentation only). For standing high-volume query
+    * sets, the banded/IVF paths bound the candidate set the same way they
+    * do for top-k. */
+  def rangeSearch(spark: SparkSession, sfDir: String,
+      tau: Double = 0.3, numQueries: Int = 20): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** ANN top-k via LSH banding: 16 bands × 4 bits; pairs sharing any band
     * are candidates; exact cosine ranks candidates only. Same output
     * schema as brute force; recall < 1 by construction (≥0.8 asserted

@@ -332,6 +332,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic k-per-group sample: the `k` lowest seeded-hash keys
+    * per source — a uniform without-replacement sample of each group,
+    * reproducible across runs, engines and partitionings (same seeded
+    * md5 device as [[mixtureSample]], which draws by RATE; this draws by
+    * exact COUNT). The inspection workhorse: "show me 10 random docs
+    * from every source of a 100 TB corpus" must not scan-and-rand.
+    * Shape: one map pass computes keys, one per-source window takes the
+    * k smallest; group count is small so the window keys are few — for
+    * millions of groups the same top-k runs as the heap aggregate
+    * ([[graft.functions.TopKAggregate]]), which partial-aggregates
+    * map-side instead of shuffling every row to its group's partition. */
+  def samplePerGroup(spark: SparkSession, sfDir: String, k: Int = 10,
+      seed: String = "smp0"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("sample_key", "doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))).as("sample_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("source", "rk")
+  }
+
   /** Cluster-aware curation: collapse near-dup clusters by keeping the
     * HIGHEST-QUALITY member (ties to the lower doc_id) instead of the
     * lowest-id one — the retention policy real pipelines want (the
