@@ -567,6 +567,119 @@ object SparkEntry {
         |ORDER BY l_returnflag, metric""".stripMargin,
     // stratified_sample: engine-specific RNG -> rows-only check
     "ann_topk_ivf" -> ivfTrainedOracle(2),
+    // samplePerGroup(k=10, seed=smp0): same seeded-md5 device as
+    // corpus_mixture; row_number ties broken by doc_id in both engines
+    "corpus_sample_per_group" ->
+      """SELECT source, doc_id, sample_key, CAST(rk AS INT) AS rk
+        |FROM (SELECT source, doc_id,
+        |        md5('smp0|' || CAST(doc_id AS VARCHAR)) AS sample_key,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5('smp0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // incrementalDedup: odd-id batch vs even-id prior; md5-of-normalized
+    // fingerprints; within-batch copies resolve to the batch-min doc_id
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |           FROM documents),
+        |prior AS (SELECT fingerprint, min(doc_id) AS dup_of
+        |          FROM f WHERE doc_id % 2 = 0 GROUP BY fingerprint),
+        |bm AS (SELECT fingerprint, min(doc_id) AS batch_min
+        |       FROM f WHERE doc_id % 2 = 1 GROUP BY fingerprint)
+        |SELECT b.doc_id, b.fingerprint,
+        |  coalesce(p.dup_of,
+        |    CASE WHEN bm.batch_min < b.doc_id THEN bm.batch_min END) AS dup_of,
+        |  (p.dup_of IS NULL AND bm.batch_min = b.doc_id) AS is_new
+        |FROM f b JOIN bm ON b.fingerprint = bm.fingerprint
+        |  LEFT JOIN prior p ON b.fingerprint = p.fingerprint
+        |WHERE b.doc_id % 2 = 1
+        |ORDER BY b.doc_id""".stripMargin,
+    // editDistancePairs(sim=0.8, cand=0.3, n=3): replay the 0.3-threshold
+    // shingle blocker (as the green jaccard oracle at 0.8), union the
+    // exact-match fallback for sub-3-token docs, verify with DuckDB's
+    // built-in levenshtein over the same normalized text
+    "dedup_edit_distance" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |       FROM (SELECT doc_id,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |             FROM w)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.3),
+        |t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+        |        len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS n_tok
+        |      FROM documents),
+        |shortp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  WHERE a.n_tok < 3 AND b.n_tok < 3),
+        |allc AS (SELECT DISTINCT doc_a, doc_b
+        |         FROM (SELECT * FROM cand UNION ALL SELECT * FROM shortp))
+        |SELECT doc_a, doc_b, edit_dist, edit_sim FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(levenshtein(ta.t, tb.t) AS INT) AS edit_dist,
+        |    floor((1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+        |          / greatest(length(ta.t), length(tb.t), 1)) * 1e4 + 0.5) / 1e4 AS edit_sim
+        |  FROM allc c JOIN t ta ON ta.doc_id = c.doc_a
+        |    JOIN t tb ON tb.doc_id = c.doc_b)
+        |WHERE edit_sim >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // rangeSearch(tau=0.3, numQueries=20): identical cosine arithmetic to
+    // the green ann_topk_brute oracle, membership filter instead of rank
+    "ann_range_search" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |           FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor((list_sum(list_transform(range(1, 65),
+        |            i -> CAST(list_extract(q.embedding, i) AS DOUBLE)
+        |               * CAST(list_extract(c.embedding, i) AS DOUBLE)))
+        |      / (q.nrm * c.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+        |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE cosine >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin,
+    // zorderLayout(bits=16, bucketBits=8): pure `& << >>` bit arithmetic
+    // replayed exactly (bit positions are disjoint, so sum == bitwise OR)
+    "layout_zorder" ->
+      """WITH z AS (SELECT l_orderkey, l_partkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (((l_orderkey & 65535) >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT))
+        |    + (((l_partkey & 65535) >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT)))) AS BIGINT) AS zval
+        |  FROM lineitem)
+        |SELECT zval >> 24 AS bucket, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // dupSpans(n=5): positional 5-grams joined as STRINGS where Spark
+    // joins xxhash64 keys — same accepted-collision equivalence as the
+    // decontamination oracle
+    "text_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]
+        |                for i in range(1, greatest(len(words) - 3, 1))]) AS gram
+        |      FROM w),
+        |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |           GROUP BY gram HAVING count(*) > 1),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |dup AS (SELECT g.doc_id, count(*) AS n_dup_grams
+        |        FROM g JOIN shared ON g.gram = shared.gram GROUP BY g.doc_id)
+        |SELECT s.doc_id, s.n_grams,
+        |  CAST(coalesce(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |  floor((CAST(coalesce(d.n_dup_grams, 0) AS DOUBLE) / s.n_grams) * 1e4 + 0.5) / 1e4 AS dup_frac
+        |FROM sizes s LEFT JOIN dup d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "parts_left_revenue" ->
       """SELECT p_partkey, p_brand, coalesce(rev, 0.0) AS revenue_1996,
         |  rev IS NULL AS unsold_1996

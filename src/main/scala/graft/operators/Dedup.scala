@@ -481,15 +481,28 @@ object Dedup {
     * of the corpus) absorbs each delta. The batch side is small relative
     * to the index, so the probe is a broadcast of the batch fingerprints
     * (at extreme index sizes, a bloom-filter pre-pass drops the obvious
-    * non-dups before the join); nothing ever ships document text. */
+    * non-dups before the join); nothing ever ships document text.
+    *
+    * Within-batch duplicates are handled too: the batch groups by
+    * fingerprint first, so only ONE doc per new fingerprint comes out
+    * `is_new` (the batch-min doc_id); its within-batch copies point at
+    * it via `dup_of` — on a continuous-ingest pipeline each fingerprint
+    * enters the index exactly once. */
   def incrementalDedupOf(batch: DataFrame, prior: DataFrame): DataFrame = {
     val priorIdx = prior
       .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
       .groupBy("fingerprint").agg(min("doc_id").as("dup_of"))
-    batch.select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+    val batchFp = batch
+      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+    val batchMin = batchFp.groupBy("fingerprint")
+      .agg(min("doc_id").as("batch_min"))
+    batchFp
+      .join(batchMin, Seq("fingerprint"))
       .join(priorIdx, Seq("fingerprint"), "left_outer")
-      .select(col("doc_id"), col("fingerprint"), col("dup_of"),
-        col("dup_of").isNull.as("is_new"))
+      .select(col("doc_id"), col("fingerprint"),
+        coalesce(col("dup_of"),
+          when(col("batch_min") < col("doc_id"), col("batch_min"))).as("dup_of"),
+        (col("dup_of").isNull && col("batch_min") === col("doc_id")).as("is_new"))
       .orderBy("doc_id")
   }
 
@@ -554,17 +567,36 @@ object Dedup {
     * set-similarity blocker proposes candidates (near-linear), and the
     * expensive verifier runs only on them. Text crosses the shuffle ONLY
     * for candidate pairs — the full corpus never self-joins on text.
-    * Candidate recall is inherited from the blocker: pairs below
-    * `candThreshold` shingle-Jaccard are out of scope by construction
-    * (a doc pair with edit_sim ≥ 0.8 shares far more than 30% of its
-    * 3-gram shingles — at these lengths the blocker is effectively
-    * lossless, and the oracle replays the identical blocking). */
+    * Candidate recall is inherited from the blocker: pairs of docs with
+    * ≥ n tokens below `candThreshold` shingle-Jaccard are out of scope
+    * by construction (a doc pair with edit_sim ≥ 0.8 shares far more
+    * than 30% of its 3-gram shingles at those lengths). Docs SHORTER
+    * than n tokens have no shingles and are candidate-paired only by
+    * exact normalized-text equality (the fallback below) — a sub-n-token
+    * doc that is merely NEAR another is out of scope by construction.
+    * The oracle replays both candidate sources. */
   def editDistancePairsOf(docs: DataFrame, simThreshold: Double = 0.8,
-      candThreshold: Double = 0.3, n: Int = 3): DataFrame = {
-    val cands = ngramJaccardPairsOf(docs, candThreshold, n)
+      candThreshold: Double = 0.3, n: Int = 3): DataFrame =
+    editDistanceVerify(docs,
+      ngramJaccardPairsOf(docs, candThreshold, n).select("doc_a", "doc_b"),
+      simThreshold, n)
+
+  /** Shared verifier tail: join candidate pairs back to normalized text,
+    * union the exact-match fallback for sub-n-token docs (invisible to
+    * the shingle blocker), score, filter, total-order. */
+  private def editDistanceVerify(docs: DataFrame, cands: DataFrame,
+      simThreshold: Double, n: Int): DataFrame = {
+    val txt = docs.select(col("doc_id"), normText(col("text")).as("t"),
+      size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
+    // exact-fingerprint fallback: identical normalized texts among docs
+    // too short to shingle (n_tok < n) still surface as edit_dist 0
+    val short = txt.filter(col("n_tok") < n)
+      .select(col("doc_id"), md5(col("t")).as("fp"))
+    val shortPairs = renamed(short, "doc_id" -> "doc_a", "fp" -> "fp")
+      .join(renamed(short, "doc_id" -> "doc_b", "fp" -> "fp"), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val txt = docs.select(col("doc_id"), normText(col("text")).as("t"))
-    cands
+    cands.unionByName(shortPairs).distinct()
       .join(renamed(txt, "doc_id" -> "doc_a", "t" -> "t_a"), Seq("doc_a"))
       .join(renamed(txt, "doc_id" -> "doc_b", "t" -> "t_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -576,9 +608,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus form: candidates come from the MATERIALIZED pair table at the
+    * permissive threshold ([[materializedPairs]] keyed corpus|0.3|n,
+    * sharing [[shingleIndex]]) — the blocker is corpus preprocessing,
+    * computed once per snapshot, not an inline join per query (it was the
+    * slowest query in the round-3 bench precisely because it recomputed
+    * the 0.3-threshold inverted-index join on every run). */
   def editDistancePairs(spark: SparkSession, sfDir: String,
-      simThreshold: Double = 0.8): DataFrame =
-    editDistancePairsOf(Tables.documents(spark, sfDir), simThreshold)
+      simThreshold: Double = 0.8, candThreshold: Double = 0.3,
+      n: Int = 3): DataFrame =
+    editDistanceVerify(Tables.documents(spark, sfDir),
+      materializedPairs(spark, sfDir, candThreshold, n).select("doc_a", "doc_b"),
+      simThreshold, n)
 
   // --- Duplicate clustering (connected components over near-dup pairs) ---
 

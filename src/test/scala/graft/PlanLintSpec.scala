@@ -12,7 +12,7 @@ class PlanLintSpec extends SparkSpec {
   // (hours × event types in the gap-filled series). dedup_embedding is
   // no longer exempt: the blocked self-join plans as two hash joins.
   private val byDesignQuadratic = Set(
-    "ann_topk_brute", "ann_topk_ivf",
+    "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly")
 
   test("no registered query plans an accidental product join") {
