@@ -620,7 +620,7 @@ object SparkEntry {
         |      FROM documents),
         |shortp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM t a JOIN t b ON a.t = b.t AND a.doc_id < b.doc_id
-        |  WHERE a.n_tok < 3 AND b.n_tok < 3),
+        |  WHERE a.n_tok < 3 OR b.n_tok < 3),
         |allc AS (SELECT DISTINCT doc_a, doc_b
         |         FROM (SELECT * FROM cand UNION ALL SELECT * FROM shortp))
         |SELECT doc_a, doc_b, edit_dist, edit_sim FROM (

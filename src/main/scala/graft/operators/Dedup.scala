@@ -572,8 +572,11 @@ object Dedup {
     * by construction (a doc pair with edit_sim ≥ 0.8 shares far more
     * than 30% of its 3-gram shingles at those lengths). Docs SHORTER
     * than n tokens have no shingles and are candidate-paired only by
-    * exact normalized-text equality (the fallback below) — a sub-n-token
-    * doc that is merely NEAR another is out of scope by construction.
+    * exact normalized-text equality against the WHOLE corpus (the
+    * fallback below) — so a short doc identical to ANY doc, long or
+    * short, still surfaces (a tab-separated twin of a space-separated
+    * doc is one ws-token but normalizes equal); a sub-n-token doc that
+    * is merely NEAR another is out of scope by construction.
     * The oracle replays both candidate sources. */
   def editDistancePairsOf(docs: DataFrame, simThreshold: Double = 0.8,
       candThreshold: Double = 0.3, n: Int = 3): DataFrame =
@@ -588,14 +591,21 @@ object Dedup {
       simThreshold: Double, n: Int): DataFrame = {
     val txt = docs.select(col("doc_id"), normText(col("text")).as("t"),
       size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
-    // exact-fingerprint fallback: identical normalized texts among docs
-    // too short to shingle (n_tok < n) still surface as edit_dist 0
+    // exact-fingerprint fallback: a doc too short to shingle (n_tok < n)
+    // is invisible to the blocker, so pair it against EVERY doc sharing
+    // its normalized-text fingerprint — short or long (wsTokens splits
+    // on space/newline only, so a tab-separated doc can be one ws-token
+    // yet normalize equal to a many-token doc). Identical texts still
+    // surface as edit_dist 0. Scale shape: the short side is a tiny
+    // slice of the corpus and the join ships only (16-byte fp, id).
+    val allFp = txt.select(col("doc_id"), md5(col("t")).as("fp"))
     val short = txt.filter(col("n_tok") < n)
       .select(col("doc_id"), md5(col("t")).as("fp"))
-    val shortPairs = renamed(short, "doc_id" -> "doc_a", "fp" -> "fp")
-      .join(renamed(short, "doc_id" -> "doc_b", "fp" -> "fp"), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val shortPairs = renamed(short, "doc_id" -> "sid", "fp" -> "fp")
+      .join(renamed(allFp, "doc_id" -> "oid", "fp" -> "fp"), Seq("fp"))
+      .filter(col("sid") =!= col("oid"))
+      .select(least(col("sid"), col("oid")).as("doc_a"),
+        greatest(col("sid"), col("oid")).as("doc_b"))
     cands.unionByName(shortPairs).distinct()
       .join(renamed(txt, "doc_id" -> "doc_a", "t" -> "t_a"), Seq("doc_a"))
       .join(renamed(txt, "doc_id" -> "doc_b", "t" -> "t_b"), Seq("doc_b"))

@@ -224,4 +224,38 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("incremental dedup: one is_new per fingerprint within a batch; prior dups resolve to prior canonical") {
+    val prior = Seq(
+      (0L, "alpha beta gamma"),
+      (2L, "known text here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "fresh new doc one"),
+      (13L, "fresh new doc one"),  // within-batch copy of 11
+      (15L, "Alpha  beta GAMMA")   // normalizes equal to prior doc 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupOf(batch, prior)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+    assert(out(11L) === ((None, true)), "batch-min of a new fingerprint is the one is_new doc")
+    assert(out(13L) === ((Some(11L), false)), "within-batch copy points at the batch-min, not the index")
+    assert(out(15L) === ((Some(0L), false)), "prior duplicate resolves to the prior canonical")
+    assert(out.values.count(_._2) === 1, "exactly one is_new per new fingerprint")
+  }
+
+  test("edit-distance fallback pairs short docs against ALL identical-normalized docs, short or long") {
+    val docs = Seq(
+      (1L, "hi"),                // 1 ws-token: invisible to the shingle blocker
+      (2L, "hi"),                // short-short identical pair
+      (3L, "a\tb\tc\td\te"),     // tabs: ONE ws-token, but normText = "a b c d e"
+      (4L, "a b c d e"),         // 5 ws-tokens: shingles fine; short-vs-long identical pair
+      (5L, "unrelated content entirely different words")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairsOf(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (3L, 4L)),
+      "short-short AND short-vs-long identical pairs must both surface, nothing else")
+    assert(pairs.values.forall(_ === 1.0), "identical normalized texts score edit_sim 1.0")
+  }
 }
