@@ -557,6 +557,66 @@ object Dedup {
   def dupSpans(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
     dupSpansOf(Tables.documents(spark, sfDir), n)
 
+  /** Span-granular duplicated-region profile: merge each document's
+    * duplicated positional n-grams (grams occurring in ≥1 OTHER doc,
+    * exactly [[dupSpansOf]]'s currency) into MAXIMAL token spans —
+    * overlapping or adjacent gram intervals [pos, pos+n-1] coalesce into
+    * one span — and report span count and covered-token fraction. This
+    * is the step from "how many of my grams are shared" to "WHICH
+    * contiguous regions are boilerplate", i.e. the actionable unit for
+    * span-level trimming (Lee et al. 2022 cut duplicated substrings, not
+    * whole docs). Larger-n dup spans need no separate pass: every
+    * length-m duplicated substring with m ≥ n is exactly a run of
+    * overlapping duplicated n-grams, so merging at the smallest n of
+    * interest already yields the maximal spans for all larger n.
+    *
+    * Scale shape: gram hashing and interval arithmetic are row-local;
+    * the document-frequency agg and semi-join ship (8-byte hash, id)
+    * pairs like [[dupSpansOf]]; the merge itself is a per-document
+    * window (sort within doc partitions — docs are small, partitions
+    * balanced by doc_id hash). No quadratic anything. */
+  def dupSpanMergeOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("w"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val sharedGrams = grams.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("h")
+    val dupG = grams.join(sharedGrams, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + n - 1).as("e"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupG
+      .withColumn("prev_max_e",
+        max("e").over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      // a gram starts a new span iff it neither overlaps nor touches
+      // everything seen so far: pos > max(prior ends) + 1
+      .withColumn("new_span",
+        when(col("prev_max_e").isNull ||
+          col("pos") > col("prev_max_e") + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum("new_span").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("s"), max("e").as("ee"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("s") + 1).as("dup_tok"))
+    toks.select(col("doc_id"), size(col("w")).as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+        rd(coalesce(col("dup_tok"), lit(0L)).cast("double") /
+          greatest(col("n_tok"), lit(1)), 4).as("dup_tok_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpanMerge(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    dupSpanMergeOf(Tables.documents(spark, sfDir), n)
+
   // --- Edit-distance (Levenshtein) verification over blocked candidates ---
 
   /** Character-level near-dup pairs: normalized Levenshtein similarity

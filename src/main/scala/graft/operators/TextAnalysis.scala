@@ -45,6 +45,73 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Longest equal run in the SORTED token array = the multiplicity of
+    * the most frequent token — same struct-folding device as
+    * [[top2GramRunSql]], one gram size down. Row-local, no shuffle. */
+  private[graft] val topTokenRunSql =
+    """CASE WHEN size(toks) < 1 THEN CAST(0 AS BIGINT) ELSE
+      |  aggregate(
+      |    array_sort(toks),
+      |    named_struct('prev', CAST(NULL AS STRING),
+      |                 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+      |    (acc, x) -> named_struct(
+      |      'prev', x,
+      |      'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+      |               THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+      |      'best', greatest(acc.best,
+      |        CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+      |          THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END)),
+      |    acc -> acc.best)
+      |END""".stripMargin
+
+  /** Occurrences that are part of a repeated group in the sorted gram
+    * array `sg`: an element repeats iff it equals a neighbor. */
+  private val dupOccSql =
+    """CASE WHEN size(sg) = 0 THEN 0 ELSE
+      |  size(filter(sequence(1, size(sg)), i ->
+      |    (i > 1 AND element_at(sg, i) = element_at(sg, i - 1)) OR
+      |    (i < size(sg) AND element_at(sg, i) = element_at(sg, i + 1))))
+      |END""".stripMargin
+
+  /** Within-document repetition profile — the Gopher-family signals that
+    * [[qualityScore]] does NOT already carry (it has duplicate-line
+    * fraction and top-2-gram fraction): duplicate n-gram occupancy (the
+    * fraction of positional n-grams whose gram occurs MORE THAN ONCE in
+    * the same document — the token-level reading of Gopher's "fraction
+    * of characters in duplicated n-grams"), top-token fraction (C4's
+    * most-frequent-word ratio), and distinct-token ratio.
+    *
+    * Scale shape: every signal is computed ROW-LOCALLY with sorted-array
+    * HOFs — a repeated gram inside one doc is a fact the row already
+    * holds, so nothing shuffles; cost is O(m log m) per doc vs shipping
+    * every n-gram of a 100 TB corpus through an exchange just to group
+    * them back by (doc, gram). Contrast [[graft.operators.Dedup.dupSpansOf]],
+    * whose CROSS-document frequency genuinely requires the shuffle. */
+  def repetitionSignalsOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sortedGramsSql =
+      s"""CASE WHEN size(toks) >= $n THEN
+         |  array_sort(transform(sequence(0, size(toks) - $n),
+         |    i -> concat_ws(' ', slice(toks, i + 1, $n))))
+         |ELSE array() END""".stripMargin
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("sg", expr(sortedGramsSql))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        rd(size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1)), 4).as("distinct_ratio"),
+        rd(expr(topTokenRunSql).cast("double") /
+          greatest(size(col("toks")), lit(1)), 4).as("top_token_frac"),
+        size(col("sg")).as("n_grams"),
+        rd(expr(dupOccSql).cast("double") /
+          greatest(size(col("sg")), lit(1)), 4).as("dup_gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionSignals(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    repetitionSignalsOf(Tables.documents(spark, sfDir), n)
+
   /** Largest 2-gram multiplicity in `toks`, computed ROW-LOCALLY: sort
     * the 2-gram array and take the longest equal run via a struct-folding
     * `aggregate` — O(k log k) per row, no shuffle, stays in codegen. The
