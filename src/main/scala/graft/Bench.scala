@@ -30,12 +30,13 @@ object Bench {
     SparkEntry.queries("wordcount_topk")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    // min of 2 runs per query, plus a third run when the min is still
-    // under 3s: host timing noise on single runs measured at ±20%
-    // (occasional 10x outliers under contention — BENCH_r02 showed 4-10x
-    // swings on untouched sub-second queries), and fast queries are the
-    // most noise-dominated. The min is the reproducible cost of the plan;
-    // run 1 absorbs per-query footer reads and codegen.
+    // min of 3 runs per query, unconditionally: host timing noise on
+    // single runs measured at ±20% (occasional 10x outliers under
+    // contention — BENCH_r02 showed 4-10x swings on untouched sub-second
+    // queries). Round 5's conditional third run (only when min-of-2 <3s)
+    // could never exonerate a noisy 3s+ pair — text_dup_spans recorded
+    // 4.15s with unchanged code (BENCH_r05/VERDICT r5 #3). The min is the
+    // reproducible cost of the plan; run 1 absorbs footer reads + codegen.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -51,8 +52,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val m2 = math.min(timeOnce(name, fn), timeOnce(name, fn))
-        name -> (if (m2 < 3.0) math.min(m2, timeOnce(name, fn)) else m2)
+        name -> Seq.fill(3)(timeOnce(name, fn)).min
       }
     val total = results.map(_._2).sum
     // a failed query must be visible in the one line the driver reads,
@@ -64,8 +64,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // the side file is best-effort: a missing target/ (jar run, clean
+    // dir) must not throw AFTER all queries ran and suppress the primary
+    // stdout line below — that would lose the whole run's results
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] side-file write failed (non-fatal): ${e.getMessage}")
+    }
 
     // The driver keeps only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; sbt appends its own "[success] ..."
@@ -76,7 +84,10 @@ object Bench {
     // wouldn't fit, keep the SLOWEST queries (the ones perf review needs)
     // and say how many were elided. Full precision is in the file above.
     val budget = 1905
-    def round2(v: Double) = f"$v%.2f"
+    // Locale.ROOT: under a comma-decimal default locale (de_DE, fr_FR)
+    // f"$v%.2f" emits "1,23" — invalid JSON, driver parses null
+    def round2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val byCost = results.sortBy(-_._2)
     def lineFor(kept: Seq[(String, Double)], elided: Int): String = {
       val qs = kept.sortBy(_._1)
