@@ -61,6 +61,8 @@ object SparkEntry {
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "text_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    "text_dup_span_merge" -> ((s, d) => Dedup.dupSpanMerge(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
@@ -680,6 +682,79 @@ object SparkEntry {
         |  floor((CAST(coalesce(d.n_dup_grams, 0) AS DOUBLE) / s.n_grams) * 1e4 + 0.5) / 1e4 AS dup_frac
         |FROM sizes s LEFT JOIN dup d ON s.doc_id = d.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // dupSpanMerge(n=5): same cross-doc gram currency as text_dup_spans
+    // (grams joined as STRINGS where Spark joins xxhash64 keys), then the
+    // interval merge replayed as the standard window cumsum: a gram
+    // starts a new span iff pos > max(prior ends) + 1
+    "text_dup_span_merge" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+        |      FROM (SELECT doc_id,
+        |              unnest([{'pos': i - 1,
+        |                       'gram': words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]}
+        |                      for i in range(1, greatest(len(words) - 3, 1))]) AS u
+        |            FROM w)),
+        |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |           GROUP BY gram HAVING count(*) > 1),
+        |dupg AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+        |         FROM g JOIN shared ON g.gram = shared.gram),
+        |marked AS (SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dupg),
+        |numbered AS (SELECT doc_id, pos, e,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM marked),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS ee
+        |          FROM numbered GROUP BY doc_id, span_id),
+        |perdoc AS (SELECT doc_id, count(*) AS n_spans, sum(ee - s + 1) AS dup_tok
+        |           FROM spans GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.words) AS INT) AS n_tok,
+        |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(p.dup_tok, 0) AS BIGINT) AS dup_tok,
+        |  floor((CAST(coalesce(p.dup_tok, 0) AS DOUBLE)
+        |        / greatest(len(w.words), 1)) * 1e4 + 0.5) / 1e4 AS dup_tok_frac
+        |FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    // repetitionSignals(n=5): Spark computes every signal row-locally
+    // with sorted-array HOFs; the oracle replays each as the equivalent
+    // unnest + GROUP BY multiplicity query (top-token multiplicity = the
+    // longest equal run in the sorted token array; duplicated-gram
+    // occupancy = occurrences of grams with within-doc multiplicity > 1)
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id,
+        |                list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS toks
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                for i in range(1, greatest(len(toks) - 3, 1))]) AS gram
+        |      FROM base),
+        |toptok AS (SELECT doc_id, max(cnt) AS top_cnt
+        |           FROM (SELECT doc_id, tok, count(*) AS cnt
+        |                 FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+        |                 GROUP BY doc_id, tok)
+        |           GROUP BY doc_id),
+        |dupg AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+        |         FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |         GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(b.toks) AS INT) AS n_tok,
+        |  floor((CAST(len(list_distinct(b.toks)) AS DOUBLE)
+        |        / greatest(len(b.toks), 1)) * 1e4 + 0.5) / 1e4 AS distinct_ratio,
+        |  floor((CAST(coalesce(t.top_cnt, 0) AS DOUBLE)
+        |        / greatest(len(b.toks), 1)) * 1e4 + 0.5) / 1e4 AS top_token_frac,
+        |  CAST(greatest(len(b.toks) - 4, 0) AS INT) AS n_grams,
+        |  floor((CAST(coalesce(d.dup_occ, 0) AS DOUBLE)
+        |        / greatest(greatest(len(b.toks) - 4, 0), 1)) * 1e4 + 0.5) / 1e4 AS dup_gram_frac
+        |FROM base b LEFT JOIN toptok t ON b.doc_id = t.doc_id
+        |  LEFT JOIN dupg d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "parts_left_revenue" ->
       """SELECT p_partkey, p_brand, coalesce(rev, 0.0) AS revenue_1996,
         |  rev IS NULL AS unsold_1996

@@ -258,4 +258,28 @@ class DedupSpec extends SparkSpec {
       "short-short AND short-vs-long identical pairs must both surface, nothing else")
     assert(pairs.values.forall(_ === 1.0), "identical normalized texts score edit_sim 1.0")
   }
+
+  test("dup-span merge: overlapping grams coalesce, touching spans merge, gapped spans stay apart") {
+    val docs = Seq(
+      // two shared regions: "a b c d e f" (grams pos 0,1 with doc 2 ->
+      // overlapping intervals [0,4],[1,5] merge to [0,5]) and
+      // "p q r s t u" (grams pos 9,10 with doc 3 -> [9,14]); the gap
+      // (pos 9 > 5 + 1) keeps them as TWO spans
+      (1L, "a b c d e f x1 x2 x3 p q r s t u"),
+      (2L, "a b c d e f y1 y2 y3"),
+      (3L, "p q r s t u n1 n2 n3"),
+      // shared grams at pos 0 (ends 4) and pos 5 (starts right after):
+      // touching intervals merge into ONE maximal span [0,9]
+      (4L, "m1 m2 m3 m4 m5 k1 k2 k3 k4 k5"),
+      (5L, "m1 m2 m3 m4 m5 w1 w2 w3 w4"),
+      (6L, "k1 k2 k3 k4 k5 v1 v2 v3 v4"),
+      (7L, "u1 u2 u3")  // sub-n: no grams, still present with 0 spans
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanMergeOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(1L) === ((15, 2L, 12L, 0.8)), "disjoint regions stay two spans")
+    assert(rows(4L) === ((10, 1L, 10L, 1.0)), "touching intervals merge to one span")
+    assert(rows(7L) === ((3, 0L, 0L, 0.0)), "sub-n docs present with zero spans")
+  }
 }

@@ -255,4 +255,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0) === fp(1))
     assert(fp(0) !== fp(2))
   }
+
+  test("repetition signals: crafted docs incl. empty and sub-n-token") {
+    val docs = Seq(
+      // a,b,c ×4 each: distinct 3/12; top token 4/12; all 8 5-grams
+      // recur (period-3 cycle) -> dup_gram_frac 1.0
+      (1L, "a b c a b c a b c a b c"),
+      (2L, "x y z w v"),  // 5 distinct toks: exactly one gram, no dups
+      (3L, ""),           // empty: everything 0, no div-by-zero
+      (4L, "p q")         // sub-n: no grams, token signals still real
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionSignalsOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(rows(1L) === ((12, 0.25, 0.3333, 8, 1.0)))
+    assert(rows(2L) === ((5, 1.0, 0.2, 1, 0.0)))
+    assert(rows(3L) === ((0, 0.0, 0.0, 0, 0.0)))
+    assert(rows(4L) === ((2, 1.0, 0.5, 0, 0.0)))
+  }
 }
