@@ -49,9 +49,10 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "corpus_mixture" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "curation_keep_best" -> ((s, d) => TextAnalysis.keepBestPerCluster(s, d)),
+    "curation_keep_best_winnow" -> ((s, d) => TextAnalysis.keepBestPerClusterWinnow(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
-    "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
+    "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
@@ -404,6 +405,60 @@ object SparkEntry {
         |    JOIN sz sb ON sb.doc_id = b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
         |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a),
+        |q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |withc AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id, q.quality
+        |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |    LEFT JOIN cl ON cl.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, quality,
+        |  (row_number() OVER (PARTITION BY cluster_id
+        |                      ORDER BY quality DESC, doc_id ASC)) = 1 AS kept
+        |FROM withc ORDER BY doc_id""".stripMargin,
+    // keepBestPerClusterWinnow: same retention tail as curation_keep_best
+    // (recursive closure -> min-label clusters -> argmax quality), but
+    // the pairs are the CHAR-LEVEL winnowing pairs (as the green
+    // dedup_winnowing oracle: rolling 8-gram hash, window-min sketch,
+    // >64-doc fingerprint guard, sketch-Jaccard >= 0.5)
+    "curation_keep_best_winnow" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |  h AS (
+        |    SELECT doc_id,
+        |      list_transform(range(0, length(t) - 7),
+        |        i -> list_reduce(list_transform(string_split(substr(t, CAST(i + 1 AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT)),
+        |                         (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+        |    FROM t WHERE length(t) >= 8),
+        |  m AS (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(0, greatest(len(hs) - 8, 0) + 1),
+        |        j -> list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + 8 AS INT))))) AS fp
+        |    FROM h),
+        |  sk0 AS (SELECT DISTINCT doc_id, fp FROM m),
+        |  hot AS (SELECT fp FROM sk0 GROUP BY fp HAVING count(*) > 64),
+        |  sk AS (SELECT doc_id, fp FROM sk0 WHERE fp NOT IN (SELECT fp FROM hot)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sk GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |rt(a, b) AS (

@@ -649,8 +649,17 @@ object Dedup {
     * the shingle blocker), score, filter, total-order. */
   private def editDistanceVerify(docs: DataFrame, cands: DataFrame,
       simThreshold: Double, n: Int): DataFrame = {
+    // normalized text is consumed FOUR times below (fingerprint pass,
+    // short-doc slice, both candidate-join sides); checkpoint it so
+    // normText + tokenization run ONE corpus pass instead of four (the
+    // r5 fallback widening recomputed it per consumer — the suspected
+    // 2x bench regression turned out to be measurement noise, but the
+    // redundant passes were real). At cluster scale the same frame is
+    // the natural stored artifact (normalized text is the verify stage's
+    // working set, computed once per corpus snapshot).
     val txt = docs.select(col("doc_id"), normText(col("text")).as("t"),
       size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
+      .localCheckpoint()
     // exact-fingerprint fallback: a doc too short to shingle (n_tok < n)
     // is invisible to the blocker, so pair it against EVERY doc sharing
     // its normalized-text fingerprint — short or long (wsTokens splits
@@ -658,6 +667,14 @@ object Dedup {
     // yet normalize equal to a many-token doc). Identical texts still
     // surface as edit_dist 0. Scale shape: the short side is a tiny
     // slice of the corpus and the join ships only (16-byte fp, id).
+    // Bound: a fingerprint shared by k docs (s of them sub-n) emits
+    // O(k·s) pairs into the verifier, every one edit_dist 0 by
+    // construction — the worst case is a degenerate corpus of many
+    // identical tiny docs, where the right move is collapsing exact
+    // dups upstream (exact dedup) before asking for char-level
+    // NEAR-dup pairs; the pairs this fallback emits are short texts,
+    // so the quadratic Levenshtein DP on them is cheap in absolute
+    // terms even when k is large.
     val allFp = txt.select(col("doc_id"), md5(col("t")).as("fp"))
     val short = txt.filter(col("n_tok") < n)
       .select(col("doc_id"), md5(col("t")).as("fp"))
@@ -778,6 +795,26 @@ object Dedup {
     graft.sources.ArtifactCache.readOrWrite(spark, "pairs",
       s"$sfDir|$threshold|$n", s"$sfDir/documents.parquet")(
       ngramJaccardPairs(spark, sfDir, threshold, n))
+
+  /** The winnowing (char-level) pair table as a stored artifact — the
+    * same write-then-reuse posture as [[materializedPairs]]: computed
+    * once per (corpus dir, params, corpus fingerprint) and consumed
+    * read-only by the driver query and char-level curation alike
+    * ([[graft.operators.TextAnalysis.keepBestPerClusterWinnow]]). */
+  def materializedWinnowingPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, k: Int = 8, w: Int = 8,
+      maxFpFreq: Int = 64): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "winnow-pairs",
+      s"$sfDir|$threshold|$k|$w|$maxFpFreq", s"$sfDir/documents.parquet")(
+      winnowingPairs(spark, sfDir, threshold, k, w, maxFpFreq))
+
+  /** Driver-contract form of the winnowing pair query: identical rows to
+    * [[winnowingPairs]], total order re-applied after the parquet
+    * round-trip. */
+  def winnowingPairsMaterialized(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    materializedWinnowingPairs(spark, sfDir, threshold)
+      .orderBy("doc_a", "doc_b")
 
   /** Driver-contract form of the exact pair query: reads the materialized
     * pair table (identical rows to [[ngramJaccardPairs]]; total order

@@ -435,8 +435,24 @@ object TextAnalysis {
     * [[qualityScore]] — three already-verified operators joined, then
     * one row_number window per cluster. At scale the window key is
     * ~N distinct clusters (singletons dominate), so no skew. */
-  def keepBestPerCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = Dedup.nearDupClusters(spark, sfDir)
+  def keepBestPerCluster(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestFrom(spark, sfDir, Dedup.nearDupClusters(spark, sfDir))
+
+  /** Char-level variant: clusters built from the WINNOWING pair table
+    * ([[Dedup.materializedWinnowingPairs]]) instead of the token-shingle
+    * Jaccard pairs — the retention pass that catches near-dups the
+    * token-level blocker misses (reformatted text, shifted word
+    * boundaries: winnowing fingerprints char k-grams). Same verified
+    * building blocks, different pair source. */
+  def keepBestPerClusterWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestFrom(spark, sfDir, Dedup.duplicateClusters(
+      Dedup.materializedWinnowingPairs(spark, sfDir).select("doc_a", "doc_b")))
+
+  /** Shared retention tail over any (doc_id, cluster_id) cluster frame:
+    * every doc joins its cluster (its own id when unclustered), one
+    * row_number window per cluster keeps the argmax-quality member. */
+  private def keepBestFrom(spark: SparkSession, sfDir: String,
+      clusters: DataFrame): DataFrame = {
     val withCluster = Tables.documents(spark, sfDir).select("doc_id")
       .join(clusters, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -273,4 +273,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) === ((0, 0.0, 0.0, 0, 0.0)))
     assert(rows(4L) === ((2, 1.0, 0.5, 0, 0.0)))
   }
+
+  test("keep-best over winnowing clusters: every doc present, exactly one kept per cluster, argmax quality") {
+    val out = TextAnalysis.keepBestPerClusterWinnow(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs, "retention verdict covers the whole corpus")
+    out.groupBy(_.getLong(1)).foreach { case (c, rows) =>
+      assert(rows.count(_.getBoolean(3)) === 1, s"cluster $c must keep exactly one member")
+      val kept = rows.find(_.getBoolean(3)).get
+      val best = rows.maxBy(r => (r.getDouble(2), -r.getLong(0)))
+      assert(kept.getLong(0) === best.getLong(0),
+        s"cluster $c keeps the argmax-quality member (ties to lower doc_id)")
+    }
+  }
 }
