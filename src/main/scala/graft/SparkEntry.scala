@@ -74,6 +74,10 @@ object SparkEntry {
     // --- events: JSON, event-time windows, sessionization ---
     "events_json_stats" -> (Events.jsonStats _),
     "events_tumbling" -> (Events.tumblingHourly _),
+    // the file-source Structured Streaming path, run to completion —
+    // shares events_tumbling's oracle, so stream/batch parity is a
+    // driver-checked fact, not only an sbt-test one
+    "stream_tumbling" -> (graft.streaming.EventStream.tumblingViaStream _),
     "events_sliding" -> (Events.slidingHourly _),
     "events_sessionize" -> (Events.sessionize _),
     "events_user_stats" -> (Events.userStats _),
@@ -89,6 +93,7 @@ object SparkEntry {
     "events_pivot" -> (Events.userTypePivot _),
     "quantity_percentiles" -> (Events.quantityPercentiles _),
     "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
+    "curation_gated" -> ((s, d) => TextAnalysis.curationGated(s, d)),
     "events_range_join" -> ((s, d) => Events.nearbyEventPairs(s, d)),
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> (Events.stratifiedSample _),
@@ -105,6 +110,52 @@ object SparkEntry {
     "events_dense_hourly" -> (Events.denseHourlyCounts _),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
   )
+
+  /** Shared CTE prefix (quality, langid, token counts, 3-gram-Jaccard
+    * near-dup losers) for the curation_pipeline / curation_gated
+    * oracles — one definition so the two stay in lockstep. */
+  private val curationCtes: String =
+    """WITH q AS (SELECT doc_id,
+      |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+      |      + 0.3 * least(len / 500.0, 1.0)
+      |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+      |  FROM (SELECT doc_id,
+      |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+      |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+      |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+      |          CAST(length(text) AS DOUBLE) AS len
+      |        FROM documents)),
+      |l AS (SELECT doc_id,
+      |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
+      |       WHEN hf > greatest(he, hs) THEN 'fr'
+      |       WHEN hs > he THEN 'es'
+      |       WHEN he > 0 THEN 'en'
+      |       ELSE 'und' END AS lang_pred
+      |  FROM (SELECT doc_id,
+      |          len(regexp_extract_all(text, '\b(the|and|of|to|is|that|it)\b')) AS he,
+      |          len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las)\b')) AS hs,
+      |          len(regexp_extract_all(text, '\b(le|la|les|de|et|est|une)\b')) AS hf,
+      |          len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS hd
+      |        FROM documents)),
+      |t AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS INT) AS n_tokens
+      |  FROM documents),
+      |""".stripMargin +
+    """w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle
+      |       FROM (SELECT doc_id,
+      |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+      |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+      |             FROM w)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id AS doc_id
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    JOIN sz sa ON sa.doc_id = a.doc_id
+      |    JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+      |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -556,54 +607,51 @@ object SparkEntry {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "curation_pipeline" ->
-      ("""WITH q AS (SELECT doc_id,
-        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
-        |      + 0.3 * least(len / 500.0, 1.0)
-        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
-        |  FROM (SELECT doc_id,
-        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
-        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
-        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
-        |          CAST(length(text) AS DOUBLE) AS len
-        |        FROM documents)),
-        |l AS (SELECT doc_id,
-        |  CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
-        |       WHEN hf > greatest(he, hs) THEN 'fr'
-        |       WHEN hs > he THEN 'es'
-        |       WHEN he > 0 THEN 'en'
-        |       ELSE 'und' END AS lang_pred
-        |  FROM (SELECT doc_id,
-        |          len(regexp_extract_all(text, '\b(the|and|of|to|is|that|it)\b')) AS he,
-        |          len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las)\b')) AS hs,
-        |          len(regexp_extract_all(text, '\b(le|la|les|de|et|est|une)\b')) AS hf,
-        |          len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS hd
-        |        FROM documents)),
-        |t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS INT) AS n_tokens
-        |  FROM documents),
-        |""".stripMargin +
-       """w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, shingle
-        |       FROM (SELECT doc_id,
-        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
-        |             FROM w)),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |losers AS (
-        |  SELECT DISTINCT b.doc_id AS doc_id
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |    JOIN sz sa ON sa.doc_id = a.doc_id
-        |    JOIN sz sb ON sb.doc_id = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
-        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8)
-        |SELECT d.doc_id, q.quality, t.n_tokens
+      (curationCtes + "\n" +
+       """SELECT d.doc_id, q.quality, t.n_tokens
         |FROM documents d
         |  JOIN q ON q.doc_id = d.doc_id
         |  JOIN l ON l.doc_id = d.doc_id
         |  JOIN t ON t.doc_id = d.doc_id
         |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+    "curation_gated" ->
+      (curationCtes + ",\n" +
+       """rb AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS toks FROM documents),
+        |rg AS (SELECT doc_id,
+        |        unnest([toks[i] || ' ' || toks[i+1]
+        |                for i in range(1, greatest(len(toks), 1))]) AS gram
+        |      FROM rb),
+        |rtop AS (SELECT doc_id, max(cnt) AS top_cnt
+        |         FROM (SELECT doc_id, tok, count(*) AS cnt
+        |               FROM (SELECT doc_id, unnest(toks) AS tok FROM rb)
+        |               GROUP BY doc_id, tok)
+        |         GROUP BY doc_id),
+        |rdup AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+        |         FROM (SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY doc_id, gram)
+        |         GROUP BY doc_id),
+        |rep AS (SELECT b.doc_id,
+        |  floor((CAST(len(list_distinct(b.toks)) AS DOUBLE)
+        |        / greatest(len(b.toks), 1)) * 1e4 + 0.5) / 1e4 AS distinct_ratio,
+        |  floor((CAST(coalesce(tt.top_cnt, 0) AS DOUBLE)
+        |        / greatest(len(b.toks), 1)) * 1e4 + 0.5) / 1e4 AS top_token_frac,
+        |  floor((CAST(coalesce(dd.dup_occ, 0) AS DOUBLE)
+        |        / greatest(greatest(len(b.toks) - 1, 0), 1)) * 1e4 + 0.5) / 1e4 AS dup_gram_frac
+        |  FROM rb b LEFT JOIN rtop tt ON b.doc_id = tt.doc_id
+        |    LEFT JOIN rdup dd ON b.doc_id = dd.doc_id)
+        |SELECT d.doc_id, q.quality, t.n_tokens,
+        |  r.dup_gram_frac, r.top_token_frac, r.distinct_ratio
+        |FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN l ON l.doc_id = d.doc_id
+        |  JOIN t ON t.doc_id = d.doc_id
+        |  JOIN rep r ON r.doc_id = d.doc_id
+        |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
+        |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
+        |  AND r.dup_gram_frac <= 0.12 AND r.top_token_frac <= 0.14
+        |  AND r.distinct_ratio >= 0.35
         |ORDER BY d.doc_id""".stripMargin),
     "events_range_join" ->
       """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
@@ -977,6 +1025,12 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical to events_tumbling BY DESIGN: the streaming path must
+    // reproduce the batch aggregation exactly
+    "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

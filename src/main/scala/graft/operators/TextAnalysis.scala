@@ -65,12 +65,32 @@ object TextAnalysis {
       |END""".stripMargin
 
   /** Occurrences that are part of a repeated group in the sorted gram
-    * array `sg`: an element repeats iff it equals a neighbor. */
+    * array `sg` (an element repeats iff it sits in an equal-run of
+    * length ≥ 2): single-pass run-length fold — a run of length r ≥ 2
+    * contributes r (2 when the run first extends, +1 per further
+    * element). The fold references `sg` exactly ONCE, which matters
+    * beyond elegance: HOFs evaluate interpreted (no codegen CSE), and
+    * the optimizer's predicate pushdown substitutes alias chains into
+    * filter conditions with no cost model — a formulation that indexes
+    * `sg` per element (`element_at(sg, i)` under a lambda) re-evaluates
+    * the whole split→transform→sort chain O(m) times per row once a
+    * downstream gate is pushed into this projection (observed: a
+    * single 2s-shaped query running 10+ minutes). Single-reference
+    * folds are immune no matter where the optimizer moves them. */
   private val dupOccSql =
-    """CASE WHEN size(sg) = 0 THEN 0 ELSE
-      |  size(filter(sequence(1, size(sg)), i ->
-      |    (i > 1 AND element_at(sg, i) = element_at(sg, i - 1)) OR
-      |    (i < size(sg) AND element_at(sg, i) = element_at(sg, i + 1))))
+    """CASE WHEN size(sg) = 0 THEN CAST(0 AS BIGINT) ELSE
+      |  aggregate(sg,
+      |    named_struct('prev', CAST(NULL AS STRING),
+      |                 'run', CAST(0 AS BIGINT), 'tot', CAST(0 AS BIGINT)),
+      |    (acc, x) -> named_struct(
+      |      'prev', x,
+      |      'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+      |               THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+      |      'tot', acc.tot + CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+      |               THEN CASE WHEN acc.run = CAST(1 AS BIGINT)
+      |                         THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+      |               ELSE CAST(0 AS BIGINT) END),
+      |    acc -> acc.tot)
       |END""".stripMargin
 
   /** Within-document repetition profile — the Gopher-family signals that
@@ -299,6 +319,42 @@ object TextAnalysis {
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .join(toks, Seq("doc_id"))
       .select("doc_id", "quality", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** [[curationPipeline]] plus the Gopher/C4 repetition gates from
+    * [[repetitionSignalsOf]]: drop documents dominated by repeated
+    * 2-grams (`dup_gram_frac`), by one token (`top_token_frac`, C4's
+    * most-frequent-word rule), or with a collapsed vocabulary
+    * (`distinct_ratio`). Gates, not score inputs — a document passes
+    * all of them or is dropped, matching how Gopher applies its
+    * repetition thresholds. n=2 grams: within-doc 5-gram repeats are
+    * rare in short documents, so the 2-gram reading is the one that
+    * actually discriminates at this document length (the threshold is
+    * a dial either way). Plan shape: the repetition signals are
+    * row-local HOFs over the same documents scan the quality/langid
+    * stages already read — Catalyst shares the scan, and the gate is
+    * one more join on doc_id in the same job, nothing corpus-wide. */
+  def curationGated(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.4, n: Int = 2,
+      maxDupGramFrac: Double = 0.12, maxTopTokenFrac: Double = 0.14,
+      minDistinctRatio: Double = 0.35): DataFrame = {
+    // materialize the signals ONCE before gating: the gate predicates
+    // would otherwise be pushed below this projection and re-evaluate
+    // the interpreted HOF chains per predicate per row (see dupOccSql's
+    // comment). At scale this is also the honest architecture — a
+    // per-doc stats table is computed once per snapshot and gates read
+    // materialized values, they don't re-derive signals inline.
+    val rep = repetitionSignalsOf(Tables.documents(spark, sfDir), n)
+      .select("doc_id", "distinct_ratio", "top_token_frac", "dup_gram_frac")
+      .localCheckpoint()
+    curationPipeline(spark, sfDir, minQuality)
+      .join(rep, Seq("doc_id"))
+      .filter(col("dup_gram_frac") <= maxDupGramFrac &&
+        col("top_token_frac") <= maxTopTokenFrac &&
+        col("distinct_ratio") >= minDistinctRatio)
+      .select("doc_id", "quality", "n_tokens", "dup_gram_frac",
+        "top_token_frac", "distinct_ratio")
       .orderBy("doc_id")
   }
 

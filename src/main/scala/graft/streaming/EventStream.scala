@@ -66,6 +66,53 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver-contract entry for the streaming path: run the events
+    * parquet through the FILE-SOURCE streaming pipeline ([[readEvents]]
+    * → [[windowedCounts]]) to completion and return the result as a
+    * batch DataFrame — the incremental twin of `events_tumbling`,
+    * sharing its oracle, so streaming correctness is visible to the
+    * driver and not only to `sbt test`.
+    *
+    * `Trigger.AvailableNow` drains the source and stops; `complete`
+    * output mode emits EVERY window, including the ones a watermark
+    * would still hold open at end-of-input under `append` (the final
+    * hour of a finite corpus never closes in append mode because no
+    * later event advances the watermark past it — that would break
+    * batch parity). Complete mode ignores the watermark for eviction,
+    * which is exactly right here: the result must equal the batch
+    * aggregation over all input. The memory sink holds only the
+    * aggregated (hour × event_type) rows, not the events. Production
+    * wiring with a durable sink + checkpoint is [[startFileSink]]. */
+  def tumblingViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
+    // the test corpus stores events as a single parquet FILE; the file
+    // stream source derives basePath from a non-glob path and then
+    // requires it to be a directory, so give it a GLOB (which matches
+    // only events.parquet) plus the parent dir as explicit basePath.
+    // In production both are the events directory and readEvents alone
+    // is the wiring. `ts` is timestamp[ns] in the corpus parquet —
+    // same nanosAsLong + micros conversion the batch reader
+    // (graft.sources.Tables.events) applies, so both paths see
+    // identical timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events.parquet*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = windowedCounts(src)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
   /** foreachBatch escape hatch: arbitrary batch-side logic per
     * micro-batch (upserts, multi-sink fanout) with the batchId for
     * idempotence. */

@@ -322,4 +322,17 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("file-source streaming tumbling equals the batch operator on real data") {
+    // the driver-contract path: readStream over the events parquet,
+    // AvailableNow to completion — must reproduce Events.tumblingHourly
+    // row for row (same oracle as events_tumbling)
+    val streamed = EventStream.tumblingViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Events.tumblingHourly(spark, sf)
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }

@@ -286,4 +286,26 @@ class TextAnalysisSpec extends SparkSpec {
         s"cluster $c keeps the argmax-quality member (ties to lower doc_id)")
     }
   }
+
+  test("gated curation = ungated pipeline partitioned exactly by the repetition gates") {
+    val pipeline = TextAnalysis.curationPipeline(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gated = TextAnalysis.curationGated(spark, sf).collect()
+    val gatedIds = gated.map(_.getLong(0)).toSet
+    assert(gatedIds.subsetOf(pipeline), "gating only removes, never adds")
+    // every survivor satisfies all three gates
+    gated.foreach { r =>
+      assert(r.getDouble(3) <= 0.12 && r.getDouble(4) <= 0.14 &&
+        r.getDouble(5) >= 0.35, s"doc ${r.getLong(0)} passed with a gate violated")
+    }
+    // every pipeline doc the gates dropped violates at least one gate
+    val rep = TextAnalysis.repetitionSignalsOf(
+        graft.sources.Tables.documents(spark, sf), 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getDouble(3), r.getDouble(2)))).toMap
+    (pipeline -- gatedIds).foreach { id =>
+      val (dup, top, dist) = rep(id)
+      assert(dup > 0.12 || top > 0.14 || dist < 0.35,
+        s"doc $id was dropped but violates no gate")
+    }
+  }
 }
