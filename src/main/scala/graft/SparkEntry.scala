@@ -59,9 +59,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedupPairs(s, d)),
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "text_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    "text_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "text_dup_span_merge" -> ((s, d) => Dedup.dupSpanMerge(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -672,6 +674,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, metric""".stripMargin,
     // stratified_sample: engine-specific RNG -> rows-only check
     "ann_topk_ivf" -> ivfTrainedOracle(2),
+    "dedup_semantic" -> semanticDedupOracle(2, 0.3),
     // samplePerGroup(k=10, seed=smp0): same seeded-md5 device as
     // corpus_mixture; row_number ties broken by doc_id in both engines
     "corpus_sample_per_group" ->
@@ -785,6 +788,37 @@ object SparkEntry {
         |  floor((CAST(coalesce(d.n_dup_grams, 0) AS DOUBLE) / s.n_grams) * 1e4 + 0.5) / 1e4 AS dup_frac
         |FROM sizes s LEFT JOIN dup d ON s.doc_id = d.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // line dedup: df counts DISTINCT docs per trimmed-line hash; lines
+    // at df >= 2 are dropped from every doc; clean_text re-concatenates
+    // the surviving non-blank lines in position order
+    "text_line_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+        |pl AS (SELECT doc_id, u.pos AS pos, u.line AS line
+        |       FROM (SELECT doc_id,
+        |               unnest([{'pos': i - 1, 'line': arr[i]}
+        |                       for i in range(1, len(arr) + 1)]) AS u
+        |             FROM base)),
+        |l AS (SELECT doc_id, pos, line, md5(trim(line)) AS h
+        |      FROM pl WHERE trim(line) != ''),
+        |df AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS n
+        |                      FROM l GROUP BY h) WHERE n >= 2),
+        |dup AS (SELECT l.doc_id, l.pos FROM l JOIN df USING (h)),
+        |nd AS (SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY doc_id),
+        |nl AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+        |clean AS (SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS t
+        |          FROM l LEFT JOIN dup d ON l.doc_id = d.doc_id AND l.pos = d.pos
+        |          WHERE d.pos IS NULL GROUP BY l.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(nl.n_lines, 0) AS INT) AS n_lines,
+        |  CAST(coalesce(nd.n_dup, 0) AS INT) AS n_dup_lines,
+        |  floor((CAST(coalesce(nd.n_dup, 0) AS DOUBLE)
+        |        / greatest(coalesce(nl.n_lines, 0), 1)) * 1e4 + 0.5) / 1e4 AS dup_line_frac,
+        |  coalesce(c.t, '') AS clean_text
+        |FROM base b
+        |  LEFT JOIN nl ON nl.doc_id = b.doc_id
+        |  LEFT JOIN nd ON nd.doc_id = b.doc_id
+        |  LEFT JOIN clean c ON c.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // dupSpanMerge(n=5): same cross-doc gram currency as text_dup_spans
     // (grams joined as STRINGS where Spark joins xxhash64 keys), then the
     // interval merge replayed as the standard window cumsum: a gram
@@ -1143,6 +1177,33 @@ object SparkEntry {
        |        CAST(CAST(sum(CAST(floor(CAST(list_extract(v.embedding, p.pos) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS val
        |      FROM n v JOIN $asg a ON v.vec_id = a.vec_id CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
        |      GROUP BY a.cluster, p.pos) GROUP BY cent_id))""".stripMargin
+
+  /** SemDeDup oracle: replay k-means training + full assignment (the
+    * exact CTEs the IVF oracle uses), then the within-cell pair join at
+    * the threshold — training, cells, and pairs all re-derived in SQL. */
+  private def semanticDedupOracle(iters: Int, threshold: Double): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(va.embedding, i) AS DOUBLE) * CAST(list_extract(vb.embedding, i) AS DOUBLE))) / (va.nrm * vb.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |  FROM assigned a
+       |    JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN n va ON va.vec_id = a.vec_id
+       |    JOIN n vb ON vb.vec_id = b.vec_id)
+       |SELECT cluster, keep_id, dup_id, cosine FROM pairs
+       |WHERE cosine >= $threshold
+       |ORDER BY cluster, keep_id, dup_id""".stripMargin
+  }
 
   private def ivfTrainedOracle(iters: Int): String = {
     val training = (0 until iters).map { t =>

@@ -62,6 +62,61 @@ object Dedup {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("canonical_id")
 
+  /** Line-level corpus dedup (the C4 / RefinedWeb rule): a line whose
+    * trimmed form appears in `minDf`-or-more DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license headers) and is
+    * removed from EVERY document; per-doc output is the profile
+    * (non-blank line count, duplicated-line count, fraction) plus the
+    * cleaned text with those lines dropped. Blank lines are not hashed
+    * and do not survive into `clean_text`. A line repeated only within
+    * one document is NOT removed — document frequency, not occurrence
+    * count, is the signal (within-doc repetition is
+    * [[TextAnalysis.repetitionSignalsOf]]'s job).
+    *
+    * Scale shape — the text never shuffles: each doc row explodes only
+    * (16-byte line hash, doc_id, pos); document frequency is one
+    * hash-keyed agg; flagged positions come back as a per-doc int
+    * array; the doc then rebuilds `clean_text` ROW-LOCALLY by filtering
+    * its own lines against that array. The alternative (group the line
+    * TEXT by doc and re-concatenate) ships the whole corpus through an
+    * exchange — wrong at any scale. */
+  def lineDedupOf(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), md5(trim(col("line"))).as("h"))
+    val df = lines.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+    val dupPos = lines.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("pos")).as("dup_pos"))
+    docs
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .withColumn("dup_pos", coalesce(col("dup_pos"), array()))
+      // pair each line with its 0-based position once, then both the
+      // counts and the rebuild read that single array
+      .withColumn("pl", expr("filter(transform(ls, (l, i) -> struct(i AS pos, l AS line)), s -> trim(s.line) != '')"))
+      .select(
+        col("doc_id"),
+        size(col("pl")).as("n_lines"),
+        size(col("dup_pos")).as("n_dup_lines"),
+        rd(size(col("dup_pos")).cast("double") /
+          greatest(size(col("pl")), lit(1)), 4).as("dup_line_frac"),
+        expr("concat_ws('\n', transform(filter(pl, s -> NOT array_contains(dup_pos, s.pos)), s -> s.line))")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus form of [[lineDedupOf]]. The synthetic corpus is single-line
+    * (no '\n' in any doc), so the registered query is a plumbing check
+    * here — the rule's semantics are exercised by crafted multi-line
+    * docs in DedupSpec (same posture as text_pii_scrub: clean corpus,
+    * biting spec). */
+  def lineDedup(spark: SparkSession, sfDir: String, minDf: Int = 2): DataFrame =
+    lineDedupOf(Tables.documents(spark, sfDir), minDf)
+
   /** Shared skew guard: shingles occurring in > maxFreq docs are noise
     * (their buckets explode quadratically) — standard in web-scale dedup.
     * When the shingle set comes from canonical docs, each canonical
@@ -895,5 +950,47 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** SemDeDup-style semantic dedup (cluster-then-compare, after Abbas
+    * et al. 2023): pairwise cosine is checked only WITHIN a k-means
+    * cell — semantically redundant documents land in the same cell, so
+    * cross-cell pairs are never compared at all. Emits (cluster,
+    * keep_id, dup_id, cosine) for every same-cell pair at or above the
+    * threshold; the lower vec_id is the designated keeper, matching
+    * [[exact]]'s min-id convention.
+    *
+    * This is the scale answer to [[embeddingNearDupPairsBlocked]]'s
+    * documented Ω(N²): compare count drops to Σ|cell|² (N²/C balanced),
+    * and the price is recall — a near-dup pair straddling a cell
+    * boundary is missed, the accepted SemDeDup trade. The cells come
+    * from the STORED coarse quantizer ([[Similarity.centroidIndex]] /
+    * [[Similarity.assignmentIndex]]), shared with IVF search — one
+    * training pass per corpus snapshot serves both retrieval and
+    * dedup. Shuffle currency is (vec_id, cluster) ids; vectors join
+    * back by id and meet keyed by cluster, so each reducer holds one
+    * cell, not the corpus. Threshold 0.3 sits inside this synthetic
+    * corpus's similarity continuum (pairwise cosine tops out ≈0.51);
+    * real deployments run 0.9+ on clustered embeddings — a dial, not
+    * a semantic. Oracle: DuckDB replays training, assignment, and the
+    * within-cell join end-to-end (same CTEs as `ann_topk_ivf`). */
+  def semanticDedupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, numCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.VectorOps
+    val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
+    val withVec = Similarity.assignmentIndex(spark, sfDir, numCentroids, iters)
+      .join(emb, Seq("vec_id"))
+    val a = renamed(withVec, "cluster" -> "cluster",
+      "vec_id" -> "keep_id", "e" -> "e_a", "nrm" -> "n_a")
+    val b = renamed(withVec, "cluster" -> "cluster",
+      "vec_id" -> "dup_id", "e" -> "e_b", "nrm" -> "n_b")
+    a.join(b, Seq("cluster"))
+      .filter(col("keep_id") < col("dup_id"))
+      .select(col("cluster"), col("keep_id"), col("dup_id"),
+        rd(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("cluster", "keep_id", "dup_id")
   }
 }

@@ -339,16 +339,23 @@ object TextAnalysis {
       minQuality: Double = 0.4, n: Int = 2,
       maxDupGramFrac: Double = 0.12, maxTopTokenFrac: Double = 0.14,
       minDistinctRatio: Double = 0.35): DataFrame = {
-    // materialize the signals ONCE before gating: the gate predicates
-    // would otherwise be pushed below this projection and re-evaluate
-    // the interpreted HOF chains per predicate per row (see dupOccSql's
-    // comment). At scale this is also the honest architecture — a
-    // per-doc stats table is computed once per snapshot and gates read
-    // materialized values, they don't re-derive signals inline.
-    val rep = repetitionSignalsOf(Tables.documents(spark, sfDir), n)
+    // stage the filters: run the (already cheap-gated) pipeline first,
+    // then compute repetition signals ONLY for its survivors — the
+    // gates are conjunctive, so this is semantics-preserving, and the
+    // expensive per-doc HOF pass reads the post-quality/lang/dedup
+    // subset instead of the whole corpus. Both stages materialize
+    // (localCheckpoint): the outputs are tiny per-doc stat rows, and
+    // the materialization doubles as the pushdown barrier — without
+    // it the gate predicates are pushed into the signal projection and
+    // re-evaluate the interpreted HOF chains per predicate per row
+    // (see dupOccSql's comment).
+    val kept = curationPipeline(spark, sfDir, minQuality).localCheckpoint()
+    val rep = repetitionSignalsOf(
+        Tables.documents(spark, sfDir)
+          .join(kept.select("doc_id"), Seq("doc_id"), "left_semi"), n)
       .select("doc_id", "distinct_ratio", "top_token_frac", "dup_gram_frac")
       .localCheckpoint()
-    curationPipeline(spark, sfDir, minQuality)
+    kept
       .join(rep, Seq("doc_id"))
       .filter(col("dup_gram_frac") <= maxDupGramFrac &&
         col("top_token_frac") <= maxTopTokenFrac &&

@@ -282,4 +282,67 @@ class DedupSpec extends SparkSpec {
     assert(rows(4L) === ((10, 1L, 10L, 1.0)), "touching intervals merge to one span")
     assert(rows(7L) === ((3, 0L, 0L, 0.0)), "sub-n docs present with zero spans")
   }
+
+  test("line dedup: cross-doc boilerplate removed everywhere, within-doc repeats kept") {
+    val docs = Seq(
+      // "cookie banner" shared by docs 1-3 (df=3) -> removed from ALL;
+      // doc 1 carries it TWICE (both copies removed); "  cookie banner"
+      // in doc 3 trims equal -> same hash, removed, original spacing
+      // never matters for matching
+      (1L, "cookie banner\nunique first line\ncookie banner\nanother unique"),
+      (2L, "cookie banner\nsecond doc body"),
+      (3L, "  cookie banner \nthird doc body"),
+      // within-ONE-doc repeat (df=1): kept both times — document
+      // frequency, not occurrence count, is the signal
+      (4L, "echo echo line\nsome middle\necho echo line"),
+      // blank lines are not hashed and vanish from clean_text
+      (5L, "\n\nonly line here\n\n"),
+      (6L, "")  // fully empty doc: zeros and empty clean_text
+    ).toDF("doc_id", "text")
+    val rows = Dedup.lineDedupOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(rows(1L) === ((4, 2, 0.5, "unique first line\nanother unique")))
+    assert(rows(2L) === ((2, 1, 0.5, "second doc body")))
+    assert(rows(3L) === ((2, 1, 0.5, "third doc body")))
+    assert(rows(4L) === ((3, 0, 0.0, "echo echo line\nsome middle\necho echo line")),
+      "within-doc repeats are not boilerplate")
+    assert(rows(5L) === ((1, 0, 0.0, "only line here")), "blank lines dropped, not counted")
+    assert(rows(6L) === ((0, 0, 0.0, "")))
+  }
+
+  test("semantic dedup: exactly the same-cell pairs at the threshold, nothing across cells") {
+    val th = 0.3
+    val out = Dedup.semanticDedupPairs(spark, sf, th).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "threshold must bite on this corpus")
+    // recompute cells and cosines driver-side (500 vecs at this sf)
+    val cell = graft.operators.Similarity.assignmentIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.functions.VectorOps.normalizedEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(3)))).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (ea, na) = vecs(a); val (eb, nb) = vecs(b)
+      var s = 0.0; var i = 0
+      while (i < ea.length) { s += ea(i) * eb(i); i += 1 }
+      math.floor(s / (na * nb) * 1e4 + 0.5) / 1e4
+    }
+    out.foreach { case (cl, a, b, c) =>
+      assert(a < b, "keeper is the lower id")
+      assert(cell(a) === cl && cell(b) === cl, "pairs never straddle cells")
+      assert(c >= th, s"pair ($a,$b) below threshold")
+    }
+    val emitted = out.map(p => (p._2, p._3)).toSet
+    // set equality outside a band around the threshold (driver double
+    // math can differ from the engine by an ulp exactly AT the cut)
+    val ids = vecs.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b && cell(a) == cell(b)) {
+      val c = cos(a, b)
+      if (c >= th + 2e-4)
+        assert(emitted.contains((a, b)), s"missing same-cell pair ($a,$b) cos=$c")
+      else if (c < th - 2e-4)
+        assert(!emitted.contains((a, b)), s"below-threshold pair ($a,$b) cos=$c emitted")
+    }
+  }
 }
