@@ -82,6 +82,7 @@ object SparkEntry {
     "stream_tumbling" -> (graft.streaming.EventStream.tumblingViaStream _),
     "events_sliding" -> (Events.slidingHourly _),
     "events_sessionize" -> (Events.sessionize _),
+    "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
@@ -1076,20 +1077,10 @@ object SparkEntry {
         |       ]) AS ws, value
         |      FROM events)
         |GROUP BY ws ORDER BY ws""".stripMargin,
-    "events_sessionize" ->
-      """WITH m AS (SELECT user_id, ts, value,
-        |             CASE WHEN lag(ts) OVER w IS NULL
-        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |                  THEN 1 ELSE 0 END AS is_new
-        |           FROM events
-        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, ts, value,
-        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |                          ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM m)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
-        |  count(*) AS n_events, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS session_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "events_sessionize" -> sessionizeOracle,
+    // identical to events_sessionize BY DESIGN: the stateful streaming
+    // session_window must reproduce the batch sessionization exactly
+    "stream_sessionize" -> sessionizeOracle,
     "events_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,
@@ -1177,6 +1168,23 @@ object SparkEntry {
        |        CAST(CAST(sum(CAST(floor(CAST(list_extract(v.embedding, p.pos) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS val
        |      FROM n v JOIN $asg a ON v.vec_id = a.vec_id CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
        |      GROUP BY a.cluster, p.pos) GROUP BY cent_id))""".stripMargin
+
+  /** Gap-based sessionization as ANSI SQL (lag + cumulative session id),
+    * shared verbatim by the batch query and its streaming twin. */
+  private val sessionizeOracle: String =
+    """WITH m AS (SELECT user_id, ts, value,
+      |             CASE WHEN lag(ts) OVER w IS NULL
+      |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                  THEN 1 ELSE 0 END AS is_new
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, value,
+      |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+      |  count(*) AS n_events, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS session_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** SemDeDup oracle: replay k-means training + full assignment (the
     * exact CTEs the IVF oracle uses), then the within-cell pair join at

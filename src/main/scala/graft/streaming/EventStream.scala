@@ -85,32 +85,76 @@ object EventStream {
     * aggregation over all input. The memory sink holds only the
     * aggregated (hour × event_type) rows, not the events. Production
     * wiring with a durable sink + checkpoint is [[startFileSink]]. */
-  def tumblingViaStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
-    // the test corpus stores events as a single parquet FILE; the file
-    // stream source derives basePath from a non-glob path and then
-    // requires it to be a directory, so give it a GLOB (which matches
-    // only events.parquet) plus the parent dir as explicit basePath.
-    // In production both are the events directory and readEvents alone
-    // is the wiring. `ts` is timestamp[ns] in the corpus parquet —
-    // same nanosAsLong + micros conversion the batch reader
-    // (graft.sources.Tables.events) applies, so both paths see
-    // identical timestamps.
+  /** Streaming source over the corpus events parquet. The test corpus
+    * stores events as a single parquet FILE; the file stream source
+    * derives basePath from a non-glob path and then requires it to be
+    * a directory, so give it a GLOB (which matches only events.parquet)
+    * plus the parent dir as explicit basePath. In production both are
+    * the events directory and [[readEvents]] alone is the wiring. `ts`
+    * is timestamp[ns] in the corpus parquet — same nanosAsLong + micros
+    * conversion the batch reader (graft.sources.Tables.events) applies,
+    * so both paths see identical timestamps. */
+  private def corpusEventsSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
+    spark.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events.parquet*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = windowedCounts(src)
-      .writeStream
+  }
+
+  /** Drain a finite streaming frame to completion and hand back the
+    * result as a batch DataFrame. `Trigger.AvailableNow` consumes the
+    * source and stops; `complete` output mode emits EVERY window,
+    * including the ones a watermark would still hold open at
+    * end-of-input under `append` (the final window of a finite corpus
+    * never closes in append mode because no later event advances the
+    * watermark past it — that would break batch parity). Complete mode
+    * ignores the watermark for eviction, which is exactly right here:
+    * the result must equal the batch aggregation over all input. The
+    * memory sink holds only the aggregated rows, not the events. */
+  private def runToCompletion(spark: SparkSession, out: DataFrame,
+      prefix: String): DataFrame = {
+    val name = s"${prefix}_${runSeq.incrementAndGet()}"
+    val q = out.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("window_start", "event_type")
+    spark.table(name)
+  }
+
+  /** Driver-contract entry for the streaming path: run the events
+    * parquet through the FILE-SOURCE streaming pipeline
+    * ([[corpusEventsSource]] → [[windowedCounts]]) to completion — the
+    * incremental twin of `events_tumbling`, sharing its oracle, so
+    * streaming correctness is visible to the driver and not only to
+    * `sbt test`. Production wiring with a durable sink + checkpoint is
+    * [[startFileSink]]. */
+  def tumblingViaStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      windowedCounts(corpusEventsSource(spark, sfDir)), "graft_stream_tumbling")
+      .orderBy("window_start", "event_type")
+
+  /** Second driver-contract streaming entry: gap-based sessionization
+    * through the stateful `session_window` streaming operator (state
+    * merges sessions as events arrive), drained to completion — the
+    * incremental twin of `events_sessionize` with the same columns and
+    * oracle. Exercises session-merge state, not just keyed windows. */
+  def sessionizeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.{qsum, rd}
+    val sessions = corpusEventsSource(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_last"),
+        rd(qsum(col("value"), 6), 4).as("session_value"))
+      .select("user_id", "session_start", "session_last", "n_events", "session_value")
+    runToCompletion(spark, sessions, "graft_stream_sessionize")
+      .orderBy("user_id", "session_start")
   }
 
   /** foreachBatch escape hatch: arbitrary batch-side logic per

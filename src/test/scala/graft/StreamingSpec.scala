@@ -335,4 +335,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("file-source streaming sessionize equals the batch operator on real data") {
+    // stateful session_window with merge state, drained to completion —
+    // must reproduce Events.sessionize row for row (same oracle)
+    val streamed = EventStream.sessionizeViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Events.sessionize(spark, sf)
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
