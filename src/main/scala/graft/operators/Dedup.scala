@@ -795,22 +795,30 @@ object Dedup {
         .join(renamed(labels, "doc_id" -> "dst", "lbl" -> "nlbl"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nlbl").as("nmin"))
+      // pointer jumping: each node ALSO reads its current label's label
+      // (one self-join on lbl), so label chains halve every round and
+      // convergence is O(log diameter) — plain neighbor-min alone is one
+      // round per HOP, which a 10× amplified near-dup chain exceeded
+      // (component diameter > 20 in the winnowing pair graph)
+      val lblOfLbl = renamed(labels, "doc_id" -> "lbl", "lbl" -> "ll")
       // one materialization per round (eager localCheckpoint) carrying the
       // new label AND the changed flag, so convergence is read from the
       // already-materialized frame — no second job, no recompute join
       val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .join(lblOfLbl, Seq("lbl"), "left_outer")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (coalesce(col("nmin"), col("lbl")) < col("lbl")).as("chg"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl")),
+            coalesce(col("ll"), col("lbl"))).as("lbl"),
+          (least(coalesce(col("nmin"), col("lbl")),
+            coalesce(col("ll"), col("lbl"))) < col("lbl")).as("chg"))
         .localCheckpoint() // truncate the iterative lineage
       converged = updated.filter(col("chg")).isEmpty
       labels = updated.select("doc_id", "lbl")
       iter += 1
     }
-    // min-label propagation needs one round per hop of component
-    // diameter: exiting on the cap means some component is only
-    // partially merged — surface it (an exact oracle would mismatch
-    // confusingly otherwise) rather than return silently-wrong clusters
+    // exiting on the cap means some component is only partially merged —
+    // surface it (an exact oracle would mismatch confusingly otherwise)
+    // rather than return silently-wrong clusters
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $iter rounds — " +

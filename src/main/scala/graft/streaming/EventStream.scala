@@ -96,11 +96,20 @@ object EventStream {
     * so both paths see identical timestamps. */
   private def corpusEventsSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val path = s"$sfDir/events.parquet"
+    // rewritten copies (e.g. ScaleUp output) already store ts as a real
+    // TIMESTAMP — probe the footer schema and only apply the nanos
+    // conversion when the column is the raw INT64 form, mirroring the
+    // batch reader's dynamic handling
+    val tsIsLong = spark.read.parquet(path).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val base = spark.readStream
+      .schema("event_id BIGINT, ts " + (if (tsIsLong) "BIGINT" else "TIMESTAMP") +
+        ", user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("basePath", sfDir)
-      .parquet(s"$sfDir/events.parquet*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(path + "*")
+    if (tsIsLong) base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else base
   }
 
   /** Drain a finite streaming frame to completion and hand back the

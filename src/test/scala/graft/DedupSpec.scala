@@ -311,6 +311,17 @@ class DedupSpec extends SparkSpec {
     assert(rows(6L) === ((0, 0, 0.0, "")))
   }
 
+  test("duplicate clustering converges on a 200-hop chain (pointer jumping, not hop-a-round)") {
+    // a path graph 0-1-2-...-200: diameter 200 >> the 20-iteration cap,
+    // so plain neighbor-min propagation MUST fail here and only the
+    // pointer-jumping (label-of-label) form converges (~8 rounds)
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === 201)
+    assert(clusters.values.toSet === Set(0L), "whole chain collapses to min id 0")
+  }
+
   test("semantic dedup: exactly the same-cell pairs at the threshold, nothing across cells") {
     val th = 0.3
     val out = Dedup.semanticDedupPairs(spark, sf, th).collect()
