@@ -101,6 +101,7 @@ object SparkEntry {
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> (Events.stratifiedSample _),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "parts_left_revenue" -> (Relational.partsLeftRevenue _),
     "customer_activity_transition" -> (Relational.customerActivityTransition _),
     // --- SQL front door (correlated subqueries, decorrelated by Catalyst) ---
@@ -676,6 +677,7 @@ object SparkEntry {
     // stratified_sample: engine-specific RNG -> rows-only check
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
+    "embedding_prototypicality" -> prototypicalityOracle(2),
     // samplePerGroup(k=10, seed=smp0): same seeded-md5 device as
     // corpus_mixture; row_number ties broken by doc_id in both engines
     "corpus_sample_per_group" ->
@@ -1211,6 +1213,33 @@ object SparkEntry {
        |SELECT cluster, keep_id, dup_id, cosine FROM pairs
        |WHERE cosine >= $threshold
        |ORDER BY cluster, keep_id, dup_id""".stripMargin
+  }
+
+  /** Prototypicality oracle: replay training + assignment, score each
+    * vector against its own cell centroid, rank within the cell on the
+    * ROUNDED cosine (ties by vec_id) — identical tie-breaks to Spark. */
+  private def prototypicalityOracle(iters: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |scored AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(v.embedding, i) AS DOUBLE) * list_extract(c.cvec, i))) / (v.nrm * c.nrm)) * 1e4 + 0.5) / 1e4 AS proto_cos
+       |  FROM assigned a
+       |    JOIN n v ON v.vec_id = a.vec_id
+       |    JOIN $cFinal c ON c.cent_id = a.cluster)
+       |SELECT vec_id, cluster, proto_cos,
+       |  CAST(row_number() OVER (PARTITION BY cluster
+       |                          ORDER BY proto_cos DESC, vec_id ASC) AS INT) AS rk
+       |FROM scored ORDER BY cluster, rk""".stripMargin
   }
 
   private def ivfTrainedOracle(iters: Int): String = {

@@ -202,6 +202,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Prototypicality profile (the SSL-prototypes pruning signal,
+    * Sorscher et al. 2022 "Beyond neural scaling laws"): each vector's
+    * cosine to its OWN cell centroid, plus its rank within the cell.
+    * High-cosine members are prototypical (safe to prune when data is
+    * abundant); low-cosine members are the hard/outlier examples worth
+    * keeping. Rounds out the embedding-curation story on the same
+    * stored quantizer: IVF search probes cells, SemDeDup dedups within
+    * cells, this scores membership itself.
+    *
+    * Scale shape: C centroids broadcast, one map pass over the corpus
+    * (no vector shuffle), then one window keyed by cluster. C is the
+    * parallelism of the window stage — production runs C in the tens
+    * of thousands (same dial as IVF), so cells are both small and
+    * numerous. Oracle replays training + assignment + scoring in SQL,
+    * ranking on the ROUNDED cosine so both engines break ties
+    * identically (then by vec_id). */
+  def prototypicality(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+      .select(col("cent_id").as("cluster"), col("e_cent"), col("n_cent"))
+    val w = Window.partitionBy("cluster").orderBy(desc("proto_cos"), asc("vec_id"))
+    assignmentIndex(spark, sfDir, numCentroids, trainIters)
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(cent), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 4)
+          .as("proto_cos"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .orderBy("cluster", "rk")
+  }
+
   /** Cosine RANGE search: every corpus vector within similarity `tau` of
     * each query vector — the radius-query twin of top-k (retrieval wants
     * "the best k"; dedup/recall audits want "everything this close").

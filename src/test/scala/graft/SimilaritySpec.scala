@@ -92,4 +92,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs === again)
     assert(sigs.values.toSet.size > 1, "signatures should not collapse to one value")
   }
+
+  test("prototypicality: one row per vector, ranks a permutation per cell, ordered by cosine") {
+    val rows = Similarity.prototypicality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val nVecs = graft.functions.VectorOps.normalizedEmbeddings(spark, sf).count()
+    assert(rows.length.toLong === nVecs, "every vector gets a score")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // membership agrees with the stored assignment index
+    val asg = Similarity.assignmentIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, c, _, _) => assert(asg(v) === c) }
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val byRank = members.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to members.length).toSeq,
+        s"cell $c ranks must be a permutation")
+      // rank order = (proto_cos desc, vec_id asc)
+      val expected = members.sortBy(m => (-m._3, m._1)).map(_._1).toSeq
+      assert(byRank.map(_._1).toSeq === expected, s"cell $c misordered")
+    }
+  }
 }
