@@ -83,6 +83,7 @@ object SparkEntry {
     "events_sliding" -> (Events.slidingHourly _),
     "events_sessionize" -> (Events.sessionize _),
     "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
+    "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
@@ -1083,6 +1084,18 @@ object SparkEntry {
     // identical to events_sessionize BY DESIGN: the stateful streaming
     // session_window must reproduce the batch sessionization exactly
     "stream_sessionize" -> sessionizeOracle,
+    // stream-stream inner join: every purchase within the hour BEFORE
+    // each click by the same user — the batch join the streaming
+    // two-sided state must reproduce exactly
+    "stream_click_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  floor((p.value) * 1e4 + 0.5) / 1e4 AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "events_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,

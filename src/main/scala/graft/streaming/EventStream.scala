@@ -123,15 +123,27 @@ object EventStream {
     * the result must equal the batch aggregation over all input. The
     * memory sink holds only the aggregated rows, not the events. */
   private def runToCompletion(spark: SparkSession, out: DataFrame,
-      prefix: String): DataFrame = {
+      prefix: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful-drain cost is dominated by per-partition state-store
+    // commits, not data: a stream-stream join keeps FOUR stores per
+    // shuffle partition, so a 32-partition session pays 128 store
+    // commits per micro-batch for kilobytes of state (measured: 8.6s
+    // for a 384-row join result). Pin the drain to a few partitions
+    // and restore the session value after. Production sizes state
+    // partitioning to state VOLUME; the batch suite's CPU count is the
+    // wrong dial for it.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -164,6 +176,28 @@ object EventStream {
       .select("user_id", "session_start", "session_last", "n_events", "session_value")
     runToCompletion(spark, sessions, "graft_stream_sessionize")
       .orderBy("user_id", "session_start")
+  }
+
+  /** Third driver-contract streaming entry: the stream-stream inner
+    * join ([[clickPurchaseJoin]]) over the corpus events, drained to
+    * completion — exercises JOIN state (both sides buffered, evicted by
+    * watermark + range condition), a different stateful operator than
+    * the windowed-agg and session entries. Inner-join results are
+    * emitted eagerly on match (append mode; the watermark only bounds
+    * state, it never holds rows back), so the drained result equals the
+    * batch join over all input. Both sides derive from one source
+    * (a streaming self-join); purchase_value is rounded here, not in
+    * the library operator, because rounding is a compare-convention of
+    * the driver contract, not join semantics. */
+  def clickAttributionViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.rd
+    val src = corpusEventsSource(spark, sfDir)
+    val joined = clickPurchaseJoin(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val rounded = joined.withColumn("purchase_value", rd(col("purchase_value"), 4))
+    runToCompletion(spark, rounded, "graft_stream_attribution", OutputMode.Append())
+      .orderBy("click_id", "purchase_id")
   }
 
   /** foreachBatch escape hatch: arbitrary batch-side logic per

@@ -347,4 +347,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("file-source stream-stream join equals the batch join on real data") {
+    // two-sided join state (a streaming self-join on the events source),
+    // drained to completion — must reproduce the batch range join
+    import graft.functions.Deterministic.rd
+    val streamed = EventStream.clickAttributionViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), rd(col("value"), 4).as("purchase_value"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") - expr("interval 1 hour") &&
+          col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+      .orderBy("click_id", "purchase_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
