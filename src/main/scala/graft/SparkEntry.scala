@@ -103,6 +103,8 @@ object SparkEntry {
     "stratified_sample" -> (Events.stratifiedSample _),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
+    "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "parts_left_revenue" -> (Relational.partsLeftRevenue _),
     "customer_activity_transition" -> (Relational.customerActivityTransition _),
     // --- SQL front door (correlated subqueries, decorrelated by Catalyst) ---
@@ -679,6 +681,10 @@ object SparkEntry {
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
     "embedding_prototypicality" -> prototypicalityOracle(2),
+    // PQ: per-subspace k-means + encoding + ADC replayed end-to-end;
+    // every subspace-ordered double sum is list_sum(list(x ORDER BY m))
+    "ann_topk_pq_adc" -> pqAdcOracle(2, 10),
+    "ann_topk_pq" -> pqRerankOracle(2, 50, 10),
     // samplePerGroup(k=10, seed=smp0): same seeded-md5 device as
     // corpus_mixture; row_number ties broken by doc_id in both engines
     "corpus_sample_per_group" ->
@@ -1254,6 +1260,99 @@ object SparkEntry {
        |                          ORDER BY proto_cos DESC, vec_id ASC) AS INT) AS rk
        |FROM scored ORDER BY cluster, rk""".stripMargin
   }
+
+  // --- PQ oracle: replay per-subspace k-means, encoding and ADC in SQL ---
+
+  /** Rounded squared-L2 between a subvector and a sub-centroid (both
+    * 8-dim double lists) — the PQ assignment metric, rd(·,6) like the
+    * IVF cosine so both engines rank sub-centroids identically. */
+  private def pqD2(sv: String, cvec: String): String =
+    s"floor(list_sum(list_transform(range(1, 9), i -> (list_extract($sv, i) - list_extract($cvec, i)) * " +
+      s"(list_extract($sv, i) - list_extract($cvec, i)))) * 1e6 + 0.5) / 1e6"
+
+  private def pqAssignCte(name: String, cb: String): String =
+    s"""$name AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${pqD2("s.sv", "c.cvec")} ASC, c.cent_id ASC) AS arn
+       |    FROM sub s JOIN $cb c ON s.m = c.m)
+       |  WHERE arn = 1)""".stripMargin
+
+  private def pqMeanCte(name: String, asg: String): String =
+    s"""$name AS (SELECT m, cent_id, list(val ORDER BY pos) AS cvec FROM (
+       |    SELECT s.m AS m, a.code AS cent_id, p.pos AS pos,
+       |      CAST(sum(CAST(floor(list_extract(s.sv, p.pos) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 1e6) AS val
+       |    FROM sub s JOIN $asg a ON s.vec_id = a.vec_id AND s.m = a.m
+       |    CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
+       |    GROUP BY s.m, a.code, p.pos) GROUP BY m, cent_id)""".stripMargin
+
+  /** Shared prefix: subvector view, codebook training (`iters` Lloyd
+    * steps), final codes, reconstructed norms and per-query ADC lookup
+    * tables — everything up to the scored candidate set. All sums that
+    * Spark folds left-to-right over subspace order are `list_sum(list(x
+    * ORDER BY m))` here, so the doubles agree bitwise. */
+  private def pqAdcPrefix(iters: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${pqAssignCte(s"pa$t", s"pc$t")},\n${pqMeanCte(s"pc${t + 1}", s"pa$t")}"
+    }.mkString(",\n")
+    val cbFinal = s"pc$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |sub AS (SELECT vec_id, ms.m AS m,
+       |          list_transform(list_slice(embedding, ms.m * 8 + 1, ms.m * 8 + 8), x -> CAST(x AS DOUBLE)) AS sv
+       |        FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+       |pc0 AS (SELECT m, vec_id AS cent_id, sv AS cvec FROM sub WHERE vec_id < 16),
+       |$training,
+       |${pqAssignCte("codes", cbFinal)},
+       |c2 AS (SELECT m, cent_id, list_sum(list_transform(cvec, x -> x * x)) AS c2 FROM $cbFinal),
+       |vhat AS (SELECT a.vec_id, sqrt(list_sum(list(c.c2 ORDER BY a.m))) AS nrm_hat
+       |         FROM codes a JOIN c2 c ON a.m = c.m AND a.code = c.cent_id
+       |         GROUP BY a.vec_id),
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.cent_id,
+       |          list_sum(list_transform(range(1, 9), i -> list_extract(s.sv, i) * list_extract(c.cvec, i))) AS pdot
+       |        FROM sub s JOIN $cbFinal c ON s.m = c.m WHERE s.vec_id < 20),
+       |adc AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |          list_sum(list(l.pdot ORDER BY a.m)) AS adot
+       |        FROM codes a JOIN lut l ON a.m = l.m AND a.code = l.cent_id
+       |        WHERE l.query_id != a.vec_id
+       |        GROUP BY l.query_id, a.vec_id),
+       |scored AS (SELECT adc.query_id, adc.neighbor_id,
+       |            floor((adc.adot / (q.nrm * v.nrm_hat)) * 1e4 + 0.5) / 1e4 AS approx_cos
+       |           FROM adc
+       |             JOIN n q ON q.vec_id = adc.query_id
+       |             JOIN vhat v ON v.vec_id = adc.neighbor_id)""".stripMargin
+  }
+
+  /** Pure-ADC PQ top-k oracle. */
+  private def pqAdcOracle(iters: Int, k: Int): String =
+    s"""${pqAdcPrefix(iters)}
+       |SELECT query_id, neighbor_id, approx_cos, rank FROM (
+       |  SELECT query_id, neighbor_id, approx_cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY approx_cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** PQ-shortlist + exact-rerank oracle. */
+  private def pqRerankOracle(iters: Int, shortlist: Int, k: Int): String =
+    s"""${pqAdcPrefix(iters)},
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY approx_cos DESC, neighbor_id ASC) AS srn
+       |    FROM scored)
+       |  WHERE srn <= $shortlist),
+       |rer AS (SELECT s.query_id, s.neighbor_id,
+       |          floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |        FROM short s
+       |          JOIN n q ON q.vec_id = s.query_id
+       |          JOIN n v ON v.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM rer)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   private def ivfTrainedOracle(iters: Int): String = {
     val training = (0 until iters).map { t =>

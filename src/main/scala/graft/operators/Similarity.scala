@@ -257,6 +257,183 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  // --- Product quantization (PQ): the memory story for 100 TB of vectors ---
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids per
+    * subspace. A vector compresses to 8 one-byte codes (32× smaller
+    * than 64 floats) plus the shared codebook (8×16×8 doubles) — at
+    * 100 TB of embeddings the code table fits where the vectors never
+    * could, and scoring touches only codes. */
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM // 8
+  private val PqK = 16
+
+  /** Long-form subvector view: (vec_id, m, sv) with sv the m-th 8-dim
+    * slice as doubles. One row per (vector, subspace). */
+  private def subVectors(emb: DataFrame): DataFrame = {
+    val slices = array((0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        transform(slice(col("e"), m * PqSubDim + 1, PqSubDim),
+          x => x.cast("double")).as("sv"))
+    }: _*)
+    emb.select(col("vec_id"), explode(slices).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+  }
+
+  /** Squared L2 distance between two double arrays — LTR fold, exact
+    * and order-identical to the DuckDB oracle's list replay. */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-sub-centroid assignment per (vector, subspace): squared-L2
+    * ranked on rd(·,6), ties to the lower cent_id — the single
+    * deterministic rule shared by training, encoding and the oracle. */
+  private def assignSub(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cent_id"))
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"), col("cent_id"),
+        rd(l2sq(col("sv"), col("cvec")), 6).as("d2"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("m"), col("sv"), col("cent_id").as("code"))
+  }
+
+  /** Deterministic per-subspace k-means (the PQ codebook): initialize
+    * each subspace's 16 centroids as the first 16 vectors' subvectors,
+    * take `iters` Lloyd steps under squared-L2. Identical arithmetic
+    * discipline to [[trainedCentroids]] (rd-ranked assignment, qavg
+    * quantized means) so the DuckDB oracle replays training exactly.
+    * All 8 subspaces train in ONE plan — `m` is just a grouping key. */
+  def trainedPqCodebook(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame = {
+    val sub = subVectors(normalizedEmbeddings(spark, sfDir))
+    var cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = assignSub(sub, cb)
+      val dimMeans = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(graft.functions.Deterministic.qavg(col("col"), 6).as("val"))
+      cb = dimMeans
+        .groupBy(col("m"), col("code").as("cent_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("val")))),
+          s => s.getField("val")).as("cvec"))
+    }
+    cb.localCheckpoint()
+  }
+
+  /** The trained PQ codebook as a stored artifact: (m, cent_id, cvec),
+    * 128 rows — broadcast-sized by construction. */
+  def pqCodebookIndex(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "pq-codebook",
+      s"$sfDir|$PqM|$PqK|$iters", s"$sfDir/embeddings.parquet")(
+      trainedPqCodebook(spark, sfDir, iters))
+
+  /** The PQ code INDEX: (vec_id, codes, nrm_hat) — codes is the 8-entry
+    * array of sub-centroid ids ordered by subspace, nrm_hat the norm of
+    * the RECONSTRUCTED vector (sqrt of the LTR sum of its sub-centroid
+    * squared norms, m = 0..7). This is the whole per-vector state ADC
+    * scoring ever touches: 8 small ints + 1 double per corpus vector. */
+  def pqCodesIndex(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "pq-codes",
+      s"$sfDir|$PqM|$PqK|$iters", s"$sfDir/embeddings.parquet")({
+      val cb = pqCodebookIndex(spark, sfDir, iters)
+      val cnorm2 = cb.select(col("m").as("cm"), col("cent_id").as("ccent"),
+        aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x).as("c2"))
+      assignSub(subVectors(normalizedEmbeddings(spark, sfDir)), cb)
+        .join(broadcast(cnorm2),
+          col("m") === col("cm") && col("code") === col("ccent"))
+        .groupBy("vec_id")
+        .agg(
+          transform(sort_array(collect_list(struct(col("m"), col("code")))),
+            s => s.getField("code")).as("codes"),
+          sqrt(aggregate(
+            transform(sort_array(collect_list(struct(col("m"), col("c2")))),
+              s => s.getField("c2")),
+            lit(0.0), (acc, x) => acc + x)).as("nrm_hat"))
+    })
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): each query
+    * precomputes an 8×16 lookup table of subvector·sub-centroid dot
+    * products against the stored codebook; every corpus vector is then
+    * scored with 8 table lookups over its stored codes — the corpus
+    * pass reads codes and nrm_hat only, never a float vector.
+    * approx_cos = Σₘ lut[m][codeₘ] / (‖q‖·‖v̂‖), ranked rounded with
+    * ties to the lower neighbor id.
+    *
+    * Scale shape: the LUT side is |Q|·8 maps broadcast; the code table
+    * streams through executors once with no shuffle — the same plan as
+    * [[bruteForceTopK]] but over a 32×-compressed corpus, which is the
+    * difference between spilling and not at 100 TB. Lookups are maps
+    * keyed by cent_id (not position-indexed arrays) so a sub-cluster
+    * that loses all members in training cannot shift the indexing. */
+  def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      numQueries: Int = 20, trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cb = pqCodebookIndex(spark, sfDir, trainIters)
+    // per-query LUT: array over m of map(cent_id -> subvector dot)
+    val luts = subVectors(emb.filter(col("vec_id") < numQueries))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
+        dot(col("sv"), col("cvec")).as("pdot"))
+      .groupBy(col("query_id"), col("m"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("cent_id"), col("pdot"))))).as("mp"))
+      .groupBy(col("query_id"))
+      // struct<int, map> has no natural ordering (maps are unorderable),
+      // so sort with an explicit comparator on the subspace index
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("mp"))),
+          (a, b) => when(a.getField("m") < b.getField("m"), -1)
+            .when(a.getField("m") > b.getField("m"), 1).otherwise(0)),
+        s => s.getField("mp")).as("lut"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("nrm").as("n_q"))
+      .join(luts, Seq("query_id"))
+    val codes = pqCodesIndex(spark, sfDir, trainIters)
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("nrm_hat"))
+    val w = Window.partitionBy("query_id").orderBy(desc("approx_cos"), asc("neighbor_id"))
+    broadcast(q).join(codes, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rd(aggregate(zip_with(col("codes"), col("lut"),
+              (code, mp) => element_at(mp, code)),
+            lit(0.0), (acc, v) => acc + v) / (col("n_q") * col("nrm_hat")), 4)
+          .as("approx_cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ ANN with exact rerank — the production two-stage shape: ADC
+    * over the compressed corpus proposes a `shortlist` of candidates
+    * per query (cheap, codes-only), then ONLY those candidates' float
+    * vectors are fetched by id and reranked on exact cosine. Recall is
+    * recall@(k via shortlist): the true neighbor is found iff ADC puts
+    * it in the top `shortlist`, which is far easier than top-k — the
+    * standard way PQ reaches high recall despite quantization
+    * distortion. At 100 TB the full-vector working set per query is
+    * `shortlist` rows instead of the corpus. Output carries EXACT
+    * cosines (same schema as [[bruteForceTopK]]). */
+  def pqRerankTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      shortlist: Int = 50, numQueries: Int = 20, trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cand = pqTopK(spark, sfDir, shortlist, numQueries, trainIters)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = emb.select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN top-k via LSH banding: 16 bands × 4 bits; pairs sharing any band
     * are candidates; exact cosine ranks candidates only. Same output
     * schema as brute force; recall < 1 by construction (≥0.8 asserted

@@ -11,9 +11,13 @@ class PlanLintSpec extends SparkSpec {
   // their LSH/IVF/banded siblings) and bounded dimension products
   // (hours × event types in the gap-filled series). dedup_embedding is
   // no longer exempt: the blocked self-join plans as two hash joins.
+  // The PQ pair are broadcast-queries × streaming-corpus BY DESIGN too:
+  // ADC scores every query against every CODE row (8 ints + 1 double
+  // per vector, 32× smaller than the floats) in one corpus pass with
+  // no shuffle — the |Q|·N product is the scoring itself, made cheap.
   private val byDesignQuadratic = Set(
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
-    "events_dense_hourly")
+    "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

@@ -93,6 +93,56 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs.values.toSet.size > 1, "signatures should not collapse to one value")
   }
 
+  test("PQ codes: 8 codes per vector, stable across calls, nrm_hat positive") {
+    val codes = Similarity.pqCodesIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    val nVecs = graft.functions.VectorOps.normalizedEmbeddings(spark, sf).count()
+    assert(codes.length.toLong === nVecs)
+    codes.foreach { case (_, cs, nh) =>
+      assert(cs.length === 8, "one code per subspace")
+      assert(cs.forall(c => c >= 0 && c < 16), "codes within codebook range")
+      assert(nh > 0.0, "reconstructed norm positive")
+    }
+    val again = Similarity.pqCodesIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    assert(codes.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("PQ ADC top-k: shape, determinism, recall vs brute force") {
+    val pq = Similarity.pqTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(pq.map(_._1).distinct.length === 20)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 10).toSeq, s"query $q ranks")
+      assert(!rows.exists(_._2 == q), "self excluded")
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q approx_cos must be non-increasing")
+    }
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.3, s"PQ recall collapsed: $recall")
+  }
+
+  test("PQ rerank top-k: exact cosines, recall vs brute force well above pure ADC") {
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rr = Similarity.pqRerankTopK(spark, sf, k = 10, shortlist = 50, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val recall = brute.map(t => (t._1, t._2)).toSet
+      .intersect(rr.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    info(s"PQ rerank recall@10 = $recall")
+    assert(recall >= 0.6, s"PQ rerank recall below target: $recall")
+    // reranked cosines are EXACT: any (query, neighbor) also in the brute
+    // top-10 must carry the identical rounded cosine
+    val bruteCos = brute.map(t => (t._1, t._2) -> t._3).toMap
+    rr.foreach { case (q, n, cos) =>
+      bruteCos.get((q, n)).foreach(bc => assert(bc === cos, s"($q,$n) cosine mismatch"))
+    }
+  }
+
   test("prototypicality: one row per vector, ranks a permutation per cell, ordered by cosine") {
     val rows = Similarity.prototypicality(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
