@@ -105,6 +105,7 @@ object SparkEntry {
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
+    "corpus_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "parts_left_revenue" -> (Relational.partsLeftRevenue _),
     "customer_activity_transition" -> (Relational.customerActivityTransition _),
     // --- SQL front door (correlated subqueries, decorrelated by Catalyst) ---
@@ -685,6 +686,9 @@ object SparkEntry {
     // every subspace-ordered double sum is list_sum(list(x ORDER BY m))
     "ann_topk_pq_adc" -> pqAdcOracle(2, 10),
     "ann_topk_pq" -> pqRerankOracle(2, 50, 10),
+    // cluster-balanced sample: replay IVF training+assignment, then the
+    // same seeded-md5 draw as corpus_sample_per_group, per cell
+    "corpus_cluster_sample" -> clusterSampleOracle(2, 20),
     // samplePerGroup(k=10, seed=smp0): same seeded-md5 device as
     // corpus_mixture; row_number ties broken by doc_id in both engines
     "corpus_sample_per_group" ->
@@ -1353,6 +1357,28 @@ object SparkEntry {
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM rer)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Cluster-balanced-sample oracle: replay IVF training + assignment,
+    * then k-per-cell by the seeded md5 key (ties by vec_id). */
+  private def clusterSampleOracle(iters: Int, k: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", s"c$iters")}
+       |SELECT cluster, vec_id, sample_key, CAST(rk AS INT) AS rk
+       |FROM (SELECT cluster, vec_id,
+       |        md5('cbs0|' || CAST(vec_id AS VARCHAR)) AS sample_key,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY md5('cbs0|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |      FROM assigned)
+       |WHERE rk <= $k ORDER BY cluster, rk""".stripMargin
+  }
 
   private def ivfTrainedOracle(iters: Int): String = {
     val training = (0 until iters).map { t =>

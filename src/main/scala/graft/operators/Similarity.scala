@@ -234,6 +234,28 @@ object Similarity {
       .orderBy("cluster", "rk")
   }
 
+  /** Cluster-balanced sample: k vectors from every semantic cell of the
+    * stored quantizer — the domain-balancing primitive (inspect or
+    * cap each latent domain equally, however skewed the corpus). Same
+    * seeded-md5 device as the per-source document sample
+    * ([[graft.operators.TextAnalysis.samplePerGroup]]): the sample is a
+    * pure function of (seed, vec_id), so both engines and successive
+    * runs draw identically — no engine RNG. One map pass over the
+    * assignment index (ids only, vectors never move), one window per
+    * cell. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String,
+      k: Int = 20, numCentroids: Int = 16, trainIters: Int = 2,
+      seed: String = "cbs0"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy("cluster").orderBy("sample_key", "vec_id")
+    assignmentIndex(spark, sfDir, numCentroids, trainIters)
+      .select(col("cluster"), col("vec_id"),
+        md5(concat(lit(s"$seed|"), col("vec_id").cast("string"))).as("sample_key"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("cluster", "rk")
+  }
+
   /** Cosine RANGE search: every corpus vector within similarity `tau` of
     * each query vector — the radius-query twin of top-k (retrieval wants
     * "the best k"; dedup/recall audits want "everything this close").

@@ -143,6 +143,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cluster-balanced sample: at most k per cell, deterministic, membership honest") {
+    val k = 5
+    val rows = Similarity.clusterBalancedSample(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).distinct.length === rows.length, "a vector sampled once")
+    val asg = Similarity.assignmentIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (c, v, _) => assert(asg(v) === c, s"vec $v not in cell $c") }
+    rows.groupBy(_._1).foreach { case (c, members) =>
+      assert(members.length <= k, s"cell $c oversampled")
+      assert(members.map(_._3).sorted.toSeq === (1 to members.length).toSeq)
+      // a cell with at least k members must yield exactly k
+      val cellSize = asg.count(_._2 == c)
+      if (cellSize >= k) assert(members.length === k, s"cell $c undersampled")
+    }
+    val again = Similarity.clusterBalancedSample(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.toSeq === again.toSeq, "sample must be a pure function of the seed")
+  }
+
   test("prototypicality: one row per vector, ranks a permutation per cell, ordered by cosine") {
     val rows = Similarity.prototypicality(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
