@@ -122,19 +122,41 @@ object EventStream {
     * ignores the watermark for eviction, which is exactly right here:
     * the result must equal the batch aggregation over all input. The
     * memory sink holds only the aggregated rows, not the events. */
+  /** Total on-disk bytes under a file or directory (parquet outputs are
+    * directories of part files). */
+  private def inputBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+  }
+
+  /** State partitioning for a finite drain, sized to input VOLUME
+    * (~2 MB of compressed source per partition, clamped to [4, 16]) —
+    * neither a constant nor the host CPU count is the right dial.
+    * Measured both failure modes at sf0.1×10 (19 MB of events): pinned
+    * at 4, the session-window merge serializes (9.7 s, vs 6.7 s at 8+);
+    * at the session default of 32, per-partition state-store commits
+    * dominate (a stream-stream join keeps FOUR stores per partition:
+    * 9.1 s vs 3.0 s for the same 10× join). Production replaces the
+    * local file-size probe with source stats, same sizing rule. */
+  private def drainPartitions(sfDir: String): Int = {
+    val bytes = inputBytes(s"$sfDir/events.parquet")
+    math.max(4, math.min(16, (bytes / (2L << 20)).toInt))
+  }
+
   private def runToCompletion(spark: SparkSession, out: DataFrame,
-      prefix: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      prefix: String, mode: OutputMode = OutputMode.Complete(),
+      partitions: Int = 4): DataFrame = {
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
-    // Stateful-drain cost is dominated by per-partition state-store
-    // commits, not data: a stream-stream join keeps FOUR stores per
-    // shuffle partition, so a 32-partition session pays 128 store
-    // commits per micro-batch for kilobytes of state (measured: 8.6s
-    // for a 384-row join result). Pin the drain to a few partitions
-    // and restore the session value after. Production sizes state
-    // partitioning to state VOLUME; the batch suite's CPU count is the
-    // wrong dial for it.
+    // Pin the drain's state partitioning (restore the session value
+    // after): see [[drainPartitions]] for the measured sizing rationale.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try {
       val q = out.writeStream
         .format("memory")
@@ -156,7 +178,8 @@ object EventStream {
     * [[startFileSink]]. */
   def tumblingViaStream(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark,
-      windowedCounts(corpusEventsSource(spark, sfDir)), "graft_stream_tumbling")
+      windowedCounts(corpusEventsSource(spark, sfDir)), "graft_stream_tumbling",
+      partitions = drainPartitions(sfDir))
       .orderBy("window_start", "event_type")
 
   /** Second driver-contract streaming entry: gap-based sessionization
@@ -174,7 +197,8 @@ object EventStream {
         max("ts").as("session_last"),
         rd(qsum(col("value"), 6), 4).as("session_value"))
       .select("user_id", "session_start", "session_last", "n_events", "session_value")
-    runToCompletion(spark, sessions, "graft_stream_sessionize")
+    runToCompletion(spark, sessions, "graft_stream_sessionize",
+      partitions = drainPartitions(sfDir))
       .orderBy("user_id", "session_start")
   }
 
@@ -196,7 +220,8 @@ object EventStream {
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "purchase"))
     val rounded = joined.withColumn("purchase_value", rd(col("purchase_value"), 4))
-    runToCompletion(spark, rounded, "graft_stream_attribution", OutputMode.Append())
+    runToCompletion(spark, rounded, "graft_stream_attribution", OutputMode.Append(),
+      partitions = drainPartitions(sfDir))
       .orderBy("click_id", "purchase_id")
   }
 
