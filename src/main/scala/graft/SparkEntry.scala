@@ -34,6 +34,10 @@ object SparkEntry {
     "nation_customer_stats" -> (Relational.nationCustomerStats _),
     "window_top_orders" -> (Relational.windowTopOrders _),
     "rollup_lineitem" -> (Relational.rollupLineitem _),
+    "cube_orders" -> (Relational.cubeOrders _),
+    "window_analytics_orders" -> (Relational.windowAnalyticsOrders _),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "events_salted_enrich" -> ((s, d) => SkewTools.saltedUserEnrich(s, d)),
     "set_ops_active_customers" -> (Relational.setOpsActiveCustomers _),
     "scalar_functions" -> (Relational.scalarFunctions _),
     "brand_top_parts" -> (Relational.brandTopParts _),
@@ -69,6 +73,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
+    "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -247,6 +252,64 @@ object SparkEntry {
         |  count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // CUBE lattice; grouping id must use the same bit order (first key
+    // = MSB) in both engines — DuckDB GROUPING(a, b) matches Spark's
+    // grouping_id() for cube(a, b)
+    "cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor((o_totalprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    // analytic windows: every function over the same (custkey, date,
+    // orderkey) order; the running sum is frame-ordered in both engines
+    "window_analytics_orders" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+        |  coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  floor((percent_rank() OVER w) * 1e4 + 0.5) / 1e4 AS pct_rank,
+        |  floor((cume_dist() OVER w) * 1e4 + 0.5) / 1e4 AS cum_dist,
+        |  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                                 ROWS UNBOUNDED PRECEDING)) * 1e2 + 0.5) / 1e2 AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Q8 market share: the ratio divides the UNROUNDED 1e-6 quantized
+    // sums (the 2-dp columns are display rounding only)
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o.o_orderdate) AS o_year, ns.n_name AS supp_nation,
+        |    l.l_extendedprice * (1 - l.l_discount) AS volume
+        |  FROM lineitem l
+        |    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |    JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |    JOIN nation ns ON s.s_nationkey = ns.n_nationkey),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(sum(CAST(floor((CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS nv,
+        |    CAST(sum(CAST(floor((volume) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS tv
+        |  FROM vol GROUP BY o_year)
+        |SELECT o_year,
+        |  floor(nv * 1e2 + 0.5) / 1e2 AS nation_volume,
+        |  floor(tv * 1e2 + 0.5) / 1e2 AS total_volume,
+        |  floor((nv / tv) * 1e4 + 0.5) / 1e4 AS mkt_share
+        |FROM agg ORDER BY o_year""".stripMargin,
+    // salted-join path: the oracle is the PLAIN join+agg — the driver
+    // hash-check proves salting is semantics-free
+    "events_salted_enrich" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.user_events >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_events,
+        |  count(DISTINCT CASE WHEN d.user_events >= 70 THEN e.user_id END) AS n_heavy_users
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "set_ops_active_customers" ->
       """SELECT o_custkey FROM (
         |  (SELECT o_custkey FROM orders
@@ -769,6 +832,15 @@ object SparkEntry {
         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 20)
         |WHERE cosine >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin,
+    // bucketed-layout join: the oracle is the PLAIN join+agg — bucketing
+    // (like salting) must be invisible in the result; the driver
+    // hash-check proves the exchange-free plan returns the same rows
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  count(DISTINCT o.o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // zorderLayout(bits=16, bucketBits=8): pure `& << >>` bit arithmetic
     // replayed exactly (bit positions are disjoint, so sum == bitwise OR)
     "layout_zorder" ->

@@ -269,4 +269,84 @@ object Relational {
       .select("p_brand", "p_partkey", "p_name", "part_revenue", "rn")
       .orderBy("p_brand", "rn")
   }
+
+  /** CUBE grouping sets over orders with an explicit `grouping_id` —
+    * the full 2ⁿ-subtotal lattice (ROLLUP's sibling covers only the
+    * prefix sets). The id disambiguates a real NULL group key from a
+    * subtotal row, which `coalesce('ALL')` alone cannot; at scale a
+    * CUBE is one pass: Spark expands rows per grouping set BEFORE the
+    * partial agg, so shuffle volume is O(sets × groups), never
+    * O(sets × rows). */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      // grouping_id() is only resolvable inside the grouping-sets agg
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), qsum(col("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
+  /** Analytic-window bundle over each customer's order history: lag /
+    * lead (prev/next order value), ntile quartile, percent_rank and
+    * cume_dist, and a frame-bounded running sum — the window classes
+    * the row_number()-only queries don't touch. One shuffle on
+    * o_custkey; every function shares the same window spec, so
+    * Catalyst evaluates them in a single Window operator. */
+  def windowAnalyticsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(lag("o_totalprice", 1).over(w), lit(0.0)).as("prev_price"),
+        coalesce(lead("o_totalprice", 1).over(w), lit(0.0)).as("next_price"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        rd(percent_rank().over(w), 4).as("pct_rank"),
+        rd(cume_dist().over(w), 4).as("cum_dist"),
+        rd(sum("o_totalprice").over(wRun), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** TPC-H Q8-style market share: revenue share of one nation's
+    * suppliers per order-year within a region's customers, for one
+    * part type — the deepest join tree in the suite (lineitem ⋈ part ⋈
+    * orders ⋈ customer ⋈ supplier + two broadcast dims) feeding a
+    * share-of-total. Numerator and denominator are conditional /
+    * unconditional exact quantized sums in ONE aggregation pass (no
+    * second scan, no join back), so the ratio is oracle-stable. */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+      regionName: String = "ASIA", partType: String = "PROMO",
+      shareNation: String = "NATION_7"): DataFrame = {
+    val p = part(spark, sfDir).filter(col("p_type") === partType).select("p_partkey")
+    val li = lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val natC = nation(spark, sfDir).select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val natS = nation(spark, sfDir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val reg = region(spark, sfDir).filter(col("r_name") === regionName).select("r_regionkey")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .select(year(col("o_orderdate")).as("o_year"), col("supp_nation"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .groupBy("o_year")
+      .agg(
+        qsum(when(col("supp_nation") === shareNation, col("volume"))
+          .otherwise(lit(0.0)), 6).as("nation_volume"),
+        qsum(col("volume"), 6).as("total_volume"))
+      .select(col("o_year"),
+        rd(col("nation_volume"), 2).as("nation_volume"),
+        rd(col("total_volume"), 2).as("total_volume"),
+        rd(col("nation_volume") / col("total_volume"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
 }

@@ -33,4 +33,27 @@ object SkewTools {
       explode(sequence(lit(0L), lit((buckets - 1).toLong))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Driver-contract query THROUGH the salted path: enrich every event
+    * with its user's activity count via [[saltedJoin]] (events = the
+    * "skewed" large side, per-user counts = the replicated dim), then
+    * aggregate per event type. Salting must be semantics-free — the
+    * oracle is the PLAIN join+agg SQL, so the driver hash-check proves
+    * the salted plan returns exactly what the unsalted one would,
+    * which is the entire point of the technique (same trick at 100 TB:
+    * hot-key row groups split across `buckets` reducers, results
+    * unchanged). */
+  def saltedUserEnrich(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, buckets: Int = 8): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type")
+    val dim = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"))
+    saltedJoin(ev, dim, "user_id", buckets, Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("user_events") >= 70, 1L).otherwise(0L)).as("n_heavy_events"),
+        count_distinct(when(col("user_events") >= 70, col("user_id"))).as("n_heavy_users"))
+      .orderBy("event_type")
+  }
 }

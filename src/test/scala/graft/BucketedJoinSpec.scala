@@ -54,4 +54,39 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("bucketed driver query: exchange-free join, result equals the plain formulation") {
+    import graft.functions.Deterministic.qsum
+    val res = graft.operators.Layout.bucketedOrderRevenue(spark, sf)
+    // with broadcast+AQE off, the orderkey join must run on the bucket
+    // layout alone: SMJ with no hashpartitioning exchange on its inputs
+    val plan =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.operators.Layout.bucketedOrderRevenue(spark, sf)
+          .queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+    // bucketing must be invisible in the result
+    val plain = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority")
+      .join(graft.sources.Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toString).toSeq
+    assert(res.collect().map(_.toString).toSeq === plain)
+    assert(plain.nonEmpty)
+  }
 }

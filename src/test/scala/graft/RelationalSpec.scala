@@ -47,6 +47,58 @@ class RelationalSpec extends SparkSpec {
     assert(res.intersect(open).isEmpty)
   }
 
+  test("cube lattice: gid semantics and the grand total row") {
+    val rows = Relational.cubeOrders(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    // gid 3 = both keys rolled up: exactly one row, counting everything
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length === 1 && grand.head._4 === total)
+    // gid 0 rows partition the table; each single-rollup level re-sums it
+    Seq(0, 1, 2).foreach { g =>
+      assert(rows.filter(_._3 == g).map(_._4).sum === total, s"gid $g must re-total")
+    }
+    // subtotal rows carry 'ALL' exactly where their gid bit is set
+    // (first cube key = most significant bit)
+    rows.foreach { case (st, pr, g, _) =>
+      assert(((g & 2) != 0) === (st == "ALL"), s"gid $g vs status $st")
+      assert(((g & 1) != 0) === (pr == "ALL"), s"gid $g vs priority $pr")
+    }
+  }
+
+  test("analytic windows: quartiles bounded, running total ends at the customer sum") {
+    val rows = Relational.windowAnalyticsOrders(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, q, pr, cd, _) =>
+      assert(q >= 1 && q <= 4)
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+    // running total is framed in (o_orderdate, o_orderkey) order, which is
+    // NOT the output order — check its max against the true customer sum
+    val trueTotals = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (cust, rs) =>
+      assert(math.abs(rs.map(_._6).max - trueTotals(cust)) < 0.01 * rs.length,
+        s"customer $cust running total must end at the customer sum")
+      assert(rs.map(_._5).max === 1.0, s"customer $cust cume_dist must reach 1")
+    }
+  }
+
+  test("q8 market share: shares are ratios of the year totals, within [0,1]") {
+    val rows = Relational.q8MarketShare(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, nv, tv, share) =>
+      assert(nv >= 0.0 && nv <= tv, s"year $y nation volume exceeds total")
+      assert(share >= 0.0 && share <= 1.0, s"year $y share out of range")
+      assert(math.abs(share - nv / tv) < 2e-2, s"year $y share inconsistent with volumes")
+    }
+  }
+
   test("q5 parquet scan is pruned to needed lineitem columns") {
     val formatted = Relational.q5RegionRevenue(spark, sf)
       .queryExecution.executedPlan.toString

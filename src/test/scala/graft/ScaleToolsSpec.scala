@@ -28,6 +28,22 @@ class ScaleToolsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted driver query equals the unsalted formulation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("user_events") >= 70, 1L).otherwise(0L)).as("n_heavy_events"),
+        count_distinct(when(col("user_events") >= 70, col("user_id"))).as("n_heavy_users"))
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    val salted = SkewTools.saltedUserEnrich(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("salt is deterministic and bounded") {
     val s = graft.sources.Tables.lineitem(spark, sf)
       .select(SkewTools.salt(8, col("l_orderkey"), col("l_linenumber")).as("s"))
