@@ -89,6 +89,7 @@ object SparkEntry {
     "events_sessionize" -> (Events.sessionize _),
     "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
     "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
+    "stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
@@ -1150,6 +1151,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical to events_tumbling BY DESIGN: the streaming path must
     // reproduce the batch aggregation exactly
+    // streaming dedup emits each distinct key once on first arrival —
+    // the key SET equals the batch DISTINCT, independent of arrival order
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  date_trunc('hour', ts) AS hour_start
+        |FROM events ORDER BY user_id, event_type, hour_start""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value

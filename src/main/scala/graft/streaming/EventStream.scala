@@ -225,6 +225,27 @@ object EventStream {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Fourth driver-contract streaming entry: keyed DE-DUPLICATION
+    * through `dropDuplicates` state — the remaining stateful operator
+    * class after windowed aggs, session merge, and join state. Emits
+    * each distinct (user, type, minute) key once, on first arrival;
+    * the output is exactly the batch DISTINCT of those columns, which
+    * is what makes it oracle-stable (emitting whole first-seen ROWS
+    * would tie the result to arrival order). No watermark here: a
+    * finite drain must not drop late keys, and its state is the
+    * distinct-key set, already bounded. The unbounded-stream variant
+    * is [[dedupedEvents]] (`dropDuplicatesWithinWatermark`), where
+    * state eviction is the point. */
+  def dedupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = corpusEventsSource(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .dropDuplicates("user_id", "event_type", "hour_start")
+    runToCompletion(spark, keys, "graft_stream_dedup", OutputMode.Append(),
+      partitions = drainPartitions(sfDir))
+      .orderBy("user_id", "event_type", "hour_start")
+  }
+
   /** foreachBatch escape hatch: arbitrary batch-side logic per
     * micro-batch (upserts, multi-sink fanout) with the batchId for
     * idempotence. */

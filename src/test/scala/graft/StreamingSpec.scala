@@ -370,4 +370,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("file-source streaming dedup equals the batch DISTINCT on real data") {
+    // dropDuplicates state drained to completion: the emitted key set
+    // must equal the batch DISTINCT regardless of arrival order
+    val streamed = EventStream.dedupViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .distinct()
+      .orderBy("user_id", "event_type", "hour_start")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // and dedup actually removed something (keys repeat in the corpus)
+    val raw = graft.sources.Tables.events(spark, sf).count()
+    assert(streamed.length < raw)
+  }
 }
