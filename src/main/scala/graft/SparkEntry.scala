@@ -55,6 +55,7 @@ object SparkEntry {
     "curation_keep_best" -> ((s, d) => TextAnalysis.keepBestPerCluster(s, d)),
     "curation_keep_best_winnow" -> ((s, d) => TextAnalysis.keepBestPerClusterWinnow(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
@@ -492,6 +493,22 @@ object SparkEntry {
         |      ORDER BY floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e4 + 0.5) / 1e4 DESC, term ASC) AS INT) AS rank
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // unigramLogProb: per-token log10 rounded to 6 dp BEFORE the exact
+    // integer-unit mean — the rounded values are integers in 1e-6 units,
+    // so the average is add-order-free and replays exactly
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |lp AS (SELECT doc_id,
+        |         floor(log10(CAST(cnt AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS lp
+        |       FROM toks JOIN freq USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((CAST(sum(CAST(floor(lp * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // snapshotDiff: synthetic next snapshot (%11 dropped, %7 edited,
     // %13 re-added under a shifted id), md5 compare
     "corpus_diff" ->

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Deterministic.rd
-import graft.sources.Tables
+import graft.functions.Deterministic.{qavg, rd}
+import graft.sources.{ArtifactCache, Tables}
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` corpus (the role the reference's HDFS text file played,
@@ -262,6 +262,44 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus-trained unigram language-model score — the CCNet-family
+    * quality signal: documents whose tokens are typical of the corpus
+    * score high (avg log10 token probability near the corpus ceiling),
+    * token-salad outliers score low. Two stages, like every
+    * train-then-apply operator here:
+    *
+    *  1. TRAIN: one corpus pass builds the (token, count) frequency
+    *     table, stored through [[ArtifactCache]] — at 100 TB this is a
+    *     per-snapshot catalog artifact, not a per-query recompute.
+    *  2. SCORE: tokens join the frequency table and average per doc.
+    *     The table is vocabulary-sized, so it BROADCASTS — the corpus
+    *     never shuffles, and the hot-token skew a shuffle join would
+    *     have (every "the" landing on one reducer) never exists. A
+    *     vocabulary too large to broadcast falls back to an AQE
+    *     skew-handled shuffle join on the token.
+    *
+    * Determinism across engines: per-token log10 is rounded to 6 dp
+    * BEFORE averaging (one transcendental, then integer-unit exact
+    * [[qavg]]) so the mean is add-order-independent and the oracle
+    * replays it bit-for-bit — same device as the z-score and TF-IDF
+    * oracles. */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+    val freqs = ArtifactCache.readOrWrite(spark, "unigramFreqs", "ws",
+        s"$sfDir/documents.parquet") {
+      docs.select(explode(wsTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    }
+    val total = freqs.agg(sum("cnt")).head().getLong(0) // vocabulary-sized agg
+    toks.join(broadcast(freqs), Seq("tok"))
+      .select(col("doc_id"),
+        rd(log10(col("cnt").cast("double") / lit(total.toDouble)), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), rd(qavg(col("lp"), 6), 4).as("avg_logprob"))
+      .orderBy("doc_id")
   }
 
   /** Snapshot diff by content fingerprint: full-outer join of two

@@ -308,4 +308,39 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc $id was dropped but violates no gate")
     }
   }
+
+  test("unigram logprob: bounded by corpus extremes, exact replay on a sample doc") {
+    val res = TextAnalysis.unigramLogProb(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    // every doc with tokens is scored, with the tokenStats token count
+    val nTok = TextAnalysis.tokenStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(res.length === nTok.count(_._2 > 0))
+    res.foreach { case (id, n, _) => assert(n === nTok(id)) }
+    // scores are log10 probabilities: strictly negative, and bounded by
+    // the most/least frequent token's logprob
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val freqs = docs
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = freqs.values.sum.toDouble
+    val hi = math.log10(freqs.values.max / total)
+    val lo = math.log10(freqs.values.min / total)
+    res.foreach { case (id, _, lp) =>
+      assert(lp < 0.0 && lp >= lo - 1e-4 && lp <= hi + 1e-4,
+        s"doc $id logprob $lp outside corpus bounds [$lo, $hi]")
+    }
+    // exact replay for one doc: mean of 6-dp-rounded per-token log10
+    val (docId, _, got) = res.head
+    val toks = docs.filter(col("doc_id") === docId)
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("t"))
+      .collect().map(_.getString(0))
+    def rd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = math.floor(
+      toks.map(t => math.floor(rd6(math.log10(freqs(t) / total)) * 1e6 + 0.5).toLong).sum
+        .toDouble / (toks.length * 1e6) * 1e4 + 0.5) / 1e4
+    assert(got === expected, s"doc $docId replay mismatch")
+  }
 }
