@@ -91,6 +91,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
     "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
     "stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
+    "stream_static_enrich" -> (graft.streaming.EventStream.staticEnrichViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
@@ -1168,6 +1169,16 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical to events_tumbling BY DESIGN: the streaming path must
     // reproduce the batch aggregation exactly
+    // stream-static enrichment: the static side is a batch agg over the
+    // same events table, so the batch join+agg replays it exactly
+    "stream_static_enrich" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_type,
+        |  CASE WHEN d.user_events >= 70 THEN 'heavy' ELSE 'light' END AS band,
+        |  count(*) AS n,
+        |  floor((CAST(sum(CAST(floor((e.value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // streaming dedup emits each distinct key once on first arrival —
     // the key SET equals the batch DISTINCT, independent of arrival order
     "stream_dedup" ->

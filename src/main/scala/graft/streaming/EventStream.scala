@@ -246,6 +246,30 @@ object EventStream {
       .orderBy("user_id", "event_type", "hour_start")
   }
 
+  /** Fifth driver-contract streaming entry: STREAM-STATIC enrichment —
+    * the events stream joins a broadcast batch dimension (per-user
+    * activity profile computed from the batch table) inside the
+    * streaming plan, then aggregates per (event type, activity band).
+    * The static side is planned as a broadcast hash join against every
+    * micro-batch: no stream state for the join at all, which is what
+    * distinguishes this class from the stream-stream join
+    * ([[clickAttributionViaStream]]). At 100 TB the profile is a
+    * catalog dimension refreshed out-of-band; each micro-batch reads
+    * the current version. */
+  def staticEnrichViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.{qsum, rd}
+    val profile = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val banded = enrichWithUserProfile(corpusEventsSource(spark, sfDir), profile)
+      .withColumn("band",
+        when(col("user_events") >= 70, lit("heavy")).otherwise(lit("light")))
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
+    runToCompletion(spark, banded, "graft_stream_enrich",
+      partitions = drainPartitions(sfDir))
+      .orderBy("event_type", "band")
+  }
+
   /** foreachBatch escape hatch: arbitrary batch-side logic per
     * micro-batch (upserts, multi-sink fanout) with the batchId for
     * idempotence. */

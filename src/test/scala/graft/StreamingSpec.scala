@@ -388,4 +388,21 @@ class StreamingSpec extends SparkSpec {
     val raw = graft.sources.Tables.events(spark, sf).count()
     assert(streamed.length < raw)
   }
+
+  test("file-source stream-static enrich equals the batch join on real data") {
+    import graft.functions.Deterministic.{qsum, rd}
+    val streamed = EventStream.staticEnrichViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val batch = ev.join(dim, Seq("user_id"))
+      .withColumn("band",
+        when(col("user_events") >= 70, lit("heavy")).otherwise(lit("light")))
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
+      .orderBy("event_type", "band")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
