@@ -56,6 +56,7 @@ object SparkEntry {
     "curation_keep_best_winnow" -> ((s, d) => TextAnalysis.keepBestPerClusterWinnow(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
+    "corpus_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
@@ -510,6 +511,32 @@ object SparkEntry {
         |  floor((CAST(sum(CAST(floor(lp * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
         |         / (count(*) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dsirSelect(target=en, topK=200): per-token LLR rounded to 6 dp,
+    // exact integer-unit mean, rank on (rounded score, doc_id)
+    "corpus_dsir_select" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+        |  FROM documents),
+        |cf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tf AS (SELECT t.tok, count(*) AS cnt_t
+        |       FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        |       WHERE d.lang = 'en' GROUP BY t.tok),
+        |scal AS (SELECT (SELECT count(*) FROM cf) AS v,
+        |                (SELECT sum(cnt) FROM cf) AS tc,
+        |                (SELECT sum(cnt_t) FROM tf) AS tt),
+        |lr AS (SELECT cf.tok,
+        |         floor((log10((coalesce(tf.cnt_t, 0) + 0.5) / (tt + 0.5 * v))
+        |                - log10(CAST(cf.cnt AS DOUBLE) / tc)) * 1e6 + 0.5) / 1e6 AS llr
+        |       FROM cf LEFT JOIN tf USING (tok) CROSS JOIN scal),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |         floor((CAST(sum(CAST(floor(llr * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                / (count(*) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_llr
+        |       FROM toks JOIN lr USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, avg_llr, rank FROM (
+        |  SELECT doc_id, n_tokens, avg_llr,
+        |    CAST(row_number() OVER (ORDER BY avg_llr DESC, doc_id) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 200 ORDER BY rank""".stripMargin,
     // snapshotDiff: synthetic next snapshot (%11 dropped, %7 edited,
     // %13 re-added under a shifted id), md5 compare
     "corpus_diff" ->

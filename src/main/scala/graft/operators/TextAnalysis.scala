@@ -302,6 +302,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style data selection (importance resampling on unigram
+    * features, after Xie et al. 2023): score every document by how much
+    * its tokens look drawn from a TARGET domain (here: the corpus's
+    * `lang = targetLang` slice) rather than from the raw corpus — the
+    * per-doc average log-likelihood ratio log10(p_target / p_corpus) —
+    * and keep the top `topK`. Additive smoothing (+0.5 over the corpus
+    * vocabulary) keeps target-unseen tokens finite.
+    *
+    * Scale shape: both distributions are vocabulary-sized artifacts
+    * (the corpus side IS the stored [[unigramLogProb]] frequency
+    * table); the per-token ratio table broadcasts, so scoring is one
+    * map-side join + per-doc agg — the corpus never shuffles. The
+    * top-K is `TakeOrderedAndProject` (per-partition heaps, no global
+    * sort); only the K winners see the rank window. Rounding before
+    * averaging (6 dp) and ranking on the ROUNDED score with doc_id
+    * tiebreak keeps selection identical across engines. */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+      targetLang: String = "en", topK: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+    val corpusFreqs = ArtifactCache.readOrWrite(spark, "unigramFreqs", "ws",
+        s"$sfDir/documents.parquet") {
+      docs.select(explode(wsTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    }
+    val targetFreqs = docs.filter(col("lang") === targetLang)
+      .select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
+    // vocabulary-sized aggregations: three scalars, read at plan build
+    val vocab = corpusFreqs.count()
+    val totalC = corpusFreqs.agg(sum("cnt")).head().getLong(0)
+    val totalT = targetFreqs.agg(sum("cnt_t")).head().getLong(0)
+    val lr = corpusFreqs.join(targetFreqs, Seq("tok"), "left_outer")
+      .select(col("tok"), rd(
+        log10((coalesce(col("cnt_t"), lit(0L)).cast("double") + lit(0.5)) /
+          lit(totalT.toDouble + 0.5 * vocab)) -
+          log10(col("cnt").cast("double") / lit(totalC.toDouble)), 6).as("llr"))
+    val scored = toks.join(broadcast(lr), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), rd(qavg(col("llr"), 6), 4).as("avg_llr"))
+      .orderBy(desc("avg_llr"), asc("doc_id"))
+      .limit(topK)
+    // rank window runs on the K winners only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("avg_llr"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .orderBy("rank")
+  }
+
   /** Snapshot diff by content fingerprint: full-outer join of two
     * corpus snapshots on doc_id, each row labeled
     * added/removed/changed/unchanged by comparing md5(text). The

@@ -343,4 +343,24 @@ class TextAnalysisSpec extends SparkSpec {
         .toDouble / (toks.length * 1e6) * 1e4 + 0.5) / 1e4
     assert(got === expected, s"doc $docId replay mismatch")
   }
+
+  test("dsir selection: target-language docs dominate the top ranks") {
+    val topK = 50
+    val res = TextAnalysis.dsirSelect(spark, sf, targetLang = "en", topK = topK)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(res.length === topK)
+    // ranks are 1..K in score order (ties by doc_id)
+    assert(res.map(_._3).toSeq === (1 to topK))
+    assert(res.sliding(2).forall { case Array((ia, sa, _), (ib, sb, _)) =>
+      sa > sb || (sa == sb && ia < ib) },
+      "rank order must follow (score desc, doc_id asc)")
+    // the selection is enriched in the target language vs the corpus base rate
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selEn = res.count { case (id, _, _) => langOf(id) == "en" }.toDouble / topK
+    val baseEn = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(selEn > baseEn,
+      s"selected en-fraction $selEn must beat the base rate $baseEn")
+  }
 }
