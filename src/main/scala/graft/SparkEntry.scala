@@ -98,6 +98,7 @@ object SparkEntry {
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
+    "multimodal_frame_plan" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     // --- custom operators ---
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
@@ -1269,6 +1270,34 @@ object SparkEntry {
         |       THEN CAST(8000 + (first % 8) * 4000 AS INT) ELSE 0 END AS sample_rate,
         |  checksum
         |FROM b ORDER BY doc_id""".stripMargin,
+    // frameSamplePlan(target=8, maxDim=224, fps=24): pure integer
+    // arithmetic over the replayed stub features — uniform indices
+    // floor(k·n/ns), aspect-preserving resize by exact integer division
+    "multimodal_frame_plan" ->
+      """WITH b AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |             ord(substr(text, 1, 1)) AS first
+        |           FROM documents
+        |           WHERE CAST(doc_id % 3 AS INT) = 2),
+        |v AS (SELECT doc_id,
+        |        CAST(1 + (n_bytes % 240) AS INT) AS n_frames,
+        |        CAST(64 + ((n_bytes * 3 + first) % 1856) AS INT) AS width,
+        |        CAST(64 + ((n_bytes * 5 + first) % 1016) AS INT) AS height
+        |      FROM b),
+        |s AS (SELECT doc_id, n_frames, width, height,
+        |        least(8, n_frames) AS ns FROM v),
+        |f AS (SELECT doc_id, width, height,
+        |        unnest([(k * n_frames) // ns for k in range(0, ns)]) AS frame_idx
+        |      FROM s)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST((frame_idx * 1000) // 24 AS INT) AS ts_ms,
+        |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+        |       WHEN width * 224 >= height * 224 THEN 224
+        |       ELSE (width * 224) // height END AS INT) AS out_w,
+        |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+        |       WHEN width * 224 >= height * 224 THEN (height * 224) // width
+        |       ELSE 224 END AS INT) AS out_h
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_summary" ->
       """WITH f AS (SELECT doc_id,
         |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

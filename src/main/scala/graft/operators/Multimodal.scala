@@ -85,6 +85,38 @@ object Multimodal {
   def features(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(blobTable(spark, sfDir)).orderBy("doc_id").toDF()
 
+  /** Frame-sampling + resize PLAN for the video slice: for each video,
+    * the uniform frame indices a decoder should fetch (floor(k·n/ns),
+    * ns = min(targetFrames, n_frames) — the standard uniform-sample
+    * formula) with their timestamps, and the aspect-preserving resize
+    * target (long side capped at `maxDim`, other side by exact integer
+    * division). This is the planning half of video ingestion: pure
+    * integer arithmetic over the feature rows — the manifest is
+    * computed WITHOUT touching blob bytes, so at 100 TB the expensive
+    * seek+decode runs once per PLANNED frame instead of per stored
+    * frame, and the plan itself is a map-only stage the oracle replays
+    * exactly (no codecs, no floats). The decode that consumes this
+    * manifest is [[extractFeatures]]'s per-partition rung. */
+  def frameSamplePlan(spark: SparkSession, sfDir: String,
+      targetFrames: Int = 8, maxDim: Int = 224, fps: Int = 24): DataFrame = {
+    val vids = extractFeatures(blobTable(spark, sfDir)).toDF()
+      .filter(col("modality") === "video")
+      .withColumn("ns", least(lit(targetFrames), col("n_frames")))
+    vids
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        explode(expr("transform(sequence(0, ns - 1), k -> (k * n_frames) div ns)"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"CAST((frame_idx * 1000) div $fps AS INT)").as("ts_ms"),
+        expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN width
+                 WHEN width * $maxDim >= height * $maxDim THEN $maxDim
+                 ELSE (width * $maxDim) div height END AS INT)""").as("out_w"),
+        expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN height
+                 WHEN width * $maxDim >= height * $maxDim THEN (height * $maxDim) div width
+                 ELSE $maxDim END AS INT)""").as("out_h"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Rollup over extracted features — the typical "what's in this
     * corpus" audit: per modality, count/bytes/dimension stats. */
   def modalitySummary(spark: SparkSession, sfDir: String): DataFrame =

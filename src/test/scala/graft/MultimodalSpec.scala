@@ -35,4 +35,39 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"featurize must not shuffle:\n$plan")
   }
+
+  test("frame plan: uniform in-range indices, aspect-preserving resize") {
+    val feats = Multimodal.extractFeatures(Multimodal.blobTable(spark, sf))
+      .toDF().filter(org.apache.spark.sql.functions.col("modality") === "video")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    val plan = Multimodal.frameSamplePlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(plan.nonEmpty)
+    plan.groupBy(_._1).foreach { case (id, rows) =>
+      val (w, h, nFrames) = feats(id)
+      // exactly min(8, n_frames) strictly increasing indices, all in range
+      val idxs = rows.map(_._2).toSeq
+      assert(idxs.length === math.min(8, nFrames), s"doc $id sample count")
+      assert(idxs === idxs.sorted && idxs.distinct.length === idxs.length,
+        s"doc $id indices must strictly increase")
+      assert(idxs.forall(i => i >= 0 && i < nFrames), s"doc $id index out of range")
+      rows.foreach { case (_, idx, tsMs, ow, oh) =>
+        assert(tsMs === idx * 1000 / 24)
+        assert(ow >= 1 && ow <= 224 && oh >= 1 && oh <= 224,
+          s"doc $id resize out of bounds: ${ow}x$oh")
+        assert(ow == w || oh == h || ow == 224 || oh == 224)
+        // aspect ratio preserved within integer-floor tolerance
+        if (w > 224 || h > 224)
+          assert(math.abs(ow.toDouble / oh - w.toDouble / h) <
+            math.max(w.toDouble / h, 1.0) * 0.05,
+            s"doc $id aspect drift: ${ow}x$oh vs ${w}x$h")
+      }
+    }
+    // videos that fit are passed through unresized
+    plan.groupBy(_._1).foreach { case (id, rows) =>
+      val (w, h, _) = feats(id)
+      if (w <= 224 && h <= 224)
+        rows.foreach { case (_, _, _, ow, oh) => assert(ow === w && oh === h) }
+    }
+  }
 }
