@@ -57,6 +57,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "corpus_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
+    "corpus_apply_diff" -> ((s, d) => TextAnalysis.applyDiff(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
@@ -538,6 +539,25 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY avg_llr DESC, doc_id) AS INT) AS rank
         |  FROM sc)
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+    // applyDiff: MERGE INTO replayed as full-outer join + filter; the
+    // change-set is the same %11/%7/%13 scheme snapshotDiff diffs against
+    "corpus_apply_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text_new
+        |  FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'upsert', text || ' [edited]'
+        |  FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 'upsert', text
+        |  FROM base WHERE doc_id % 13 = 0),
+        |m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |        CASE WHEN c.op = 'upsert' THEN c.text_new ELSE b.text END AS text,
+        |        c.op
+        |      FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, md5(text) AS fp FROM m
+        |WHERE op IS NULL OR op != 'delete' ORDER BY doc_id""".stripMargin,
     // snapshotDiff: synthetic next snapshot (%11 dropped, %7 edited,
     // %13 re-added under a shifted id), md5 compare
     "corpus_diff" ->

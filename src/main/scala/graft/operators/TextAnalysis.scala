@@ -385,6 +385,44 @@ object TextAnalysis {
     snapshotDiffOf(docs, next)
   }
 
+  /** MERGE INTO (upsert + delete) expressed Spark-first: one full-outer
+    * join of the base snapshot against a keyed change-set — matched
+    * `upsert` rows take the new text, `delete` rows drop out, unmatched
+    * base rows pass through, unmatched upserts insert. This is how an
+    * immutable-file lakehouse applies a change-set: one join keyed on
+    * the primary key, shuffling only (key, fingerprint/text) — the
+    * at-scale refinement is join pruning to the files whose key ranges
+    * the change-set touches, which the z-order/bucketed layouts above
+    * exist to make possible. */
+  def applyChangeSet(base: DataFrame, changes: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("text"))
+      .join(changes.select(col("doc_id"), col("op"), col("text").as("text_new")),
+        Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("doc_id"),
+        when(col("op") === "upsert", col("text_new")).otherwise(col("text")).as("text"))
+
+  /** Driver query: apply the SAME deterministic change-set
+    * [[snapshotDiff]] diffs against (%11 deletes, %7 edits, %13
+    * inserts under a shifted id) and fingerprint the merged snapshot —
+    * so the applied result IS the diff's "next" state, which
+    * `TextAnalysisSpec` asserts directly. */
+  def applyDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nullText = lit(null).cast("string")
+    val changes = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("delete").as("op"), nullText.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), lit("upsert").as("op"),
+          concat(col("text"), lit(" [edited]")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          lit("upsert").as("op"), col("text")))
+    applyChangeSet(docs, changes)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus curation — the composition story: quality gate →
     * near-dup removal (keep the canonical lower-id doc of each pair) →
     * language filter, emitting the surviving docs with their stats. Each

@@ -344,6 +344,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected, s"doc $docId replay mismatch")
   }
 
+  test("apply-diff merge reproduces the diff's next snapshot exactly") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
+    val applied = TextAnalysis.applyDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the diff's "next" state, derived independently
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val next = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied === next)
+    // the merge actually did all three things
+    val baseIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(baseIds.exists(id => !applied.contains(id)), "deletes must drop rows")
+    assert(applied.keySet.exists(_ >= 1000000000L), "inserts must add rows")
+  }
+
   test("dsir selection: target-language docs dominate the top ranks") {
     val topK = 50
     val res = TextAnalysis.dsirSelect(spark, sf, targetLang = "en", topK = topK)
