@@ -129,8 +129,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus repetition signals as a STORED artifact (keyed by gram size
+    * + corpus fingerprint): per-doc stats are the canonical
+    * compute-once-per-snapshot table — the same posture as the near-dup
+    * pair tables — so every consumer (the `text_repetition` query, the
+    * gated-curation thresholds) reads parquet instead of re-running the
+    * interpreted HOF pass. Doubles round-trip parquet bit-exactly, so
+    * readers see the identical values. */
+  def repetitionIndex(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    ArtifactCache.readOrWrite(spark, "repetitionSignals", s"n$n",
+      s"$sfDir/documents.parquet") {
+      repetitionSignalsOf(Tables.documents(spark, sfDir), n)
+    }
+
   def repetitionSignals(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
-    repetitionSignalsOf(Tables.documents(spark, sfDir), n)
+    repetitionIndex(spark, sfDir, n).orderBy("doc_id")
 
   /** Largest 2-gram multiplicity in `toks`, computed ROW-LOCALLY: sort
     * the 2-gram array and take the longest equal run via a struct-folding
@@ -464,22 +477,15 @@ object TextAnalysis {
       minQuality: Double = 0.4, n: Int = 2,
       maxDupGramFrac: Double = 0.12, maxTopTokenFrac: Double = 0.14,
       minDistinctRatio: Double = 0.35): DataFrame = {
-    // stage the filters: run the (already cheap-gated) pipeline first,
-    // then compute repetition signals ONLY for its survivors — the
-    // gates are conjunctive, so this is semantics-preserving, and the
-    // expensive per-doc HOF pass reads the post-quality/lang/dedup
-    // subset instead of the whole corpus. Both stages materialize
-    // (localCheckpoint): the outputs are tiny per-doc stat rows, and
-    // the materialization doubles as the pushdown barrier — without
-    // it the gate predicates are pushed into the signal projection and
-    // re-evaluate the interpreted HOF chains per predicate per row
-    // (see dupOccSql's comment).
+    // the pipeline materializes (localCheckpoint — tiny per-doc stat
+    // rows, doubling as the pushdown barrier; see dupOccSql's comment),
+    // and the repetition signals come from the STORED per-corpus
+    // artifact the text_repetition query shares — the gates read
+    // parquet, the interpreted HOF pass runs once per snapshot, not
+    // once per consumer.
     val kept = curationPipeline(spark, sfDir, minQuality).localCheckpoint()
-    val rep = repetitionSignalsOf(
-        Tables.documents(spark, sfDir)
-          .join(kept.select("doc_id"), Seq("doc_id"), "left_semi"), n)
+    val rep = repetitionIndex(spark, sfDir, n)
       .select("doc_id", "distinct_ratio", "top_token_frac", "dup_gram_frac")
-      .localCheckpoint()
     kept
       .join(rep, Seq("doc_id"))
       .filter(col("dup_gram_frac") <= maxDupGramFrac &&
