@@ -58,6 +58,7 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "corpus_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "corpus_apply_diff" -> ((s, d) => TextAnalysis.applyDiff(s, d)),
+    "corpus_profile" -> ((s, d) => TextAnalysis.corpusProfile(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
@@ -539,6 +540,29 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY avg_llr DESC, doc_id) AS INT) AS rank
         |  FROM sc)
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+    // corpusProfile(minQuality=0.4): quality replayed per doc (same
+    // formula as text_quality's oracle), exact integer-unit mean
+    "corpus_profile" ->
+      """WITH q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT d.source, d.lang, count(*) AS n_docs,
+        |  CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+        |  floor((CAST(sum(CAST(floor(q.quality * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 1e4)) * 1e4 + 0.5) / 1e4 AS avg_quality,
+        |  CAST(sum(CASE WHEN q.quality >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM documents d JOIN q USING (doc_id) JOIN t USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // applyDiff: MERGE INTO replayed as full-outer join + filter; the
     // change-set is the same %11/%7/%13 scheme snapshotDiff diffs against
     "corpus_apply_diff" ->

@@ -398,6 +398,26 @@ object TextAnalysis {
     snapshotDiffOf(docs, next)
   }
 
+  /** Corpus audit profile — the per-(source, lang) dashboard every
+    * curation run starts from: document and token volume, exact mean
+    * quality, and how many docs clear the quality gate. One pass of
+    * row-local quality/token signals and one small aggregation; the
+    * group count is bounded by sources × languages regardless of corpus
+    * size, so the result always fits the driver. */
+  def corpusProfile(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "lang")
+    val q = qualityScore(spark, sfDir).select("doc_id", "quality")
+    val t = tokenStats(spark, sfDir).select("doc_id", "n_tokens")
+    docs.join(q, Seq("doc_id")).join(t, Seq("doc_id"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        rd(qavg(col("quality"), 4), 4).as("avg_quality"),
+        sum(when(col("quality") >= minQuality, 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source", "lang")
+  }
+
   /** MERGE INTO (upsert + delete) expressed Spark-first: one full-outer
     * join of the base snapshot against a keyed change-set — matched
     * `upsert` rows take the new text, `delete` rows drop out, unmatched

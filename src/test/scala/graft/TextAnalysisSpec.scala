@@ -344,6 +344,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected, s"doc $docId replay mismatch")
   }
 
+  test("corpus profile: groups partition the corpus, means bounded, gate count consistent") {
+    val rows = TextAnalysis.corpusProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === total, "groups must partition the corpus")
+    rows.foreach { case (src, lang, n, toks, avgQ, nPass) =>
+      assert(n > 0 && toks >= 0)
+      assert(avgQ >= 0.0 && avgQ <= 1.0, s"($src,$lang) avg quality $avgQ out of range")
+      assert(nPass >= 0 && nPass <= n, s"($src,$lang) gate count exceeds group size")
+    }
+    // gate counts re-total against the doc-level quality table
+    val q = TextAnalysis.qualityScore(spark, sf).select("doc_id", "quality").collect()
+      .count(_.getDouble(1) >= 0.4)
+    assert(rows.map(_._6).sum === q)
+  }
+
   test("apply-diff merge reproduces the diff's next snapshot exactly") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
     val applied = TextAnalysis.applyDiff(spark, sf).collect()
