@@ -59,6 +59,8 @@ object SparkEntry {
     "corpus_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "corpus_apply_diff" -> ((s, d) => TextAnalysis.applyDiff(s, d)),
     "corpus_profile" -> ((s, d) => TextAnalysis.corpusProfile(s, d)),
+    "curation_quality_threshold" -> ((s, d) => TextAnalysis.qualityBudgetCalibration(s, d)),
+    "corpus_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
@@ -69,6 +71,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedupPairs(s, d)),
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "text_bloom_decontamination" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "text_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
     "text_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
@@ -563,6 +566,51 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN q.quality >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM documents d JOIN q USING (doc_id) JOIN t USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // qualityBudgetCalibration(budget=20000): quality replayed per doc,
+    // binned at its own 4-dp grid, window cumsum over the tiny bin table
+    "curation_quality_threshold" ->
+      """WITH q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[ \n]'), x -> x != '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |bins AS (SELECT q.quality, count(*) AS n_docs,
+        |           CAST(sum(t.n_tokens) AS BIGINT) AS bin_tokens
+        |         FROM q JOIN t USING (doc_id) GROUP BY 1),
+        |c AS (SELECT quality, n_docs, bin_tokens,
+        |        CAST(sum(bin_tokens) OVER (ORDER BY quality DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM bins)
+        |SELECT quality, n_docs, bin_tokens, cum_tokens,
+        |  (cum_tokens - bin_tokens) < 20000 AS kept
+        |FROM c ORDER BY quality DESC""".stripMargin,
+    // vocabStats: wordcount-currency counts per (source, token); hapax =
+    // count-1 tokens; top token tiebreaks lexicographically
+    "corpus_vocab_stats" ->
+      """WITH tok AS (SELECT source,
+        |               unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS token
+        |             FROM documents),
+        |counts AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |top AS (SELECT source, token AS top_token, cnt AS top_token_count
+        |        FROM (SELECT source, token, cnt,
+        |                row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rk
+        |              FROM counts) WHERE rk = 1),
+        |agg AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |          count(*) AS vocab_size,
+        |          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+        |        FROM counts GROUP BY 1)
+        |SELECT a.source, a.total_tokens, a.vocab_size, a.hapax_count,
+        |  floor((CAST(a.vocab_size AS DOUBLE) / a.total_tokens) * 1e4 + 0.5) / 1e4 AS type_token_ratio,
+        |  t.top_token, t.top_token_count
+        |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin,
     // applyDiff: MERGE INTO replayed as full-outer join + filter; the
     // change-set is the same %11/%7/%13 scheme snapshotDiff diffs against
     "corpus_apply_diff" ->
@@ -1194,6 +1242,29 @@ object SparkEntry {
         |  coalesce(h.n_overlap, 0) AS n_overlap,
         |  floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles) * 1e4 + 0.5) / 1e4 AS contamination,
         |  floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles) * 1e4 + 0.5) / 1e4 >= 0.2 AS contaminated
+        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    // bloomDecontaminate(n=4, threshold=0.15): the Bloom guard is
+    // semantics-free (no false negatives; verify join kills false
+    // positives), so the oracle is the exact 4-gram overlap
+    "text_bloom_decontamination" ->
+      """WITH w AS (SELECT doc_id, source,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, shingle
+        |       FROM (SELECT doc_id, source,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+        |                       for i in range(1, greatest(len(words) - 2, 1))]) AS shingle
+        |             FROM w)),
+        |evs AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src9'),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE source != 'src9'),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap
+        |         FROM tr JOIN evs USING (shingle) GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_shingles,
+        |  coalesce(h.n_overlap, 0) AS n_overlap,
+        |  floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles) * 1e4 + 0.5) / 1e4 AS contamination,
+        |  floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles) * 1e4 + 0.5) / 1e4 >= 0.15 AS contaminated
         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
         |ORDER BY s.doc_id""".stripMargin,
     // minhash+LSH verifies candidates with exact Jaccard; at 16 bands x 4

@@ -525,6 +525,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-guarded decontamination — same semantics as [[decontaminate]],
+    * restated for the scale where even the distinct eval shingle SET is
+    * too large to broadcast as exact hashes: a Bloom filter over the eval
+    * shingles (~10 bits/element at 1% FPP vs 64-bit hashes, a further 6×
+    * compression on top of distinct-ing) rides to every executor, and the
+    * train side streams once through a cheap bit-test. Bloom survivors —
+    * true hits plus the ~1% false positives — then pass through the SAME
+    * exact semi-join as the direct form, but the join's left side is now
+    * survivor-sized, not corpus-sized, so the exact eval set no longer
+    * needs to be broadcast at all (AQE picks a plain join over two small
+    * sides). No false negatives exist by Bloom construction, and the
+    * verify join removes every false positive, so the output is
+    * bit-identical to the exact operator — the oracle is the same SQL.
+    *
+    * The bit-test is a Scala UDF over the broadcast sketch; this is the
+    * one place a UDF is the right rung — it is exactly the probe Spark's
+    * own runtime bloom-filter join injects, and it guards (not replaces)
+    * the codegen'd exact join. The eval `count()` that sizes the filter
+    * is one extra tiny job over the eval split only. */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String, n: Int = 4,
+      evalSource: String = "src9", threshold: Double = 0.15,
+      fpp: Double = 0.01): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val evalShingles = shinglesOf(docs.filter(col("source") === evalSource), n)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val bloom = evalShingles.stat.bloomFilter("h",
+      math.max(evalShingles.count(), 1L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val trainShingles =
+      shinglesOf(docs.filter(col("source") =!= evalSource), n)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val sizes = trainShingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainShingles.filter(mightContain(col("h")))
+      .join(evalShingles, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        rd(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("contamination"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+      .orderBy("doc_id")
+  }
+
   // --- Incremental (snapshot-delta) dedup ---
 
   /** Incremental exact dedup: fingerprint an ARRIVING batch and probe the

@@ -418,6 +418,66 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** Quality-threshold calibration against a token budget: which quality
+    * cutoff keeps exactly the token volume you can afford? The naive
+    * formulation — sort all docs by quality desc and cumsum — is a
+    * single-partition global window, a non-starter at corpus scale. But
+    * `quality` is 4-dp fixed point, so there are at most 10,001 distinct
+    * values: aggregate (docs, tokens) PER QUALITY BIN first (ordinary
+    * partial-agg shuffle, output ≤10k rows), then run the cumulative sum
+    * over the driver-sized bin table, where a global window is free. A
+    * bin is `kept` if the budget is not already exhausted by strictly
+    * higher-quality bins (greedy whole-bin selection); the calibrated
+    * threshold is the smallest kept quality. */
+  def qualityBudgetCalibration(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 20000L): DataFrame = {
+    val q = qualityScore(spark, sfDir).select("doc_id", "quality")
+    val t = tokenStats(spark, sfDir).select("doc_id", "n_tokens")
+    val bins = q.join(t, Seq("doc_id"))
+      .groupBy("quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bins
+      .withColumn("cum_tokens", sum(col("bin_tokens")).over(w).cast("long"))
+      .withColumn("kept", (col("cum_tokens") - col("bin_tokens")) < budgetTokens)
+      .select("quality", "n_docs", "bin_tokens", "cum_tokens", "kept")
+      .orderBy(col("quality").desc)
+  }
+
+  /** Per-source vocabulary statistics — the corpus-health numbers a
+    * tokenizer-training or mixture-design pass starts from: total token
+    * occurrences, vocabulary size, hapax-legomenon count (tokens seen
+    * once — the Heaps-law tail that dominates open vocabularies), the
+    * type/token ratio, and the most frequent token with a lexicographic
+    * tiebreak. The only shuffle is the wordcount currency (source,
+    * token); per-source rollups are bounded by the source count, so the
+    * result is driver-sized at any corpus scale. */
+  def vocabStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("token"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("token").as("top_token"),
+        col("cnt").as("top_token_count"))
+    counts.groupBy("source")
+      .agg(sum(col("cnt")).cast("long").as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"))
+      .join(top, Seq("source"))
+      .select(col("source"), col("total_tokens"), col("vocab_size"),
+        col("hapax_count"),
+        rd(col("vocab_size").cast("double") / col("total_tokens"), 4)
+          .as("type_token_ratio"),
+        col("top_token"), col("top_token_count"))
+      .orderBy("source")
+  }
+
   /** MERGE INTO (upsert + delete) expressed Spark-first: one full-outer
     * join of the base snapshot against a keyed change-set — matched
     * `upsert` rows take the new text, `delete` rows drop out, unmatched

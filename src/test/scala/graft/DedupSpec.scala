@@ -186,6 +186,19 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._2 === 0L && !out(2L)._4, "clean doc has zero overlap")
   }
 
+  test("bloom-guarded decontamination equals the exact operator, even with a junk-heavy filter") {
+    // same params both sides: the Bloom guard must be invisible in the output
+    val exact = Dedup.decontaminate(spark, sf, n = 4, threshold = 0.15)
+      .collect().map(_.toSeq).toSeq
+    val guarded = Dedup.bloomDecontaminate(spark, sf).collect().map(_.toSeq).toSeq
+    assert(guarded === exact, "Bloom pre-filter changed the result")
+    // stress the verify join: fpp=0.5 floods it with false positives,
+    // which the exact semi-join must all remove
+    val noisy = Dedup.bloomDecontaminate(spark, sf, fpp = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(noisy === exact, "false positives leaked past the verify join")
+  }
+
   test("winnowing pairs catch token-boundary edits that word shingles miss") {
     import org.apache.spark.sql.functions.{col => c}
     // b is a near-copy of a with token boundaries mangled (joined words,

@@ -360,6 +360,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_._6).sum === q)
   }
 
+  test("quality budget calibration: kept bins are a desc-quality prefix honoring the budget") {
+    val budget = 20000L
+    val rows = TextAnalysis.qualityBudgetCalibration(spark, sf, budget).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // desc order, cumsum consistent, kept = budget not exhausted before the bin
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 > b._1, "bins must be strictly descending in quality")
+      assert(b._4 === a._4 + b._3, "cum_tokens must accumulate bin_tokens")
+    }
+    rows.foreach { case (_, _, binTok, cumTok, kept) =>
+      assert(kept === (cumTok - binTok < budget))
+    }
+    // kept is downward-closed from the top bin (a prefix)
+    val keptFlags = rows.map(_._5)
+    assert(!keptFlags.dropWhile(identity).contains(true), "kept bins must be a prefix")
+    // bins partition the corpus
+    val total = TextAnalysis.tokenStats(spark, sf)
+      .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0)
+    assert(rows.last._4 === total, "last cum must equal corpus token total")
+  }
+
+  test("vocab stats: totals re-add against token stats, hapax <= vocab <= tokens") {
+    val rows = TextAnalysis.vocabStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, vocab, hapax, ttr, topTok, topCnt) =>
+      assert(hapax <= vocab && vocab <= total, s"$src: hapax<=vocab<=tokens violated")
+      assert(ttr > 0.0 && ttr <= 1.0, s"$src: type-token ratio $ttr out of range")
+      assert(topTok.nonEmpty && topCnt >= 1)
+    }
+    // per-source token totals re-add against the doc-level stats
+    val expected = TextAnalysis.tokenStats(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(sum(col("n_tokens").cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, total, _, _, _, _, _) =>
+      assert(total === expected(src), s"$src token total mismatch")
+    }
+  }
+
   test("apply-diff merge reproduces the diff's next snapshot exactly") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
     val applied = TextAnalysis.applyDiff(spark, sf).collect()
