@@ -360,6 +360,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_._6).sum === q)
   }
 
+  test("doc-signals artifact is bit-identical to the direct operators") {
+    val direct = TextAnalysis.qualityScore(spark, sf).select("doc_id", "quality")
+      .join(TextAnalysis.langId(spark, sf).select("doc_id", "lang_pred"), Seq("doc_id"))
+      .join(TextAnalysis.tokenStats(spark, sf).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stored = TextAnalysis.docSignalsIndex(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stored === direct, "stored signal index diverged from direct operators")
+  }
+
   test("quality budget calibration: kept bins are a desc-quality prefix honoring the budget") {
     val budget = 20000L
     val rows = TextAnalysis.qualityBudgetCalibration(spark, sf, budget).collect()
