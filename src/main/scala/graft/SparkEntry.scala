@@ -61,6 +61,9 @@ object SparkEntry {
     "corpus_profile" -> ((s, d) => TextAnalysis.corpusProfile(s, d)),
     "curation_quality_threshold" -> ((s, d) => TextAnalysis.qualityBudgetCalibration(s, d)),
     "corpus_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
+    "corpus_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
+    "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeights(s, d)),
+    "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
@@ -566,6 +569,87 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN q.quality >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM documents d JOIN q USING (doc_id) JOIN t USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ccnetBuckets: unigram logprob replay (same CTE as
+    // text_unigram_logprob), bin counts per (source, score), tertile
+    // cuts via window cumsum over the bin table, greedy bin-granular
+    // prefix exactly as the engine computes it
+    "corpus_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |lp AS (SELECT doc_id,
+        |         floor(log10(CAST(cnt AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS lp
+        |       FROM toks JOIN freq USING (tok) CROSS JOIN tot),
+        |scored AS (SELECT doc_id,
+        |             floor((CAST(sum(CAST(floor(lp * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / (count(*) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_logprob
+        |           FROM lp GROUP BY doc_id),
+        |sc AS (SELECT s.doc_id, d.source, s.avg_logprob
+        |       FROM scored s JOIN documents d USING (doc_id)),
+        |bins AS (SELECT source, avg_logprob, count(*) AS n FROM sc GROUP BY 1, 2),
+        |lab AS (SELECT source, avg_logprob,
+        |          CASE WHEN cum - n < ceil(total / 3.0) THEN 'head'
+        |               WHEN cum - n < ceil(total * 2 / 3.0) THEN 'middle'
+        |               ELSE 'tail' END AS bucket
+        |        FROM (SELECT source, avg_logprob, n,
+        |                sum(n) OVER (PARTITION BY source ORDER BY avg_logprob DESC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |                sum(n) OVER (PARTITION BY source) AS total
+        |              FROM bins))
+        |SELECT sc.doc_id, sc.source, sc.avg_logprob, lab.bucket
+        |FROM sc JOIN lab USING (source, avg_logprob) ORDER BY sc.doc_id""".stripMargin,
+    // softDedupWeights(threshold=0.8): clusters replayed by the same
+    // recursive CTE as dedup_clusters; singletons weight 1
+    "dedup_soft_weights" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH w AS (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle
+        |         FROM (SELECT doc_id,
+        |                 unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                         for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |               FROM w)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a),
+        |allc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |sz2 AS (SELECT cluster_id, count(*) AS cluster_size FROM allc GROUP BY 1)
+        |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+        |  floor((1.0 / s.cluster_size) * 1e4 + 0.5) / 1e4 AS weight
+        |FROM allc a JOIN sz2 s USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+    // embeddingDecontaminate(eval=src9, tau=0.4): per-pair 4-dp rounding
+    // inside the max, exactly as the engine aggregates
+    "embedding_decontamination" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |           FROM embeddings),
+        |ev AS (SELECT n.vec_id, n.embedding, n.nrm FROM n
+        |       JOIN documents d ON n.vec_id = d.doc_id WHERE d.source = 'src9'),
+        |tr AS (SELECT n.vec_id, n.embedding, n.nrm FROM n
+        |       JOIN documents d ON n.vec_id = d.doc_id WHERE d.source != 'src9'),
+        |m AS (SELECT t.vec_id AS doc_id,
+        |        max(floor((list_sum(list_transform(range(1, 65),
+        |              i -> CAST(list_extract(t.embedding, i) AS DOUBLE)
+        |                 * CAST(list_extract(e.embedding, i) AS DOUBLE)))
+        |            / (t.nrm * e.nrm)) * 1e4 + 0.5) / 1e4) AS max_eval_cosine
+        |      FROM tr t, ev e GROUP BY 1)
+        |SELECT doc_id, max_eval_cosine, max_eval_cosine >= 0.4 AS contaminated
+        |FROM m ORDER BY doc_id""".stripMargin,
     // qualityBudgetCalibration(budget=20000): quality replayed per doc,
     // binned at its own 4-dp grid, window cumsum over the tiny bin table
     "curation_quality_threshold" ->

@@ -937,6 +937,29 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     duplicateClusters(materializedPairs(spark, sfDir, threshold))
 
+  /** Soft dedup: keep EVERY document but weight it 1/|cluster| — the
+    * alternative to hard keep-best retention when duplicates should be
+    * down-sampled, not dropped (a doc duplicated k times contributes
+    * total weight 1 to the training mixture, so corpus-level token
+    * statistics stay unbiased). Composes the stored pair table with
+    * the label-propagation clusters; unclustered docs are their own
+    * singleton (weight 1). One small join tree over per-doc rows —
+    * document text never moves. */
+  def softDedupWeights(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(spark, sfDir, threshold)
+    val withCluster = Tables.documents(spark, sfDir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = withCluster.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    withCluster.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        rd(lit(1.0) / col("cluster_size"), 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
   // --- Embedding cosine near-dup ---
 
   /** All-pairs cosine ≥ threshold. Exact (quadratic) — the REFERENCE

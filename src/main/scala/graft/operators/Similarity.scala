@@ -279,6 +279,38 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Embedding-space decontamination — the semantic sibling of the
+    * n-gram overlap check (`Dedup.decontaminate`): a train doc whose
+    * embedding sits within cosine `tau` of ANY eval-split embedding is
+    * flagged, catching paraphrased leaks token-level shingles miss
+    * (embeddings align 1:1 with documents: vec_id = doc_id). Same
+    * posture as [[rangeSearch]]: the eval split is tiny next to a
+    * 100 TB corpus, so eval vectors broadcast and the train side
+    * streams once through the codegen'd dot product into a map-side
+    * partial max — no corpus shuffle, one output row per train doc.
+    * The |eval|·N product IS the check at this exactness level; for
+    * standing eval suites the banded/IVF candidate paths bound it the
+    * same way they do for top-k. Per-pair rounding before the max:
+    * rounding is monotone, so max-of-rounded = rounded-max, and the
+    * oracle replays the same expression shape either way. */
+  def embeddingDecontaminate(spark: SparkSession, sfDir: String,
+      evalSource: String = "src9", tau: Double = 0.4): DataFrame = {
+    val evalIds = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("source") === evalSource)
+      .select(col("doc_id").as("vec_id"))
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val evalVecs = emb.join(evalIds, Seq("vec_id"))
+      .select(col("e").as("e_q"), col("nrm").as("n_q"))
+    emb.join(evalIds, Seq("vec_id"), "left_anti")
+      .join(broadcast(evalVecs))
+      .groupBy("vec_id")
+      .agg(max(rd(cosine(col("e"), col("nrm"), col("e_q"), col("n_q")), 4))
+        .as("max_eval_cosine"))
+      .select(col("vec_id").as("doc_id"), col("max_eval_cosine"),
+        (col("max_eval_cosine") >= tau).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // --- Product quantization (PQ): the memory story for 100 TB of vectors ---
 
   /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids per

@@ -332,6 +332,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM-score bucketing: split each source into head /
+    * middle / tail thirds by unigram LM score (head = highest logprob =
+    * lowest perplexity — the slice CCNet keeps, tail = the noisy slice
+    * it drops). The classic formulation sorts every source by score and
+    * cuts at n/3 and 2n/3 — a per-source corpus-wide sort. Restated
+    * with the same fixed-point-binning device as the quality
+    * calibration: `avg_logprob` is 4-dp fixed point, so per-(source,
+    * bin) counts aggregate with one ordinary shuffle into a small
+    * table, the tertile cuts come from a window cumsum over that
+    * table, and each doc picks up its bucket through a broadcast join
+    * on (source, bin) — the corpus itself is never sorted. Cuts are
+    * bin-granular: docs sharing a score bin share a bucket, and the
+    * greedy prefix closes each bucket at the first bin reaching its
+    * third (deterministic in both engines). */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = unigramLogProb(spark, sfDir).select("doc_id", "avg_logprob")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
+    val bins = scored.groupBy("source", "avg_logprob")
+      .agg(count(lit(1)).as("n"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("avg_logprob").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val labeled = bins
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("total", sum(col("n")).over(totW))
+      .withColumn("bucket",
+        when(col("cum") - col("n") < ceil(col("total") / lit(3.0)), "head")
+          .when(col("cum") - col("n") < ceil(col("total") * lit(2) / lit(3.0)), "middle")
+          .otherwise("tail"))
+      .select("source", "avg_logprob", "bucket")
+    scored.join(broadcast(labeled), Seq("source", "avg_logprob"))
+      .select("doc_id", "source", "avg_logprob", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style data selection (importance resampling on unigram
     * features, after Xie et al. 2023): score every document by how much
     * its tokens look drawn from a TARGET domain (here: the corpus's

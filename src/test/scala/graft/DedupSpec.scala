@@ -186,6 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._2 === 0L && !out(2L)._4, "clean doc has zero overlap")
   }
 
+  test("soft dedup weights: every doc present, cluster weights sum to 1, singletons weigh 1.0") {
+    val rows = Dedup.softDedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === total, "soft dedup must keep every document")
+    // each cluster's members all carry weight 1/size, so they sum to ~1
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.size === 1, s"cluster $cid size disagrees")
+      assert(members.length === members.head._3, s"cluster $cid size wrong")
+      val s = members.map(_._4).sum
+      assert(math.abs(s - 1.0) < 0.05, s"cluster $cid weights sum to $s")
+    }
+    rows.filter(_._3 == 1L).foreach { case (id, _, _, w) =>
+      assert(w === 1.0, s"singleton $id weight $w != 1.0")
+    }
+  }
+
   test("bloom-guarded decontamination equals the exact operator, even with a junk-heavy filter") {
     // same params both sides: the Bloom guard must be invisible in the output
     val exact = Dedup.decontaminate(spark, sf, n = 4, threshold = 0.15)

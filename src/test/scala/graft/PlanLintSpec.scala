@@ -15,9 +15,13 @@ class PlanLintSpec extends SparkSpec {
   // ADC scores every query against every CODE row (8 ints + 1 double
   // per vector, 32× smaller than the floats) in one corpus pass with
   // no shuffle — the |Q|·N product is the scoring itself, made cheap.
+  // embedding_decontamination is the same broadcast-queries × streaming-
+  // corpus product as ann_range_search: the |eval|·N scoring IS the
+  // exact check, with a map-side partial max so nothing shuffles.
   private val byDesignQuadratic = Set(
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
-    "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq")
+    "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
+    "embedding_decontamination")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

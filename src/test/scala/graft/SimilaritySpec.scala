@@ -4,6 +4,36 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
 
+  test("embedding decontamination: eval docs absent, flag matches threshold, max is a true max") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.embeddingDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val evalIds = docs.filter(col("source") === "src9")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainCount = docs.count() - evalIds.size
+    assert(rows.length.toLong === trainCount, "one row per train doc")
+    assert(rows.forall(r => !evalIds.contains(r._1)), "eval docs must be absent")
+    rows.foreach { case (id, m, flag) =>
+      assert(m >= -1.0001 && m <= 1.0001, s"doc $id cosine $m out of range")
+      assert(flag === (m >= 0.4), s"doc $id flag disagrees with threshold")
+    }
+    // spot-check one doc's max against a driver-side brute-force replay
+    // (same LTR double summation and 4-dp rounding as the engine)
+    val emb = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val probe = rows.head._1
+    val pv = emb(probe)
+    val best = evalIds.toSeq.map { e =>
+      val v = emb(e)
+      math.floor(dot(pv, v) / (math.sqrt(dot(pv, pv)) * math.sqrt(dot(v, v)))
+        * 1e4 + 0.5) / 1e4
+    }.max
+    assert(best === rows.head._2, s"doc $probe max cosine replay mismatch")
+  }
+
   test("brute-force top-k: k rows per query, ranks 1..k, cosine descending") {
     val df = Similarity.bruteForceTopK(spark, sf, k = 5, numQueries = 5).collect()
     assert(df.length === 25)

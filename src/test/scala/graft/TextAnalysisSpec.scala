@@ -411,6 +411,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ccnet buckets: per-source partition into ordered score thirds at bin granularity") {
+    val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === total, "every scored doc gets a bucket")
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val byBucket = docs.groupBy(_._4).map { case (b, d) => b -> d.map(_._3) }
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // score ranges must be ordered: head >= middle >= tail
+      for {
+        hi <- byBucket.get("head"); mid <- byBucket.get("middle")
+      } assert(hi.min >= mid.max, s"$src: head/middle overlap")
+      for {
+        mid <- byBucket.get("middle"); lo <- byBucket.get("tail")
+      } assert(mid.min >= lo.max, s"$src: middle/tail overlap")
+      // head holds roughly a third (bin-granular cuts can overshoot by
+      // at most one bin's population)
+      val n = docs.length
+      byBucket.get("head").foreach { h =>
+        assert(h.size >= n / 3 - 1, s"$src: head too small (${h.size} of $n)")
+      }
+    }
+  }
+
   test("apply-diff merge reproduces the diff's next snapshot exactly") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
     val applied = TextAnalysis.applyDiff(spark, sf).collect()
