@@ -63,6 +63,9 @@ object SparkEntry {
     "corpus_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     "corpus_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
     "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeights(s, d)),
+    "dedup_cluster_histogram" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    "corpus_quality_sample" -> ((s, d) => TextAnalysis.qualitySample(s, d)),
+    "corpus_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
@@ -632,6 +635,76 @@ object SparkEntry {
         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
         |  floor((1.0 / s.cluster_size) * 1e4 + 0.5) / 1e4 AS weight
         |FROM allc a JOIN sz2 s USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+    // clusterSizeHistogram(threshold=0.8): same recursive-CTE clusters
+    // as dedup_soft_weights, rolled up twice
+    "dedup_cluster_histogram" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH w AS (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle
+        |         FROM (SELECT doc_id,
+        |                 unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                         for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |               FROM w)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a),
+        |allc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |sz2 AS (SELECT cluster_id, count(*) AS cluster_size FROM allc GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM sz2 GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // qualitySample(seed=qs0): u = first 8 md5 hex digits as an integer
+    // (digit fold with exact powers of 16 — every intermediate is exact
+    // in a double); kept iff u < quality * 2^32, both engines computing
+    // the identical IEEE product
+    "corpus_quality_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |u AS (SELECT doc_id, list_sum(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef',
+        |                substr(md5('qs0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |             * pow(16, 8 - i))) AS uval
+        |      FROM documents)
+        |SELECT d.doc_id, d.source, q.quality
+        |FROM documents d JOIN q USING (doc_id) JOIN u USING (doc_id)
+        |WHERE u.uval < q.quality * 4294967296.0
+        |ORDER BY d.doc_id""".stripMargin,
+    // splitAssign(seed=split0, 90/5/5): same digit-fold uniform, bucket
+    // by mod 100
+    "corpus_split_assign" ->
+      """WITH u AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef',
+        |                substr(md5('split0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |             * pow(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        |      FROM documents)
+        |SELECT d.doc_id, d.source, u.bucket,
+        |  CASE WHEN u.bucket < 90 THEN 'train'
+        |       WHEN u.bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents d JOIN u USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // embeddingDecontaminate(eval=src9, tau=0.4): per-pair 4-dp rounding
     // inside the max, exactly as the engine aggregates
     "embedding_decontamination" ->

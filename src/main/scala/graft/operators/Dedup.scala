@@ -937,6 +937,26 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     duplicateClusters(materializedPairs(spark, sfDir, threshold))
 
+  /** Duplicate-cluster size histogram — the standard dedup report: how
+    * many clusters of each size, and how many documents they hold (a
+    * duplication-rate dashboard readable at a glance: row 1 is the
+    * unique docs, the tail is the heavy duplication). Two bounded
+    * aggregations over per-doc cluster labels; output rows are capped
+    * by the largest cluster size, so the result is driver-sized at any
+    * corpus scale. */
+  def clusterSizeHistogram(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(spark, sfDir, threshold)
+    val withCluster = Tables.documents(spark, sfDir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    withCluster.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** Soft dedup: keep EVERY document but weight it 1/|cluster| — the
     * alternative to hard keep-best retention when duplicates should be
     * down-sampled, not dropped (a doc duplicated k times contributes

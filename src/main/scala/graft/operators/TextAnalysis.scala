@@ -721,6 +721,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Quality-PROPORTIONAL sampling: each doc is kept with probability
+    * equal to its quality score — the soft alternative to a hard
+    * quality gate, used when the mixture should tilt toward quality
+    * without discarding the tail outright (the same device pipelines
+    * apply to classifier scores). Membership is a pure per-row function
+    * of (seed, doc_id, quality): the seeded-md5 uniform (first 8 hex
+    * digits as an integer in [0, 2³²)) is compared against
+    * quality·2³² — both sides exact or identically-rounded doubles in
+    * either engine, so the draw is reproducible across runs, engines
+    * and partitionings. Map-only over the stored signal index: no
+    * shuffle, no window. */
+  def qualitySample(spark: SparkSession, sfDir: String,
+      seed: String = "qs0"): DataFrame = {
+    val u = conv(substring(
+      md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    docSignalsIndex(spark, sfDir).select("doc_id", "quality")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
+      .filter(u < col("quality") * lit(4294967296.0))
+      .select("doc_id", "source", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split assignment: every doc lands in
+    * exactly one split by seeded hash bucket (0–99 → train <90,
+    * val <95, test otherwise). A pure per-row function of (seed,
+    * doc_id) — map-only, no shuffle — so the split survives re-runs,
+    * engine changes, repartitioning, and incremental corpus growth
+    * (new docs join a split without disturbing old ones; the property
+    * that makes hash-splits the standard at corpus scale). */
+  def splitAssign(spark: SparkSession, sfDir: String,
+      seed: String = "split0", trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val bucket = (conv(substring(
+      md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100).as("bucket")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic k-per-group sample: the `k` lowest seeded-hash keys
     * per source — a uniform without-replacement sample of each group,
     * reproducible across runs, engines and partitionings (same seeded

@@ -186,6 +186,21 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._2 === 0L && !out(2L)._4, "clean doc has zero overlap")
   }
 
+  test("cluster size histogram re-totals to the corpus and to the soft-weight clusters") {
+    val rows = Dedup.clusterSizeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (size, nClusters, nDocs) =>
+      assert(nDocs === size * nClusters, s"size $size: docs != size * clusters")
+    }
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === total, "histogram must account for every doc")
+    // agrees with the per-doc cluster sizes the soft weights computed
+    val fromWeights = Dedup.softDedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).distinct
+      .groupBy(_._2).map { case (size, cs) => size -> cs.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap === fromWeights)
+  }
+
   test("soft dedup weights: every doc present, cluster weights sum to 1, singletons weigh 1.0") {
     val rows = Dedup.softDedupWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

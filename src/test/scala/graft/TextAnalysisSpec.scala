@@ -411,6 +411,50 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  // driver-side replica of the engine's seeded uniform: first 8 hex
+  // digits of md5("seed|doc_id") as a long
+  private def seededU(seed: String, docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed|$docId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("quality sample: membership is exactly u < quality * 2^32, and the draw is deterministic") {
+    val kept = TextAnalysis.qualitySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val allQ = TextAnalysis.qualityScore(spark, sf).select("doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exact membership replay for every doc
+    allQ.foreach { case (id, q) =>
+      val expect = seededU("qs0", id) < q * 4294967296.0
+      assert(kept.contains(id) === expect, s"doc $id membership mismatch")
+    }
+    // kept fraction tracks mean quality (the sampling probability)
+    val meanQ = allQ.map(_._2).sum / allQ.length
+    val frac = kept.size.toDouble / allQ.length
+    assert(math.abs(frac - meanQ) < 0.1, s"kept $frac vs mean quality $meanQ")
+    // a different seed redraws
+    val redrawn = TextAnalysis.qualitySample(spark, sf, seed = "qs1").collect()
+      .map(_.getLong(0)).toSet
+    assert(redrawn !== kept.keySet)
+  }
+
+  test("split assign: exact bucket replay, three-way partition near 90/5/5") {
+    val rows = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === total, "every doc gets exactly one split")
+    rows.foreach { case (id, bucket, split) =>
+      assert(bucket === seededU("split0", id) % 100, s"doc $id bucket mismatch")
+      val expect = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      assert(split === expect, s"doc $id split mismatch")
+    }
+    val frac = rows.groupBy(_._3).map { case (s, d) => s -> d.length.toDouble / rows.length }
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.90) < 0.06, s"train frac ${frac.get("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+  }
+
   test("ccnet buckets: per-source partition into ordered score thirds at bin granularity") {
     val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
