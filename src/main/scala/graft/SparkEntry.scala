@@ -106,6 +106,8 @@ object SparkEntry {
     "stream_static_enrich" -> (graft.streaming.EventStream.staticEnrichViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
+    "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_rolling_active" -> ((s, d) => Events.rollingActiveUsers(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
@@ -1523,6 +1525,34 @@ object SparkEntry {
       """SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY n DESC, user_id ASC, hour ASC LIMIT 50""".stripMargin,
+    // funnel(windowHours=1): stage minima chain through strict-after /
+    // within-window joins; timestamps are exact microseconds in both
+    // engines so the window comparisons agree bit-for-bit
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    // rollingActiveUsers(windowDays=7): the oracle states the rolling
+    // distinct directly as a correlated range count over the distinct
+    // (user, day) table — the engine's bounded-replication rewrite must
+    // reproduce it exactly
+    "events_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day,
+        |  (SELECT count(*) FROM ud WHERE ud.day = d.day) AS dau,
+        |  (SELECT count(DISTINCT user_id) FROM ud
+        |   WHERE ud.day BETWEEN d.day - 6 AND d.day) AS rolling_users
+        |FROM days d ORDER BY day""".stripMargin,
     "multimodal_features" ->
       """WITH b AS (SELECT doc_id,
         |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -240,4 +240,59 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("user_id"), asc("hour"))
       .limit(k)
+
+  /** Ordered conversion funnel with per-stage attribution windows:
+    * stage 1 = first `view` per user; stage 2 = first `click` within
+    * `windowHours` of that view; stage 3 = first `purchase` within
+    * `windowHours` of that click — the funnel report of every
+    * product-analytics engine, with the attribution-window constraint
+    * that makes it an ordered sequence query rather than a set
+    * intersection. Scale: each stage is a filtered scan (event_type
+    * pushed to parquet) collapsed to ≤1 row per user BEFORE the next
+    * stage joins on user_id, so no join input ever exceeds |users| and
+    * every shuffle shares the user_id key; output is one row per
+    * stage. */
+  def funnel(spark: SparkSession, sfDir: String, windowHours: Int = 1): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val win = expr(s"INTERVAL $windowHours HOUR")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stageRow(df: DataFrame, stage: Int, tpe: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(tpe).as("event_type"), col("n_users"))
+    stageRow(v, 1, "view")
+      .unionAll(stageRow(c, 2, "click"))
+      .unionAll(stageRow(p, 3, "purchase"))
+      .orderBy("stage")
+  }
+
+  /** Daily active users next to a rolling `windowDays`-day distinct
+    * user count. Rolling DISTINCT does not decompose as a window
+    * function over daily partials (users repeat across days), so the
+    * scale-safe form replicates each row of the already-collapsed
+    * (user, day) table onto the `windowDays` report days it covers — a
+    * bounded ×windowDays expansion of |users|·|active days| rows, never
+    * a per-day rescan of raw events and never a global window. The
+    * semi-join trims phantom report days past the observed range;
+    * output rows = observed days. */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    val covered = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"))
+      .join(days, Seq("day"), "left_semi")
+    val rolling = covered.groupBy("day")
+      .agg(count_distinct(col("user_id")).as("rolling_users"))
+    ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      .join(rolling, Seq("day"))
+      .orderBy("day")
+  }
 }

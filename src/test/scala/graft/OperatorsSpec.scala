@@ -51,4 +51,52 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).distinct.sorted ===
       Array("mean_discount", "total_price", "total_qty"))
   }
+
+  test("funnel: stage counts replay the per-user min-chain and never increase") {
+    val out = Events.funnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(out.map(_._2).toSeq === Seq("view", "click", "purchase"))
+    // brute-force replay on the raw rows
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    val hourUs = 3600L * 1000000L
+    var (s1, s2, s3) = (0L, 0L, 0L)
+    ev.values.foreach { rows =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        s1 += 1
+        val t1 = views.min
+        val clicks = rows.filter(r => r._2 == "click" && r._3 > t1 && r._3 <= t1 + hourUs).map(_._3)
+        if (clicks.nonEmpty) {
+          s2 += 1
+          val t2 = clicks.min
+          if (rows.exists(r => r._2 == "purchase" && r._3 > t2 && r._3 <= t2 + hourUs)) s3 += 1
+        }
+      }
+    }
+    assert(out.map(_._3).toSeq === Seq(s1, s2, s3))
+    assert(s1 >= s2 && s2 >= s3, "funnel must be monotone")
+    assert(s1 > 0, "stage 1 empty — degenerate fixture")
+  }
+
+  test("rolling active users: bounded-replication rewrite equals the direct range count") {
+    val out = Events.rollingActiveUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val days = ud.map(_._2).distinct.sorted
+    assert(out.map(_._1).toSeq === days.toSeq, "one row per observed day, ordered")
+    out.foreach { case (day, dau, rolling) =>
+      val expectDau = ud.count(_._2 == day).toLong
+      val expectRoll = ud.filter { case (_, d) =>
+        !d.isBefore(day.minusDays(6)) && !d.isAfter(day) }.map(_._1).distinct.length.toLong
+      assert(dau === expectDau, s"$day dau")
+      assert(rolling === expectRoll, s"$day rolling")
+      assert(dau <= rolling, s"$day dau must not exceed the rolling count")
+    }
+  }
 }
