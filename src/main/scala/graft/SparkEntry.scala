@@ -66,6 +66,8 @@ object SparkEntry {
     "dedup_cluster_histogram" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "corpus_quality_sample" -> ((s, d) => TextAnalysis.qualitySample(s, d)),
     "corpus_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
+    "corpus_source_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(s, d)),
+    "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
@@ -707,6 +709,33 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents d JOIN u USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // sourceVocabOverlap: the oracle states the intersection as the
+    // token-keyed self-join the engine deliberately avoids (its
+    // row-local pair expansion must reproduce it exactly)
+    "corpus_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, token FROM
+        |       (SELECT source,
+        |          unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS token
+        |        FROM documents)),
+        |v AS (SELECT source, count(*) AS vocab FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, va.vocab AS vocab_a, vb.vocab AS vocab_b,
+        |  i.n_shared,
+        |  floor((CAST(i.n_shared AS DOUBLE) / (va.vocab + vb.vocab - i.n_shared)) * 1e4 + 0.5) / 1e4 AS jaccard
+        |FROM i JOIN v va ON va.source = i.src_a JOIN v vb ON vb.source = i.src_b
+        |ORDER BY i.src_a, i.src_b""".stripMargin,
+    // lengthHistogram(binWidth=100): integer bins over the same
+    // whitespace-token count the signal index stores
+    "text_length_histogram" ->
+      """WITH n AS (SELECT source,
+        |             len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS n_tok
+        |           FROM documents)
+        |SELECT source, CAST(floor(n_tok / 100.0) AS BIGINT) AS bin,
+        |  CAST(floor(n_tok / 100.0) AS BIGINT) * 100 AS bin_low,
+        |  count(*) AS n_docs
+        |FROM n GROUP BY 1, 2, 3 ORDER BY source, bin""".stripMargin,
     // embeddingDecontaminate(eval=src9, tau=0.4): per-pair 4-dp rounding
     // inside the max, exactly as the engine aggregates
     "embedding_decontamination" ->

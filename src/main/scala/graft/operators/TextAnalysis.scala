@@ -952,4 +952,59 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("col").as("fp"))
       .agg(min(col("pos")).as("first_win"), count(lit(1)).as("n_windows"))
   }
+
+  /** Pairwise vocabulary overlap between sources — the corpus-audit
+    * diagnostic for "how similar are my domains" (near-identical
+    * sources inflate effective duplication; disjoint ones justify
+    * separate mixture weights). Scale shape: the corpus collapses to
+    * distinct (source, token) once (wordcount currency); then each
+    * token emits its C(k,2) source pairs ROW-LOCALLY from the sorted
+    * per-token source set (k ≤ #sources, so the expansion is bounded
+    * by sources² per token — never a token-keyed self-join whose hot
+    * tokens replicate the corpus). Output rows ≤ sources². */
+  def sourceVocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("token"))
+      .distinct()
+    val perTok = st.groupBy("token")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val inter = perTok
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    val vocab = st.groupBy("source").agg(count(lit(1)).as("vocab"))
+    inter
+      .join(vocab.select(col("source").as("src_a"), col("vocab").as("vocab_a")),
+        Seq("src_a"))
+      .join(vocab.select(col("source").as("src_b"), col("vocab").as("vocab_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        col("n_shared"),
+        rd(col("n_shared").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_shared")), 4).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-source document-length histogram (token-count bins of
+    * `binWidth`): the length-distribution report every corpus audit
+    * includes — a skewed length profile flags boilerplate floods or
+    * truncation bugs per source. Reads n_tokens from the stored
+    * per-doc signal artifact (no third regex pass over text); one
+    * partial-agged shuffle to a sources × bins output. */
+  def lengthHistogram(spark: SparkSession, sfDir: String,
+      binWidth: Int = 100): DataFrame =
+    docSignalsIndex(spark, sfDir).select("doc_id", "n_tokens")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .select(col("source"),
+        floor(col("n_tokens") / binWidth).cast("long").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("bin"),
+        (col("bin") * binWidth).as("bin_low"), col("n_docs"))
+      .orderBy("source", "bin")
 }

@@ -455,6 +455,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
   }
 
+  test("source vocab overlap: row-local pair expansion equals the brute-force set intersection") {
+    val out = TextAnalysis.sourceVocabOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // brute force from raw text
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val vocab = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.split("[ \n]")).filter(_.nonEmpty).toSet
+    }
+    val sources = vocab.keys.toSeq.sorted
+    for (a <- sources; b <- sources if a < b) {
+      val inter = vocab(a).intersect(vocab(b)).size.toLong
+      if (inter == 0) assert(!out.contains((a, b)))
+      else {
+        val (va, vb, shared, jac) = out((a, b))
+        assert(va === vocab(a).size.toLong && vb === vocab(b).size.toLong)
+        assert(shared === inter, s"($a,$b) intersection")
+        val expJac = math.floor(inter.toDouble / (va + vb - inter) * 1e4 + 0.5) / 1e4
+        assert(jac === expJac, s"($a,$b) jaccard")
+        assert(jac > 0.0 && jac <= 1.0)
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("length histogram: bins re-total to the corpus and replay the token counts") {
+    val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, bin, binLow, _) =>
+      assert(binLow === bin * 100, "bin_low must be bin * width")
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    assert(rows.map(_._4).sum === docs.length.toLong, "histogram must cover every doc")
+    val expect = docs.groupBy { case (s, t) =>
+      (s, t.split("[ \n]").count(_.nonEmpty).toLong / 100L)
+    }.map { case (k, ds) => k -> ds.length.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._4).toMap === expect)
+  }
+
   test("ccnet buckets: per-source partition into ordered score thirds at bin granularity") {
     val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
