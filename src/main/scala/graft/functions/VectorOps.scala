@@ -12,9 +12,6 @@ import graft.sources.Tables
   */
 object VectorOps {
 
-  /** Cast a float vector to double once, up front. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Σ aᵢ·bᵢ — native codegen'd loop (graft.functions.DotProduct), LTR
     * double summation; accepts float or double arrays without an
     * up-front cast. ~10× the HOF formulation on quadratic pair scans. */

@@ -67,6 +67,10 @@ class DedupSpec extends SparkSpec {
     val p = Dedup.simhashPairs(spark, sf).collect()
     assert(p.forall(r => r.getInt(2) <= 3 || r.getLong(2) <= 3))
     assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+    // the corpus-form signature entry point covers every doc exactly once
+    val sigs = Dedup.simhashSignatures(spark, sf)
+    assert(sigs.count() === graft.sources.Tables.documents(spark, sf).count())
+    assert(sigs.select("doc_id").distinct().count() === sigs.count())
   }
 
   test("embedding near-dup pairs are symmetric-free and cosine-bounded") {
