@@ -67,6 +67,9 @@ object SparkEntry {
     "corpus_quality_sample" -> ((s, d) => TextAnalysis.qualitySample(s, d)),
     "corpus_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "corpus_source_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(s, d)),
+    "corpus_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
+    "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
@@ -110,6 +113,7 @@ object SparkEntry {
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_rolling_active" -> ((s, d) => Events.rollingActiveUsers(s, d)),
+    "events_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
@@ -726,6 +730,77 @@ object SparkEntry {
         |  floor((CAST(i.n_shared AS DOUBLE) / (va.vocab + vb.vocab - i.n_shared)) * 1e4 + 0.5) / 1e4 AS jaccard
         |FROM i JOIN v va ON va.source = i.src_a JOIN v vb ON vb.source = i.src_b
         |ORDER BY i.src_a, i.src_b""".stripMargin,
+    // bigramStats(k=100): row-local adjacent pairs, top-K by count with
+    // (w1, w2) tiebreak, PMI via the same 6-dp log10 replay as
+    // text_unigram_logprob
+    "corpus_bigrams" ->
+      """WITH w AS (SELECT list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |bgp AS (SELECT unnest([{'w1': words[i], 'w2': words[i+1]}
+        |                       for i in range(1, len(words))]) AS p FROM w),
+        |bg AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair FROM bgp GROUP BY 1, 2),
+        |u AS (SELECT w, count(*) AS n_w
+        |      FROM (SELECT unnest(words) AS w FROM w) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_w) FROM u) AS nu,
+        |               (SELECT sum(n_pair) FROM bg) AS nb),
+        |topk AS (SELECT * FROM bg ORDER BY n_pair DESC, w1, w2 LIMIT 100)
+        |SELECT t.w1, t.w2, t.n_pair,
+        |  floor(log10((CAST(t.n_pair AS DOUBLE) * tot.nu * tot.nu) /
+        |              (CAST(tot.nb AS DOUBLE) * u1.n_w * u2.n_w)) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM topk t JOIN u u1 ON u1.w = t.w1 JOIN u u2 ON u2.w = t.w2, tot
+        |ORDER BY t.n_pair DESC, t.w1, t.w2""".stripMargin,
+    // splitLeakage(threshold=0.8): the ngram-jaccard pair CTE (same body
+    // as ngramJaccardOracle) joined twice against the split-bucket
+    // replay (same md5 device as corpus_split_assign)
+    "corpus_split_leakage" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |       FROM (SELECT doc_id,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |             FROM w)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 AS jaccard
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |         JOIN sz sa ON sa.doc_id = a.doc_id
+        |         JOIN sz sb ON sb.doc_id = b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |       HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |               i -> (strpos('0123456789abcdef',
+        |                       substr(md5('split0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |                    * pow(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        |             FROM documents))
+        |SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM pr p JOIN sp sa ON sa.doc_id = p.doc_a JOIN sp sb ON sb.doc_id = p.doc_b
+        |WHERE sa.split != sb.split
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    // readability: sentence segments on [.!?] (trimmed non-empty, min
+    // 1), vowel-group syllables (min 1/word), 4-dp Flesch replay
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS words,
+        |    greatest(len(list_filter(list_transform(string_split_regex(text, '[.!?]'),
+        |      s -> trim(s)), s -> s != '')), 1) AS n_sentences
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(n_sentences AS BIGINT) AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(words,
+        |        w -> greatest(len(list_filter(string_split_regex(lower(w), '[^aeiouy]+'),
+        |                          g -> g != '')), 1))), 0) AS BIGINT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |         - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)))
+        |        * 1e4 + 0.5) / 1e4 AS reading_ease
+        |FROM s ORDER BY doc_id""".stripMargin,
     // lengthHistogram(binWidth=100): integer bins over the same
     // whitespace-token count the signal index stores
     "text_length_histogram" ->
@@ -1582,6 +1657,22 @@ object SparkEntry {
         |  (SELECT count(DISTINCT user_id) FROM ud
         |   WHERE ud.day BETWEEN d.day - 6 AND d.day) AS rolling_users
         |FROM days d ORDER BY day""".stripMargin,
+    // retentionCohorts(maxOffset=7): cohort = per-user min active day;
+    // (user, day) is distinct so count(*) per (cohort, offset) counts users
+    "events_retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS n_cohort FROM co GROUP BY cohort_day),
+        |act AS (SELECT co.cohort_day,
+        |          datediff('day', co.cohort_day, ud.day) AS day_offset,
+        |          count(*) AS n_active
+        |        FROM ud JOIN co USING (user_id)
+        |        WHERE datediff('day', co.cohort_day, ud.day) <= 7
+        |        GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, s.n_cohort,
+        |  floor((CAST(a.n_active AS DOUBLE) / s.n_cohort) * 1e4 + 0.5) / 1e4 AS retention
+        |FROM act a JOIN sz s USING (cohort_day)
+        |ORDER BY a.cohort_day, a.day_offset""".stripMargin,
     "multimodal_features" ->
       """WITH b AS (SELECT doc_id,
         |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -295,4 +295,32 @@ object Events {
       .join(rolling, Seq("day"))
       .orderBy("day")
   }
+
+  /** Cohort retention matrix: users grouped by first-active day, then
+    * for each day-offset 0..`maxOffset` the count and share of the
+    * cohort active exactly `offset` days later — the standard retention
+    * triangle. Scale shape: raw events collapse to distinct (user, day)
+    * once; the per-user cohort day is one user-keyed aggregate; the
+    * activity×cohort join keys on user_id (both sides |users|-bounded);
+    * the offset filter caps output at |days|·(maxOffset+1) rows. No
+    * per-day rescan, no window over the corpus, nothing quadratic. */
+  def retentionCohorts(spark: SparkSession, sfDir: String,
+      maxOffset: Int = 7): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    ud.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("n_cohort"),
+        rd(col("n_active").cast("double") / col("n_cohort"), 4).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

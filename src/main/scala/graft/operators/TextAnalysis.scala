@@ -989,6 +989,95 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Top-K adjacent-token collocations with pointwise mutual
+    * information — the corpus-linguistics bigram report, and exactly
+    * the pair-frequency pass a BPE-style tokenizer trainer runs per
+    * merge iteration. PMI = log10( p(w1 w2) / (p(w1)·p(w2)) ) with
+    * bigram/unigram probabilities over their own totals, rounded 6 dp
+    * (the same log-replay device as `text_unigram_logprob`). Scale:
+    * bigram pairs are emitted ROW-LOCALLY (no corpus self-join) and
+    * aggregated in wordcount currency; top-K runs as
+    * TakeOrderedAndProject; the vocabulary-sized unigram join touches
+    * only the K winners. */
+  def bigramStats(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(wsTokens(col("text")).as("toks"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    // corpus totals are 1-row scalar reductions (same device as
+    // unigramLogProb's `total`) — fetched once, folded in as literals
+    val nu = uni.agg(sum("n_w")).head().getLong(0).toDouble
+    val nb = bg.agg(sum("n_pair")).head().getLong(0).toDouble
+    bg.orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(k)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        rd(log10((col("n_pair").cast("double") * lit(nu) * lit(nu)) /
+          (lit(nb) * col("n_w1") * col("n_w2"))), 6).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+  }
+
+  /** Cross-split near-duplicate leakage audit: near-dup pairs whose two
+    * documents landed in DIFFERENT train/val/test splits — the eval-set
+    * contamination a random doc-level split silently creates whenever
+    * duplicates exist (the reason dedup-before-split is standard). Pure
+    * composition: the stored n-gram Jaccard pair table
+    * ([[graft.operators.Dedup.materializedPairs]], computed once per
+    * corpus snapshot) joined twice against the deterministic
+    * [[splitAssign]] hash — pair-table-sized work, the corpus text is
+    * never re-read. At 100 TB both joins key on doc_id against a
+    * doc_id-sized split table; nothing quadratic, nothing re-shingled. */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val splits = splitAssign(spark, sfDir).select("doc_id", "split")
+    Dedup.materializedPairs(spark, sfDir, threshold)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Flesch-style readability per document: words (whitespace tokens),
+    * sentences (non-empty `[.!?]` segments, floored at 1), syllables
+    * (maximal `[aeiouy]+` vowel groups per lowercased word, floored at
+    * 1/word), and reading ease
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` — the
+    * classic cheap fluency heuristic corpus filters pair with stopword
+    * and punctuation ratios (both regexes are RE2-portable, so DuckDB
+    * replays them exactly). Map-only row-local HOFs, zero shuffle; the
+    * syllable fold references each derived array once (the
+    * PushDownPredicates lesson in PERF.md). */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSent = greatest(size(filter(
+      transform(split(col("text"), "[.!?]"), s => trim(s)), s => s =!= "")), lit(1))
+    val sylOf = (w: Column) =>
+      greatest(size(filter(split(lower(w), "[^aeiouy]+"), g => g =!= "")), lit(1))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"), nSent.as("n_sentences"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        col("n_sentences").cast("long").as("n_sentences"),
+        aggregate(col("toks"), lit(0L), (acc, w) => acc + sylOf(w).cast("long"))
+          .as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        rd(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / greatest(col("n_words"), lit(1L))), 4).as("reading_ease"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document-length histogram (token-count bins of
     * `binWidth`): the length-distribution report every corpus audit
     * includes — a skewed length profile flags boilerplate floods or

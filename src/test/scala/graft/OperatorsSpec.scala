@@ -99,4 +99,33 @@ class OperatorsSpec extends SparkSpec {
       assert(dau <= rolling, s"$day dau must not exceed the rolling count")
     }
   }
+
+  test("retention cohorts: matrix replays the brute-force cohort pass") {
+    val out = Events.retentionCohorts(spark, sf).collect()
+      .map(r => ((r.getDate(0).toLocalDate, r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val cohortOf = ud.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).minBy(_.toEpochDay) }
+    val expect = ud.map { case (u, d) =>
+        val c = cohortOf(u)
+        ((c, java.time.temporal.ChronoUnit.DAYS.between(c, d).toInt), u) }
+      .filter(_._1._2 <= 7)
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).distinct.length.toLong }
+    val sizes = cohortOf.values.groupBy(identity).map { case (c, cs) => c -> cs.size.toLong }
+    assert(out.map(_._1).toSeq ===
+      expect.keys.toSeq.sortBy { case (c, o) => (c.toEpochDay, o) })
+    out.foreach { case ((c, o), (nActive, nCohort, ret)) =>
+      assert(nActive === expect((c, o)), s"cohort $c offset $o active")
+      assert(nCohort === sizes(c), s"cohort $c size")
+      assert(ret === math.floor(nActive.toDouble / nCohort * 1e4 + 0.5) / 1e4)
+    }
+    // offset 0 is the cohort itself: retention exactly 1.0
+    out.filter(_._1._2 == 0).foreach { case ((c, _), (nA, nC, ret)) =>
+      assert(nA === nC && ret === 1.0, s"cohort $c day-0")
+    }
+  }
 }

@@ -481,6 +481,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("bigram stats: top-K counts and PMI replay the brute-force pass") {
+    val out = TextAnalysis.bigramStats(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(_.split("[ \n]").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val bg = docs.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (p, ps) => p -> ps.length.toLong }
+    val nu = uni.values.sum.toDouble
+    val nb = bg.values.sum.toDouble
+    val expectTop = bg.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(100)
+    assert(out.map(_._1).toSeq === expectTop.map(_._1))
+    out.zip(expectTop).foreach { case (((a, b), (n, pmi)), (_, expN)) =>
+      assert(n === expN, s"($a,$b) count")
+      val expPmi = math.floor(
+        math.log10(n.toDouble * nu * nu / (nb * uni(a) * uni(b))) * 1e6 + 0.5) / 1e6
+      assert(pmi === expPmi, s"($a,$b) pmi")
+    }
+    // high-PMI pairs co-occur more than chance predicts
+    assert(out.exists(_._2._2 > 0.0), "some collocation must beat independence")
+  }
+
+  test("split leakage: exactly the cross-split rows of the stored pair table") {
+    val out = TextAnalysis.splitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4)))
+    val pairs = graft.operators.Dedup.materializedPairs(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b")),
+        r.getDouble(r.fieldIndex("jaccard"))))
+    assert(pairs.nonEmpty, "fixture must have near-dup pairs for the test to bite")
+    val split = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val expect = pairs.filter { case (a, b, _) => split(a) != split(b) }
+      .map { case (a, b, j) => (a, b, j, split(a), split(b)) }
+      .sortBy { case (a, b, _, _, _) => (a, b) }
+    assert(out.toSeq === expect.toSeq)
+    out.foreach { case (_, _, _, sa, sb) => assert(sa !== sb) }
+  }
+
+  test("readability: flesch components replay the brute-force pass") {
+    val out = TextAnalysis.readability(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(out.map(_._1).toSeq === docs.map(_._1).sorted.toSeq)
+    val m = out.toMap
+    docs.foreach { case (id, text) =>
+      val words = text.split("[ \n]").filter(_.nonEmpty)
+      val nSent = math.max(text.split("[.!?]", -1).map(_.trim).count(_.nonEmpty), 1)
+      val nSyl = words.map(w =>
+        math.max(w.toLowerCase.split("[^aeiouy]+").count(_.nonEmpty), 1).toLong).sum
+      val (nw, ns, nsy, ease) = m(id)
+      assert(nw === words.length.toLong, s"doc $id words")
+      assert(ns === nSent.toLong, s"doc $id sentences")
+      assert(nsy === nSyl, s"doc $id syllables")
+      val expEase = math.floor((206.835 - 1.015 * words.length.toDouble / nSent
+        - 84.6 * nSyl.toDouble / math.max(words.length, 1)) * 1e4 + 0.5) / 1e4
+      assert(ease === expEase, s"doc $id ease")
+    }
+  }
+
   test("length histogram: bins re-total to the corpus and replay the token counts") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
