@@ -37,6 +37,8 @@ object SparkEntry {
     "cube_orders" -> (Relational.cubeOrders _),
     "window_analytics_orders" -> (Relational.windowAnalyticsOrders _),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantityRevenue(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeVolumeOrders(s, d)),
     "events_salted_enrich" -> ((s, d) => SkewTools.saltedUserEnrich(s, d)),
     "set_ops_active_customers" -> (Relational.setOpsActiveCustomers _),
     "scalar_functions" -> (Relational.scalarFunctions _),
@@ -325,6 +327,32 @@ object SparkEntry {
         |  floor(tv * 1e2 + 0.5) / 1e2 AS total_volume,
         |  floor((nv / tv) * 1e4 + 0.5) / 1e4 AS mkt_share
         |FROM agg ORDER BY o_year""".stripMargin,
+    // Q17: the correlated threshold decorrelated to a per-part agg; the
+    // predicate 5·q·c < S is the exact-integer form of q < 0.2·S/c
+    "q17_small_quantity" ->
+      """WITH pa AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS s_qty,
+        |              count(*) AS n_li
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_brand, count(*) AS n_small,
+        |  floor((CAST(sum(CAST(floor(l.l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem l
+        |  JOIN pa ON pa.l_partkey = l.l_partkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.n_li < pa.s_qty
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    // Q18(minQty=250): group-HAVING semi-join; quantities are integral
+    // doubles so the sum and threshold compare exactly
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(l_quantity) > 250)
+        |SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, b.total_qty
+        |FROM orders o
+        |  JOIN big b ON o.o_orderkey = b.l_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // salted-join path: the oracle is the PLAIN join+agg — the driver
     // hash-check proves salting is semantics-free
     "events_salted_enrich" ->

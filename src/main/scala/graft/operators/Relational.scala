@@ -317,6 +317,54 @@ object Relational {
     * share-of-total. Numerator and denominator are conditional /
     * unconditional exact quantized sums in ONE aggregation pass (no
     * second scan, no join back), so the ratio is oracle-stable. */
+  /** TPC-H Q17-style small-quantity revenue per brand: lineitems whose
+    * quantity is below 0.2× their part's average quantity — the classic
+    * correlated-scalar-subquery plan, decorrelated into one per-part
+    * aggregate joined back to the fact table. The threshold predicate is
+    * restated in exact integer arithmetic (`5·q·c < S` ⟺
+    * `q < 0.2·S/c`; quantities are integral), so both engines evaluate
+    * it without a single float round. Scale: the per-part (sum, count)
+    * agg partial-aggregates map-side and shuffles O(|parts|) rows; the
+    * join back keys on l_partkey (AQE broadcasts the agg side while it
+    * fits; co-partitioned shuffle join beyond); final agg is
+    * O(|brands|). */
+  def q17SmallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = li.groupBy("l_partkey").agg(
+      sum(col("l_quantity")).cast("long").as("s_qty"), // integral doubles: exact
+      count(lit(1)).as("n_li"))
+    val brands = part(spark, sfDir).select("p_partkey", "p_brand")
+    li.join(perPart, Seq("l_partkey"))
+      .filter(lit(5L) * col("l_quantity").cast("long") * col("n_li") < col("s_qty"))
+      .join(brands, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        rd(qsum(col("l_extendedprice"), 6), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total lineitem
+    * quantity exceeds `minQty`, with their customer — the group-HAVING
+    * semi-join pattern. Scale: the per-order quantity agg shuffles on
+    * l_orderkey (the same key the orders join needs — one partitioning
+    * reused); HAVING collapses the fact table to a handful of orders
+    * before any dimension join, so the orders/customer joins see a
+    * filtered, broadcastable side (AQE), never the raw fact table. */
+  def q18LargeVolumeOrders(spark: SparkSession, sfDir: String,
+      minQty: Double = 250.0): DataFrame = {
+    val big = lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty")) // integral doubles: exact
+      .filter(col("total_qty") > minQty)
+    orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
   def q8MarketShare(spark: SparkSession, sfDir: String,
       regionName: String = "ASIA", partType: String = "PROMO",
       shareNation: String = "NATION_7"): DataFrame = {

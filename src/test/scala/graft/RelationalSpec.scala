@@ -104,4 +104,35 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!formatted.contains("l_returnflag"), "q5 must not read unused columns")
   }
+
+  test("q17: integer threshold predicate replays the 0.2x-average filter") {
+    val out = Relational.q17SmallQuantityRevenue(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity").as[(Long, Double)].collect()
+    val brand = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    // same exact-integer predicate as the operator (5qc < S ⟺ q < 0.2·S/c
+    // for integral quantities; a float 0.2·S/c replay can flip boundary
+    // cases where 5qc = S because 0.2 is not representable)
+    val perPart = li.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.map(_._2).sum.toLong, rs.length.toLong) }
+    val expect = li.filter { case (p, q) =>
+        val (s, c) = perPart(p); 5L * q.toLong * c < s }
+      .groupBy { case (p, _) => brand(p) }.map { case (b, rs) => b -> rs.length.toLong }
+    assert(out === expect)
+    assert(out.values.sum > 0, "fixture must have below-average-quantity lineitems")
+  }
+
+  test("q18: every returned order exceeds the quantity threshold; none missed") {
+    val out = Relational.q18LargeVolumeOrders(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val perOrder = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
+    val expect = perOrder.filter(_._2 > 250.0)
+    assert(out.map(_._1).toSet === expect.keySet)
+    out.foreach { case (ok, tq) => assert(tq === expect(ok), s"order $ok") }
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq, "ordered by o_orderkey")
+  }
 }
