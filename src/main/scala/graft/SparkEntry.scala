@@ -70,6 +70,8 @@ object SparkEntry {
     "corpus_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "corpus_source_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(s, d)),
     "corpus_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
+    "text_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
+    "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
     "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
@@ -777,6 +779,51 @@ object SparkEntry {
         |              (CAST(tot.nb AS DOUBLE) * u1.n_w * u2.n_w)) * 1e6 + 0.5) / 1e6 AS pmi
         |FROM topk t JOIN u u1 ON u1.w = t.w1 JOIN u u2 ON u2.w = t.w2, tot
         |ORDER BY t.n_pair DESC, t.w1, t.w2""".stripMargin,
+    // bpeMergeStep: top pair replays the bigram CTE; greedy non-overlap
+    // merge count = plain adjacent-match count when w1 != w2 (overlap
+    // impossible), floor(run/2) over w1-runs (gaps-and-islands) when
+    // w1 = w2
+    "text_bpe_merge" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |bg AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n
+        |       FROM (SELECT unnest([{'w1': words[i], 'w2': words[i+1]}
+        |                            for i in range(1, len(words))]) AS p FROM w)
+        |       GROUP BY 1, 2),
+        |top AS (SELECT w1, w2 FROM bg ORDER BY n DESC, w1, w2 LIMIT 1),
+        |tok AS (SELECT doc_id, t.i AS i, t.w AS w
+        |        FROM (SELECT doc_id, unnest([{'i': i, 'w': words[i]}
+        |                                     for i in range(1, len(words) + 1)]) AS t
+        |              FROM w)),
+        |c1 AS (SELECT a.doc_id, count(*) AS m
+        |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |         CROSS JOIN top
+        |       WHERE a.w = top.w1 AND b.w = top.w2 GROUP BY a.doc_id),
+        |r AS (SELECT tok.doc_id, tok.i,
+        |        tok.i - row_number() OVER (PARTITION BY tok.doc_id ORDER BY tok.i) AS grp
+        |      FROM tok CROSS JOIN top WHERE tok.w = top.w1 AND top.w1 = top.w2),
+        |c2 AS (SELECT doc_id, CAST(sum(L // 2) AS BIGINT) AS m
+        |       FROM (SELECT doc_id, count(*) AS L FROM r GROUP BY doc_id, grp)
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.words) AS BIGINT) AS n_tokens, top.w1, top.w2,
+        |  CAST(CASE WHEN top.w1 = top.w2 THEN coalesce(c2.m, 0)
+        |       ELSE coalesce(c1.m, 0) END AS BIGINT) AS n_merges,
+        |  CAST(len(d.words) - (CASE WHEN top.w1 = top.w2 THEN coalesce(c2.m, 0)
+        |                       ELSE coalesce(c1.m, 0) END) AS BIGINT) AS n_tokens_after
+        |FROM w d CROSS JOIN top
+        |  LEFT JOIN c1 ON c1.doc_id = d.doc_id
+        |  LEFT JOIN c2 ON c2.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // docFrequencySpectrum: distinct (doc, token) then two bounded aggs
+    "corpus_df_spectrum" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token
+        |            FROM (SELECT doc_id,
+        |                    unnest(list_filter(string_split_regex(text, '[ \n]'),
+        |                                       x -> x != '')) AS t
+        |                  FROM documents)),
+        |df AS (SELECT token, count(*) AS df FROM dt GROUP BY token)
+        |SELECT df, count(*) AS n_tokens FROM df GROUP BY df ORDER BY df""".stripMargin,
     // splitLeakage(threshold=0.8): the ngram-jaccard pair CTE (same body
     // as ngramJaccardOracle) joined twice against the split-bucket
     // replay (same md5 device as corpus_split_assign)

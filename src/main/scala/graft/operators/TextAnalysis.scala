@@ -1024,6 +1024,72 @@ object TextAnalysis {
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
   }
 
+  /** One BPE-trainer merge step, applied distributively: find the
+    * corpus's most frequent adjacent token pair (the [[bigramStats]]
+    * currency, tiebroken (count desc, w1, w2)), then replay the
+    * trainer's greedy LEFT-TO-RIGHT NON-OVERLAPPING merge against every
+    * document — per doc: token count before, merge count, token count
+    * after. The fold's skip-after-merge flag makes repeated-token runs
+    * exact (`aaa` with pair (a,a) merges once, floor(run/2) in
+    * general). Scale: the pair agg is wordcount-currency (row-local
+    * emission, partial aggs); the winning pair is a 1-row scalar fetch;
+    * the merge replay is a map-only row-local fold — the same
+    * one-scan-per-merge-iteration shape a distributed BPE trainer
+    * runs. */
+  def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val top = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(1).head()
+    applyMerge(docs, top.getString(0), top.getString(1))
+  }
+
+  /** The merge-application half of [[bpeMergeStep]]: greedy
+    * left-to-right non-overlapping (w1, w2) merge counts over a
+    * (doc_id, toks) frame. The fold's skip-after-merge flag consumes
+    * BOTH tokens on a hit, so a run of a repeated token merges
+    * floor(run/2) times — the trainer's exact semantics. */
+  def applyMerge(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(false).as("pm"), lit(0L).as("m"))
+    val merges = aggregate(col("toks"), zero,
+      (acc, t) => {
+        val hit = !acc.getField("pm") &&
+          (acc.getField("prev") === lit(w1)) && (t === lit(w2))
+        when(hit, struct(t.as("prev"), lit(true).as("pm"),
+            (acc.getField("m") + lit(1L)).as("m")))
+          .otherwise(struct(t.as("prev"), lit(false).as("pm"),
+            acc.getField("m").as("m")))
+      },
+      acc => acc.getField("m"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        lit(w1).as("w1"), lit(w2).as("w2"), merges.as("n_merges"))
+      .select(col("doc_id"), col("n_tokens"), col("w1"), col("w2"),
+        col("n_merges"), (col("n_tokens") - col("n_merges")).as("n_tokens_after"))
+      .orderBy("doc_id")
+  }
+
+  /** Document-frequency spectrum: how many vocabulary tokens appear in
+    * exactly k documents — the IDF-side companion to [[vocabStats]]'
+    * term-frequency view (the k=1 row is cross-doc hapax vocabulary;
+    * the high-k tail is the stopword mass a DF-cap filter would drop).
+    * Scale: tokens dedup ROW-LOCALLY (`array_distinct` before explode),
+    * so the shuffle carries each (doc, token) once; two bounded aggs
+    * follow, and output rows are capped by max DF ≤ |docs|. */
+  def docFrequencySpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(wsTokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_tokens"))
+      .orderBy("df")
+  }
+
   /** Cross-split near-duplicate leakage audit: near-dup pairs whose two
     * documents landed in DIFFERENT train/val/test splits — the eval-set
     * contamination a random doc-level split silently creates whenever

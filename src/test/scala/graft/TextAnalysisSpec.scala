@@ -504,6 +504,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.exists(_._2._2 > 0.0), "some collocation must beat independence")
   }
 
+  test("bpe merge step: greedy non-overlap replay, including same-token runs") {
+    val out = TextAnalysis.bpeMergeStep(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("[ \n]").filter(_.nonEmpty).toSeq }
+    val bg = docs.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).map { case (p, ps) => p -> ps.length }
+    val (w1, w2) = bg.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+    def greedy(ts: Seq[String]): Long = {
+      var m = 0L; var i = 0
+      while (i < ts.length - 1) {
+        if (ts(i) == w1 && ts(i + 1) == w2) { m += 1; i += 2 } else i += 1
+      }
+      m
+    }
+    assert(out.map(_._1).toSeq === docs.map(_._1).sorted.toSeq)
+    val byId = out.toMap
+    docs.foreach { case (id, ts) =>
+      val (n, ow1, ow2, merges, after) = byId(id)
+      assert(ow1 === w1 && ow2 === w2, s"doc $id pair")
+      assert(n === ts.length.toLong, s"doc $id tokens")
+      assert(merges === greedy(ts), s"doc $id merges")
+      assert(after === n - merges, s"doc $id after")
+    }
+  }
+
+  test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
+      (2L, Seq("a", "a")),                // -> 1
+      (3L, Seq("b", "a", "a", "b", "a")), // one interior pair -> 1
+      (4L, Seq("a")),                     // too short -> 0
+      (5L, Seq.empty[String]))            // empty -> 0
+      .toDF("doc_id", "toks")
+    val out = TextAnalysis.applyMerge(docs, "a", "a").collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) === ((2L, 3L)))
+    assert(out(2L) === ((1L, 1L)))
+    assert(out(3L) === ((1L, 4L)))
+    assert(out(4L) === ((0L, 1L)))
+    assert(out(5L) === ((0L, 0L)))
+  }
+
+  test("df spectrum: histogram replays brute-force document frequencies") {
+    val out = TextAnalysis.docFrequencySpectrum(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(_.split("[ \n]").filter(_.nonEmpty).toSet)
+    val dfOf = docs.flatten.groupBy(identity).map { case (t, ts) => t -> ts.length }
+    val expect = dfOf.values.groupBy(identity)
+      .map { case (df, vs) => df.toLong -> vs.size.toLong }
+    assert(out.toMap === expect)
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq, "ordered by df")
+    assert(out.map(_._2).sum === dfOf.size.toLong, "spectrum re-totals the vocabulary")
+  }
+
   test("split leakage: exactly the cross-split rows of the stored pair table") {
     val out = TextAnalysis.splitLeakage(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4)))
