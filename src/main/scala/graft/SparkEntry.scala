@@ -71,6 +71,8 @@ object SparkEntry {
     "corpus_source_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(s, d)),
     "corpus_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
     "text_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
+    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
     "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
@@ -779,6 +781,50 @@ object SparkEntry {
         |              (CAST(tot.nb AS DOUBLE) * u1.n_w * u2.n_w)) * 1e6 + 0.5) / 1e6 AS pmi
         |FROM topk t JOIN u u1 ON u1.w = t.w1 JOIN u u2 ON u2.w = t.w2, tot
         |ORDER BY t.n_pair DESC, t.w1, t.w2""".stripMargin,
+    // bigramLogProb: add-one-smoothed conditional lp at 6 dp, exact
+    // integer-unit mean (the text_unigram_logprob device, one n-gram up)
+    "text_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |d AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        |      FROM (SELECT doc_id, unnest([{'w1': words[i], 'w2': words[i+1]}
+        |                                   for i in range(1, len(words))]) AS p
+        |            FROM w)),
+        |bg AS (SELECT w1, w2, count(*) AS n_pair FROM d GROUP BY 1, 2),
+        |uni AS (SELECT t AS w1, count(*) AS n_w1
+        |        FROM (SELECT unnest(words) AS t FROM w) GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |lp AS (SELECT d.doc_id,
+        |         floor(log10(CAST(n_pair + 1 AS DOUBLE) /
+        |                     CAST(n_w1 + vocab AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lp
+        |       FROM d JOIN bg USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(CAST(floor(lp * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 1e6)) * 1e4 + 0.5) / 1e4 AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // zipfFit(topN=1000): logs quantized at 6 dp, exact integer-unit
+    // sums, identical IEEE least-squares arithmetic in both engines
+    "corpus_zipf" ->
+      """WITH f AS (SELECT t AS token, count(*) AS cnt
+        |           FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \n]'),
+        |                                           x -> x != '')) AS t
+        |                 FROM documents) GROUP BY 1),
+        |top AS (SELECT token, cnt FROM f ORDER BY cnt DESC, token LIMIT 1000),
+        |rk AS (SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, cnt FROM top),
+        |xy AS (SELECT floor(log10(CAST(rank AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+        |              floor(log10(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+        |       FROM rk),
+        |s AS (SELECT count(*) AS n,
+        |        CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+        |        CAST(sum(CAST(floor(y * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+        |        CAST(sum(CAST(floor((floor(x * y * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy,
+        |        CAST(sum(CAST(floor((floor(x * x * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxx
+        |      FROM xy)
+        |SELECT n AS n_fit,
+        |  floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e4 + 0.5) / 1e4 AS slope,
+        |  floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1e4 + 0.5) / 1e4 AS intercept
+        |FROM s""".stripMargin,
     // bpeMergeStep: top pair replays the bigram CTE; greedy non-overlap
     // merge count = plain adjacent-match count when w1 != w2 (overlap
     // impossible), floor(run/2) over w1-runs (gaps-and-islands) when

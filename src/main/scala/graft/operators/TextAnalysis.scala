@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Deterministic.{qavg, rd}
+import graft.functions.Deterministic.{qavg, qsum, rd}
 import graft.sources.{ArtifactCache, Tables}
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -1022,6 +1022,71 @@ object TextAnalysis {
         rd(log10((col("n_pair").cast("double") * lit(nu) * lit(nu)) /
           (lit(nb) * col("n_w1") * col("n_w2"))), 6).as("pmi"))
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+  }
+
+  /** Per-document average CONDITIONAL log-probability under a
+    * corpus-trained add-one-smoothed bigram LM:
+    * `lp(w2|w1) = log10((c(w1 w2)+1) / (c(w1)+V))` with V the unigram
+    * vocabulary size — one rung up the n-gram ladder from
+    * [[unigramLogProb]], and a materially better fluency signal (word
+    * salad scores high on unigrams but low here). Docs need ≥2 tokens
+    * to have a bigram; shorter docs drop (same contract as the
+    * oracle). Scale: doc bigrams join the bigram-count table on its
+    * natural (w1, w2) key — the scoring IS that join; the unigram side
+    * joins on w1; V is a 1-row scalar. Log values quantize at 6 dp and
+    * average in exact integer units (the [[unigramLogProb]] device). */
+  def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val docBg = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val bg = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = docs.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("n_w1"))
+    val vocab = uni.count() // 1-row scalar: vocabulary size
+    docBg.join(bg, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        rd(log10((col("n_pair") + lit(1L)).cast("double") /
+          (col("n_w1") + lit(vocab)).cast("double")), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), rd(qavg(col("lp"), 6), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf-law audit: least-squares slope of log10(freq) vs log10(rank)
+    * over the `topN` most frequent tokens — natural text sits near −1;
+    * a flat slope flags synthetic/templated corpora, a cliff flags
+    * boilerplate floods. One summary row. Scale: the vocabulary agg is
+    * wordcount currency; `limit(topN)` collapses to a bounded frame
+    * BEFORE the rank window, so the unpartitioned window sees ≤topN
+    * rows by construction; the regression sums quantize logs at 6 dp
+    * and sum exactly (integer units), so both engines fit the same
+    * line. */
+  def zipfFit(spark: SparkSession, sfDir: String, topN: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val top = Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .select(rd(log10(col("rank").cast("double")), 6).as("x"),
+        rd(log10(col("cnt").cast("double")), 6).as("y"))
+    top.agg(count(lit(1)).as("n_fit"),
+        qsum(col("x"), 6).as("sx"), qsum(col("y"), 6).as("sy"),
+        qsum(rd(col("x") * col("y"), 6), 6).as("sxy"),
+        qsum(rd(col("x") * col("x"), 6), 6).as("sxx"))
+      .select(col("n_fit"),
+        rd((col("n_fit") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_fit") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        rd((col("sy") - ((col("n_fit") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_fit") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n_fit"), 4).as("intercept"))
   }
 
   /** One BPE-trainer merge step, applied distributively: find the

@@ -549,6 +549,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L)))
   }
 
+  test("bigram logprob: smoothed conditional scores replay the brute-force LM") {
+    val out = TextAnalysis.bigramLogProb(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("[ \n]").filter(_.nonEmpty).toSeq }
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val bg = docs.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).map { case (p, ps) => p -> ps.length.toLong }
+    val vocab = uni.size.toLong
+    val withBigrams = docs.filter(_._2.length >= 2)
+    assert(out.keySet === withBigrams.map(_._1).toSet, "docs with >=2 tokens only")
+    withBigrams.foreach { case (id, ts) =>
+      val lps = ts.zip(ts.drop(1)).map { case (a, b) =>
+        val raw = math.log10((bg((a, b)) + 1).toDouble / (uni(a) + vocab).toDouble)
+        math.floor(raw * 1e6 + 0.5) / 1e6
+      }
+      val n = lps.length.toLong
+      val expAvg = math.floor(
+        (lps.map(lp => math.floor(lp * 1e6 + 0.5).toLong).sum.toDouble / (n * 1e6))
+          * 1e4 + 0.5) / 1e4
+      val (gotN, gotAvg) = out(id)
+      assert(gotN === n, s"doc $id n_bigrams")
+      assert(gotAvg === expAvg, s"doc $id avg")
+    }
+    // every smoothed conditional probability is < 1, so scores are negative
+    out.values.foreach { case (_, avg) => assert(avg < 0.0) }
+  }
+
+  test("zipf fit: slope/intercept replay the quantized least-squares fit") {
+    val Seq(row) = TextAnalysis.zipfFit(spark, sf).collect().toSeq
+    val (nFit, slope, intercept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val freqs = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split("[ \n]").filter(_.nonEmpty))
+      .groupBy(identity).toSeq.map { case (t, ts) => (t, ts.length.toLong) }
+      .sortBy { case (t, n) => (-n, t) }.take(1000)
+    def q6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val xy = freqs.zipWithIndex.map { case ((_, n), i) =>
+      (q6(math.log10((i + 1).toDouble)), q6(math.log10(n.toDouble))) }
+    def qsum(vs: Seq[Double]): Double =
+      vs.map(v => math.floor(v * 1e6 + 0.5).toLong).sum.toDouble / 1e6
+    val nn = xy.length.toLong
+    val (sx, sy) = (qsum(xy.map(_._1)), qsum(xy.map(_._2)))
+    val sxy = qsum(xy.map { case (x, y) => q6(x * y) })
+    val sxx = qsum(xy.map { case (x, _) => q6(x * x) })
+    val rawSlope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(nFit === nn)
+    assert(slope === math.floor(rawSlope * 1e4 + 0.5) / 1e4)
+    assert(intercept === math.floor((sy - rawSlope * sx) / nn * 1e4 + 0.5) / 1e4)
+    assert(slope < 0.0, "frequency must fall with rank")
+  }
+
   test("df spectrum: histogram replays brute-force document frequencies") {
     val out = TextAnalysis.docFrequencySpectrum(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
