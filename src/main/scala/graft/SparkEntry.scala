@@ -37,6 +37,8 @@ object SparkEntry {
     "cube_orders" -> (Relational.cubeOrders _),
     "window_analytics_orders" -> (Relational.windowAnalyticsOrders _),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantityRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeVolumeOrders(s, d)),
     "events_salted_enrich" -> ((s, d) => SkewTools.saltedUserEnrich(s, d)),
@@ -331,6 +333,26 @@ object SparkEntry {
         |  floor(tv * 1e2 + 0.5) / 1e2 AS total_volume,
         |  floor((nv / tv) * 1e4 + 0.5) / 1e4 AS mkt_share
         |FROM agg ORDER BY o_year""".stripMargin,
+    // Q6: one filtered agg; revenue via the exact 1e-6 quantized sum
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q10: top 20 by the QUANTIZED revenue, c_custkey tiebreak
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  floor((CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
     // Q17: the correlated threshold decorrelated to a per-part agg; the
     // predicate 5·q·c < S is the exact-integer form of q < 0.2·S/c
     "q17_small_quantity" ->

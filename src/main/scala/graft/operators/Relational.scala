@@ -317,6 +317,41 @@ object Relational {
     * share-of-total. Numerator and denominator are conditional /
     * unconditional exact quantized sums in ONE aggregation pass (no
     * second scan, no join back), so the ratio is oracle-stable. */
+  /** TPC-H Q6-style forecast revenue change: one tight scan-filter-agg
+    * — the canonical pushdown showcase. All three predicates reach the
+    * parquet scan as PushedFilters; the agg is a 1-row partial+final
+    * pair, so nothing but two running sums ever shuffles. */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        rd(qsum(col("l_extendedprice") * col("l_discount"), 6), 2).as("revenue"))
+
+  /** TPC-H Q10-style returned-item ranking: which customers returned
+    * the most revenue — lineitem('R') ⋈ orders ⋈ customer ⋈ broadcast
+    * nation, grouped per customer, top 20 via TakeOrderedAndProject on
+    * the QUANTIZED revenue (both engines sort identical 2-dp values, so
+    * the cut is deterministic). The returnflag filter collapses the
+    * fact side before any join. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q17-style small-quantity revenue per brand: lineitems whose
     * quantity is below 0.2× their part's average quantity — the classic
     * correlated-scalar-subquery plan, decorrelated into one per-part

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.date_format
 import graft.operators.Relational
 
 /** Plan-shape + invariant tests for the relational surface. Value-level
@@ -103,6 +104,37 @@ class RelationalSpec extends SparkSpec {
     val formatted = Relational.q5RegionRevenue(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!formatted.contains("l_returnflag"), "q5 must not read unused columns")
+  }
+
+  test("q6: predicates reach the parquet scan; value replays brute force") {
+    val qe = Relational.q6ForecastRevenue(spark, sf).queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"),
+      s"quantity filter must push down:\n$scan")
+    val Seq(row) = Relational.q6ForecastRevenue(spark, sf).collect().toSeq
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(date_format($"l_shipdate", "yyyy-MM-dd").as("d"),
+        $"l_discount", $"l_quantity", $"l_extendedprice")
+      .collect()
+      .filter { r =>
+        val d = r.getString(0)
+        d >= "1996-01-01" && d < "1997-01-01" &&
+          r.getDouble(1) >= 0.05 && r.getDouble(1) <= 0.07 && r.getDouble(2) < 24
+      }
+    assert(row.getLong(0) === li.length.toLong, "n_items")
+    val expRev = math.floor(li.map(r =>
+      math.floor(r.getDouble(3) * r.getDouble(1) * 1e6 + 0.5).toLong).sum
+      .toDouble / 1e6 * 1e2 + 0.5) / 1e2
+    assert(row.getDouble(1) === expRev, "revenue")
+  }
+
+  test("q10: top-20 bound, descending quantized revenue, broadcast nation") {
+    val df = Relational.q10ReturnedItems(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(4))
+    assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b }, "descending")
   }
 
   test("q17: integer threshold predicate replays the 0.2x-average filter") {
