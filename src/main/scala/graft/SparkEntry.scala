@@ -122,6 +122,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_rolling_active" -> ((s, d) => Events.rollingActiveUsers(s, d)),
     "events_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
+    "events_rfm_segments" -> ((s, d) => Events.rfmSegments(s, d)),
     // --- multimodal binary columns (decode stubbed, plumbing real) ---
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> (Events.stratifiedSample _),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
@@ -1288,6 +1290,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, metric""".stripMargin,
     // stratified_sample: engine-specific RNG -> rows-only check
     "ann_topk_ivf" -> ivfTrainedOracle(2),
+    "ann_incremental_assign" -> ivfIncrementalOracle(2),
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
     "embedding_prototypicality" -> prototypicalityOracle(2),
     // PQ: per-subspace k-means + encoding + ADC replayed end-to-end;
@@ -1800,6 +1803,26 @@ object SparkEntry {
         |  (SELECT count(DISTINCT user_id) FROM ud
         |   WHERE ud.day BETWEEN d.day - 6 AND d.day) AS rolling_users
         |FROM days d ORDER BY day""".stripMargin,
+    // rfmSegments: medians over the per-user frame (quantile_cont =
+    // Spark exact percentile over quantized inputs, the
+    // quantity_percentiles parity); boundary users land in the − half
+    "events_rfm_segments" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM ev),
+        |u AS (SELECT user_id,
+        |        datediff('day', max(day), (SELECT max_day FROM mx)) AS recency,
+        |        count(*) AS frequency,
+        |        floor((CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |              * 1e2 + 0.5) / 1e2 AS monetary
+        |      FROM ev GROUP BY user_id),
+        |med AS (SELECT quantile_cont(recency, 0.5) AS rm,
+        |               quantile_cont(frequency, 0.5) AS fm,
+        |               quantile_cont(monetary, 0.5) AS mm FROM u)
+        |SELECT concat(CASE WHEN recency <= rm THEN 'R+' ELSE 'R-' END,
+        |              CASE WHEN frequency > fm THEN 'F+' ELSE 'F-' END,
+        |              CASE WHEN monetary > mm THEN 'M+' ELSE 'M-' END) AS segment,
+        |  count(*) AS n_users
+        |FROM u, med GROUP BY 1 ORDER BY 1""".stripMargin,
     // retentionCohorts(maxOffset=7): cohort = per-user min active day;
     // (user, day) is distinct so count(*) per (cohort, offset) counts users
     "events_retention_cohorts" ->
@@ -2106,6 +2129,35 @@ object SparkEntry {
        |          ORDER BY md5('cbs0|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
        |      FROM assigned)
        |WHERE rk <= $k ORDER BY cluster, rk""".stripMargin
+  }
+
+  /** Incremental-assignment oracle: replay Lloyd training on the PRIOR
+    * snapshot (even vec_ids, seeded from its 16 lowest ids), then rank
+    * every DELTA vector (odd ids) against the trained centroids with
+    * the same rounded-cosine rule. */
+  private def ivfIncrementalOracle(iters: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |d AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm
+       |       FROM n ORDER BY vec_id LIMIT 16),
+       |$training,
+       |asg AS (SELECT vec_id, cluster, csim FROM (
+       |    SELECT v.vec_id, c.cent_id AS cluster,
+       |      ${ivfCsim("v.embedding", "v.nrm")} AS csim,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfCsim("v.embedding", "v.nrm")} DESC, c.cent_id ASC) AS arn
+       |    FROM d v, $cFinal c)
+       |  WHERE arn = 1)
+       |SELECT vec_id, cluster, csim AS assign_sim FROM asg ORDER BY vec_id""".stripMargin
   }
 
   private def ivfTrainedOracle(iters: Int): String = {

@@ -296,6 +296,38 @@ object Events {
       .orderBy("day")
   }
 
+  /** RFM user segmentation: recency (days since last event, vs the
+    * corpus max day), frequency (event count) and monetary (exact
+    * quantized value sum) per user, each cut at its corpus MEDIAN into
+    * a +/− half → 8 segments with user counts. The classic marketing
+    * segmentation, and the same fixed-point device as
+    * [[quantityPercentiles]]: exact `percentile` matches DuckDB's
+    * `quantile_cont` bit-for-bit over quantized inputs. Scale: the
+    * per-user agg shuffles on user_id once; the medians are one 1-row
+    * aggregate over the |users|-bounded frame (swap in
+    * `approx_percentile` at extreme user counts — the dial, not the
+    * plan, changes); the segment agg is 8 rows. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val maxDay = ev.agg(max("day")).head().getDate(0) // 1-row scalar
+    val users = ev.groupBy("user_id").agg(
+      datediff(lit(maxDay), max("day")).as("recency"),
+      count(lit(1)).as("frequency"),
+      rd(qsum(col("value"), 6), 2).as("monetary"))
+    val med = users.agg(
+      expr("percentile(recency, 0.5)").as("rm"),
+      expr("percentile(frequency, 0.5)").as("fm"),
+      expr("percentile(monetary, 0.5)").as("mm")).head()
+    val (rm, fm, mm) = (med.getDouble(0), med.getDouble(1), med.getDouble(2))
+    users.select(concat(
+        when(col("recency") <= rm, lit("R+")).otherwise(lit("R-")),
+        when(col("frequency") > fm, lit("F+")).otherwise(lit("F-")),
+        when(col("monetary") > mm, lit("M+")).otherwise(lit("M-"))).as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("n_users"))
+      .orderBy("segment")
+  }
+
   /** Cohort retention matrix: users grouped by first-active day, then
     * for each day-offset 0..`maxOffset` the count and share of the
     * cohort active exactly `offset` days later — the standard retention

@@ -115,9 +115,17 @@ object Similarity {
     * centroids are `localCheckpoint`ed: C rows, reused by both the index
     * and probe sides without replaying the training lineage. */
   def trainedCentroids(spark: SparkSession, sfDir: String,
-      numCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    val emb = normalizedEmbeddings(spark, sfDir)
-    var cent = emb.filter(col("vec_id") < numCentroids)
+      numCentroids: Int = 16, iters: Int = 2): DataFrame =
+    lloydTrain(normalizedEmbeddings(spark, sfDir),
+      numCentroids, iters, _.filter(col("vec_id") < numCentroids))
+
+  /** The Lloyd loop itself, parameterized by the centroid seeding rule
+    * (full-corpus training seeds `vec_id < C`; incremental training
+    * seeds the C lowest ids of its snapshot — identical when ids are
+    * dense from 0). */
+  private def lloydTrain(emb: DataFrame, numCentroids: Int, iters: Int,
+      seed: DataFrame => DataFrame): DataFrame = {
+    var cent = seed(emb)
       .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(emb, cent)
@@ -155,6 +163,33 @@ object Similarity {
         centroidIndex(spark, sfDir, numCentroids, iters)
           .select(col("cent_id"), col("e_cent"), col("n_cent")))
         .select(col("vec_id"), col("cluster")))
+
+  /** Incremental (delta) ANN indexing: a new batch of vectors (odd
+    * vec_ids here, the [[graft.operators.Dedup.incrementalDedup]] split
+    * convention) is assigned to the coarse quantizer trained on the
+    * PRIOR snapshot (even vec_ids) — the nightly-ingest path of a real
+    * vector index: the quantizer is a stored artifact; the delta takes
+    * one broadcast-C map pass, and the posting lists grow by append.
+    * Nothing about the existing index is touched or retrained. Output
+    * is the delta's posting-list rows (vec_id, cluster) plus the
+    * rounded assignment similarity. */
+  def incrementalAssign(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = graft.sources.ArtifactCache.readOrWrite(spark, "ivf-centroids-prior",
+      s"$sfDir|$numCentroids|$iters", s"$sfDir/embeddings.parquet")(
+      lloydTrain(emb.filter(col("vec_id") % 2 === 0), numCentroids, iters,
+        _.orderBy("vec_id").limit(numCentroids)))
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    delta.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"), col("csim").as("assign_sim"))
+      .orderBy("vec_id")
+  }
 
   /** IVF-style ANN: coarse quantization with k-means-trained centroids
     * (deterministic seeded training, see [[trainedCentroids]]), vectors

@@ -100,6 +100,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rfm segments: counts replay the brute-force median cuts") {
+    val out = Events.rfmSegments(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"), $"value")
+      .as[(Long, java.sql.Date, Double)].collect()
+    val maxDay = ev.map(_._2.toLocalDate.toEpochDay).max
+    val users = ev.groupBy(_._1).map { case (u, rs) =>
+      val recency = (maxDay - rs.map(_._2.toLocalDate.toEpochDay).max).toDouble
+      val freq = rs.length.toDouble
+      val mon = math.floor(rs.map(r => math.floor(r._3 * 1e6 + 0.5).toLong).sum
+        .toDouble / 1e6 * 1e2 + 0.5) / 1e2
+      (u, recency, freq, mon)
+    }.toSeq
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt)
+      if (h == h.toInt) lo else lo + (h - h.toInt) * (s(h.toInt + 1) - lo)
+    }
+    val (rm, fm, mm) =
+      (median(users.map(_._2)), median(users.map(_._3)), median(users.map(_._4)))
+    val expect = users.groupBy { case (_, r, f, m) =>
+        (if (r <= rm) "R+" else "R-") + (if (f > fm) "F+" else "F-") +
+          (if (m > mm) "M+" else "M-") }
+      .map { case (s, us) => s -> us.size.toLong }
+    assert(out === expect)
+    assert(out.values.sum === users.length.toLong, "segments partition the users")
+  }
+
   test("retention cohorts: matrix replays the brute-force cohort pass") {
     val out = Events.retentionCohorts(spark, sf).collect()
       .map(r => ((r.getDate(0).toLocalDate, r.getInt(1)),

@@ -18,10 +18,13 @@ class PlanLintSpec extends SparkSpec {
   // embedding_decontamination is the same broadcast-queries × streaming-
   // corpus product as ann_range_search: the |eval|·N scoring IS the
   // exact check, with a map-side partial max so nothing shuffles.
+  // ann_incremental_assign is the same broadcast-C × delta product as
+  // the IVF assignment pass it replays: |delta|·16 rounded cosines IS
+  // the nearest-centroid rule, with no corpus shuffle.
   private val byDesignQuadratic = Set(
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
-    "embedding_decontamination")
+    "embedding_decontamination", "ann_incremental_assign")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

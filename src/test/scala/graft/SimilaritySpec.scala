@@ -213,4 +213,31 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank.map(_._1).toSeq === expected, s"cell $c misordered")
     }
   }
+
+  test("incremental assign: covers exactly the delta; every row is argmax-optimal") {
+    val out = Similarity.incrementalAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val emb = graft.functions.VectorOps.normalizedEmbeddings(spark, sf)
+      .select("vec_id", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val odd = emb.keySet.filter(_ % 2 == 1)
+    assert(out.map(_._1).toSet === odd, "one row per delta vector")
+    // the stored prior-snapshot quantizer (read back, not retrained)
+    val cent = graft.sources.ArtifactCache.readOrWrite(spark, "ivf-centroids-prior",
+      s"$sf|16|2", s"$sf/embeddings.parquet")(
+      sys.error("artifact must already exist from the query run"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val q6 = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(q6 * 1e6 + 0.5) / 1e6
+    }
+    out.foreach { case (vid, cluster, sim) =>
+      val scored = cent.toSeq.map { case (cid, cv) => (cid, cos(emb(vid), cv)) }
+      val best = scored.minBy { case (cid, s) => (-s, cid) }
+      assert(best._1 === cluster, s"vec $vid cluster")
+      assert(best._2 === sim, s"vec $vid sim")
+    }
+  }
 }
