@@ -77,6 +77,7 @@ object SparkEntry {
     "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
     "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
+    "corpus_export_manifest" -> ((s, d) => TextAnalysis.exportManifest(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
@@ -1234,6 +1235,29 @@ object SparkEntry {
         |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    // exportManifest: the curation_pipeline survivors × split hash ×
+    // epoch-shuffle key — every piece replays an already-green oracle
+    "corpus_export_manifest" ->
+      (curationCtes + ",\n" +
+       """sp AS (SELECT doc_id,
+        |         CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |               i -> (strpos('0123456789abcdef',
+        |                       substr(md5('split0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |                    * pow(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        |             FROM documents))
+        |SELECT d.doc_id, sp.split,
+        |  md5('epoch0|' || CAST(d.doc_id AS VARCHAR)) AS shuffle_key,
+        |  t.n_tokens, q.quality
+        |FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN l ON l.doc_id = d.doc_id
+        |  JOIN t ON t.doc_id = d.doc_id
+        |  JOIN sp ON sp.doc_id = d.doc_id
+        |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
+        |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
+        |ORDER BY sp.split, shuffle_key, d.doc_id""".stripMargin),
     "curation_gated" ->
       (curationCtes + ",\n" +
        """rb AS (SELECT doc_id,

@@ -1155,6 +1155,28 @@ object TextAnalysis {
       .orderBy("df")
   }
 
+  /** The end-to-end training-set EXPORT MANIFEST — the artifact a
+    * trainer actually consumes: every document that survives the full
+    * curation pipeline (quality gate + language gate + near-dup
+    * keep-first, [[curationPipeline]]), carrying its train/val/test
+    * split ([[splitAssign]]), its deterministic epoch-shuffle key (the
+    * [[epochShuffle]] seeded-md5 device) and its token count, ordered
+    * (split, shuffle_key) — a reader streams each split in shuffled
+    * order with no further sort. Pure composition of verified stages:
+    * the pair table and signal index are stored artifacts, the split
+    * and shuffle keys are per-row hash functions, the one join keys on
+    * doc_id. Nothing here re-reads text. */
+  def exportManifest(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.4, seed: String = "epoch0"): DataFrame = {
+    val survivors = curationPipeline(spark, sfDir, minQuality)
+    val splits = splitAssign(spark, sfDir).select("doc_id", "split")
+    survivors.join(splits, Seq("doc_id"))
+      .select(col("doc_id"), col("split"),
+        md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))).as("shuffle_key"),
+        col("n_tokens"), col("quality"))
+      .orderBy("split", "shuffle_key", "doc_id")
+  }
+
   /** Cross-split near-duplicate leakage audit: near-dup pairs whose two
     * documents landed in DIFFERENT train/val/test splits — the eval-set
     * contamination a random doc-level split silently creates whenever

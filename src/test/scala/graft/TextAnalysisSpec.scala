@@ -616,6 +616,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).sum === dfOf.size.toLong, "spectrum re-totals the vocabulary")
   }
 
+  test("export manifest: exactly the pipeline survivors, keyed and ordered for readers") {
+    val out = TextAnalysis.exportManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getAs[Number](3).longValue, r.getDouble(4)))
+    val survivors = TextAnalysis.curationPipeline(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getAs[Number](2).longValue)).toMap
+    val split = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out.map(_._1).toSet === survivors.keySet, "rows = pipeline survivors")
+    out.foreach { case (id, sp, key, nTok, q) =>
+      assert(sp === split(id), s"doc $id split")
+      assert(key === md5hex(s"epoch0|$id"), s"doc $id shuffle key")
+      assert((q, nTok) === survivors(id), s"doc $id signals")
+    }
+    val keys = out.map(r => (r._2, r._3, r._1))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq, "(split, shuffle_key) reader order")
+  }
+
   test("split leakage: exactly the cross-split rows of the stored pair table") {
     val out = TextAnalysis.splitLeakage(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4)))
