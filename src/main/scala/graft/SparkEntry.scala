@@ -78,6 +78,7 @@ object SparkEntry {
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
     "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "corpus_export_manifest" -> ((s, d) => TextAnalysis.exportManifest(s, d)),
+    "text_hash_classifier" -> ((s, d) => TextAnalysis.hashClassifier(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
@@ -1235,6 +1236,28 @@ object SparkEntry {
         |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    // hashClassifier(dim=1024): md5-bucket features, md5-derived weight
+    // table (range join), qavg mean, flag on the ROUNDED score
+    "text_hash_classifier" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+        |             * pow(16, 8 - i))) AS BIGINT) % 1024 AS bucket
+        |      FROM toks),
+        |wt AS (SELECT b AS bucket,
+        |        CAST((CAST(list_sum(list_transform(range(1, 9),
+        |          i -> (strpos('0123456789abcdef',
+        |                  substr(md5('w|' || CAST(b AS VARCHAR)), i, 1)) - 1)
+        |               * pow(16, 8 - i))) AS BIGINT) % 2001) - 1000 AS DOUBLE) / 1000.0 AS w
+        |       FROM (SELECT unnest(range(0, 1024)) AS b)),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |         floor((CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                / (count(*) * 1e6)) * 1e4 + 0.5) / 1e4 AS score
+        |       FROM f JOIN wt USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score, score > 0 AS flagged
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // exportManifest: the curation_pipeline survivors × split hash ×
     // epoch-shuffle key — every piece replays an already-green oracle
     "corpus_export_manifest" ->

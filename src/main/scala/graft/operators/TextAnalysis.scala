@@ -1155,6 +1155,37 @@ object TextAnalysis {
       .orderBy("df")
   }
 
+  /** Hashing-trick linear classifier INFERENCE — the fastText-style
+    * quality-scoring shape: each token hashes into one of `dim` feature
+    * buckets (no vocabulary table), the model is a `dim`-row weight
+    * table broadcast to every executor, and a document's score is the
+    * mean weight of its token features. The weights here are
+    * hash-derived (deterministic stand-ins for trained parameters —
+    * the PLUMBING is the deliverable, as with the multimodal codec);
+    * swapping in real weights changes one DataFrame. Scale: this is
+    * exactly how linear-model inference runs at 100 TB — map-side
+    * bucket hash, broadcast-join the model, one per-doc agg; no
+    * shuffle carries anything wider than (doc_id, weight). */
+  def hashClassifier(spark: SparkSession, sfDir: String,
+      dim: Int = 1024): DataFrame = {
+    // hash-derived weight in [-1, 1] with 3-dp resolution: the md5
+    // 8-hex prefix mod 2001, shifted — replayable by the oracle
+    val weights = spark.range(dim).select(col("id").as("bucket"),
+      (((conv(substring(md5(concat(lit("w|"), col("id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 2001L) - lit(1000L)).cast("double") / lit(1000.0))
+        .as("w"))
+    val feats = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim)
+          .as("bucket"))
+    feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), rd(qavg(col("w"), 6), 4).as("score"))
+      .withColumn("flagged", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end training-set EXPORT MANIFEST — the artifact a
     * trainer actually consumes: every document that survives the full
     * curation pipeline (quality gate + language gate + near-dup

@@ -616,6 +616,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).sum === dfOf.size.toLong, "spectrum re-totals the vocabulary")
   }
 
+  test("hash classifier: scores replay the hashed-feature linear model") {
+    val out = TextAnalysis.hashClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h8(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val weight = (0 until 1024).map(b => b.toLong -> (h8(s"w|$b") % 2001 - 1000) / 1000.0).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("[ \n]").filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+    assert(out.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (id, ts) =>
+      val ws = ts.map(t => weight(h8(t) % 1024))
+      val score = math.floor(
+        ws.map(w => math.floor(w * 1e6 + 0.5).toLong).sum.toDouble / (ws.length * 1e6)
+          * 1e4 + 0.5) / 1e4
+      val (n, s, f) = out(id)
+      assert(n === ts.length.toLong, s"doc $id tokens")
+      assert(s === score, s"doc $id score")
+      assert(f === (score > 0), s"doc $id flag")
+    }
+    // hash-derived weights must produce both positive and negative scores
+    assert(out.values.exists(_._3) && out.values.exists(!_._3))
+  }
+
   test("export manifest: exactly the pipeline survivors, keyed and ordered for readers") {
     val out = TextAnalysis.exportManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
