@@ -38,6 +38,8 @@ object SparkEntry {
     "window_analytics_orders" -> (Relational.windowAnalyticsOrders _),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "events_interarrival" -> ((s, d) => Events.interarrivalStats(s, d)),
     "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantityRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeVolumeOrders(s, d)),
@@ -357,6 +359,33 @@ object SparkEntry {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    // Q14: share of the UNROUNDED quantized sums (q8's device), month grain
+    "q14_promo_share" ->
+      """WITH v AS (SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+        |    l.l_extendedprice * (1 - l.l_discount) AS rev, p.p_type
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |agg AS (SELECT month,
+        |    CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS pv,
+        |    CAST(sum(CAST(floor(rev * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS tv
+        |  FROM v GROUP BY month)
+        |SELECT month,
+        |  floor(pv * 1e2 + 0.5) / 1e2 AS promo_revenue,
+        |  floor(tv * 1e2 + 0.5) / 1e2 AS total_revenue,
+        |  floor((pv * 100.0 / tv) * 1e4 + 0.5) / 1e4 AS promo_share
+        |FROM agg ORDER BY month""".stripMargin,
+    // interarrival: lag over (user, ts, event_id); integer-microsecond
+    // gaps so quantile_cont interpolates exactly like Spark percentile
+    "events_interarrival" ->
+      """WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT count(*) AS n_gaps,
+        |  quantile_cont(gap_us, 0.25) AS p25_us,
+        |  quantile_cont(gap_us, 0.5) AS p50_us,
+        |  quantile_cont(gap_us, 0.75) AS p75_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_us,
+        |  max(gap_us) AS max_us
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
     // Q17: the correlated threshold decorrelated to a per-part agg; the
     // predicate 5·q·c < S is the exact-integer form of q < 0.2·S/c
     "q17_small_quantity" ->

@@ -296,6 +296,29 @@ object Events {
       .orderBy("day")
   }
 
+  /** Inter-arrival time profile: percentiles of the gap between a
+    * user's consecutive events — the burstiness signal behind session
+    * timeouts and rate-limit tuning (the 30-minute sessionize gap is a
+    * dial read off exactly this distribution). The lag window
+    * partitions by user (bounded per-user state, never corpus-wide),
+    * ties broken by event_id so both engines pick the same
+    * predecessor; gaps stay in integer microseconds so the percentile
+    * interpolation is exact. One |gaps|-to-1-row aggregate. */
+  def interarrivalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select((col("us") - col("prev_us")).as("gap_us"))
+    gaps.agg(count(lit(1)).as("n_gaps"),
+      expr("percentile(gap_us, 0.25)").as("p25_us"),
+      expr("percentile(gap_us, 0.5)").as("p50_us"),
+      expr("percentile(gap_us, 0.75)").as("p75_us"),
+      expr("percentile(gap_us, 0.9)").as("p90_us"),
+      max("gap_us").as("max_us"))
+  }
+
   /** RFM user segmentation: recency (days since last event, vs the
     * corpus max day), frequency (event count) and monetary (exact
     * quantized value sum) per user, each cut at its corpus MEDIAN into

@@ -352,6 +352,28 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q14-style promo revenue share per month: the
+    * numerator/denominator-in-one-agg device (same as
+    * [[q8MarketShare]]) at month grain — a conditional sum and a total
+    * sum in a single pass, never two scans. The part join brings only
+    * (p_partkey, p_type); output is |months| rows. */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(part(spark, sfDir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(
+        qsum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)), 6)
+          .as("pv"),
+        qsum(col("rev"), 6).as("tv"))
+      .select(col("month"),
+        rd(col("pv"), 2).as("promo_revenue"),
+        rd(col("tv"), 2).as("total_revenue"),
+        rd(col("pv") * lit(100.0) / col("tv"), 4).as("promo_share"))
+      .orderBy("month")
+
   /** TPC-H Q17-style small-quantity revenue per brand: lineitems whose
     * quantity is below 0.2× their part's average quantity — the classic
     * correlated-scalar-subquery plan, decorrelated into one per-part

@@ -100,6 +100,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("interarrival stats: percentiles replay the brute-force gap distribution") {
+    val Seq(row) = Events.interarrivalStats(spark, sf).collect().toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long, Long)].collect()
+    val gaps = ev.groupBy(_._1).values.flatMap { rs =>
+      val sorted = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      sorted.zip(sorted.drop(1)).map { case (a, b) => b - a }
+    }.toSeq.sorted
+    def pct(p: Double): Double = {
+      val h = (gaps.length - 1) * p
+      val lo = gaps(h.toInt).toDouble
+      if (h == h.toInt) lo else lo + (h - h.toInt) * (gaps(h.toInt + 1) - gaps(h.toInt))
+    }
+    assert(row.getLong(0) === gaps.length.toLong)
+    assert(row.getDouble(1) === pct(0.25), "p25")
+    assert(row.getDouble(2) === pct(0.5), "p50")
+    assert(row.getDouble(3) === pct(0.75), "p75")
+    assert(row.getDouble(4) === pct(0.9), "p90")
+    assert(row.getLong(5) === gaps.max)
+  }
+
   test("rfm segments: counts replay the brute-force median cuts") {
     val out = Events.rfmSegments(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -137,6 +137,19 @@ class RelationalSpec extends SparkSpec {
     assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b }, "descending")
   }
 
+  test("q14: promo share bounded and consistent with its own sums") {
+    val rows = Relational.q14PromoShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq, "month order")
+    rows.foreach { case (m, pv, tv, share) =>
+      assert(pv >= 0 && pv <= tv, s"$m promo <= total")
+      assert(share >= 0.0 && share <= 100.0, s"$m share bounds")
+      // share recomputes from the 2-dp sums to within rounding slack
+      assert(math.abs(share - pv * 100.0 / tv) < 0.05, s"$m share consistency")
+    }
+  }
+
   test("q17: integer threshold predicate replays the 0.2x-average filter") {
     val out = Relational.q17SmallQuantityRevenue(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
