@@ -131,6 +131,8 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
     "multimodal_frame_plan" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
+    "multimodal_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
+    "events_cumulative_users" -> ((s, d) => Events.cumulativeUsers(s, d)),
     // --- custom operators ---
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
@@ -1915,6 +1917,31 @@ object SparkEntry {
         |  floor((CAST(a.n_active AS DOUBLE) / s.n_cohort) * 1e4 + 0.5) / 1e4 AS retention
         |FROM act a JOIN sz s USING (cohort_day)
         |ORDER BY a.cohort_day, a.day_offset""".stripMargin,
+    // blobDedup: checksum groups over the encoded payload; Spark md5 of
+    // the UTF-8 blob = DuckDB md5 of the string's bytes
+    "multimodal_dedup" ->
+      """WITH b AS (SELECT doc_id,
+        |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |             md5(text) AS checksum
+        |           FROM documents)
+        |SELECT checksum, min(doc_id) AS canonical_id, count(*) AS n_copies,
+        |  count(DISTINCT modality) AS n_modalities
+        |FROM b GROUP BY checksum
+        |ORDER BY canonical_id""".stripMargin,
+    // cumulativeUsers: cumulative distinct = running sum of first-seen
+    // cohort sizes over the |days|-bounded frame
+    "events_cumulative_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fs AS (SELECT day, count(*) AS new_users
+        |       FROM (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id)
+        |       GROUP BY day),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+        |SELECT d.day, d.dau, coalesce(f.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+        |FROM dau d LEFT JOIN fs f ON f.day = d.day
+        |ORDER BY d.day""".stripMargin,
     "multimodal_features" ->
       """WITH b AS (SELECT doc_id,
         |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -296,6 +296,28 @@ object Events {
       .orderBy("day")
   }
 
+  /** User growth curve: per day, first-time users and the cumulative
+    * distinct user count — the adoption report next to
+    * [[rollingActiveUsers]]' engagement view. Cumulative DISTINCT
+    * decomposes exactly through first-seen days (a user counts once, on
+    * their cohort day), so the running total is a window over the
+    * |days|-bounded cohort-size table — never over users or events. */
+  def cumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val firstSeen = ud.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    // window over the |days|-bounded frame (single partition by design:
+    // one row per observed day)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstSeen, Seq("day"), "left_outer")
+      .select(col("day"), col("dau"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cumulative_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
   /** Inter-arrival time profile: percentiles of the gap between a
     * user's consecutive events — the burstiness signal behind session
     * timeouts and rate-limit tuning (the 30-minute sessionize gap is a

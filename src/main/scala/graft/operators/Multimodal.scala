@@ -117,6 +117,26 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Exact payload dedup over the opaque blob column: content-checksum
+    * groups — the multimodal twin of [[graft.operators.Dedup.exact]]
+    * (same group-per-fingerprint shape), and the first pass of any
+    * media ingestion: identical BYTES are identical content no matter
+    * which modality label they arrived under, so the group also counts
+    * distinct modalities (a >1 value flags mislabeled payloads). Only
+    * the 16-byte checksum shuffles; blob bytes never leave their
+    * partition. */
+  def blobDedup(spark: SparkSession, sfDir: String): DataFrame =
+    blobDedupOf(blobTable(spark, sfDir).toDF())
+
+  /** [[blobDedup]] over any (doc_id, modality, blob) frame. */
+  def blobDedupOf(blobs: DataFrame): DataFrame =
+    blobs
+      .select(col("doc_id"), col("modality"), md5(col("blob")).as("checksum"))
+      .groupBy("checksum")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("modality")).as("n_modalities"))
+      .orderBy("canonical_id")
+
   /** Rollup over extracted features — the typical "what's in this
     * corpus" audit: per modality, count/bytes/dimension stats. */
   def modalitySummary(spark: SparkSession, sfDir: String): DataFrame =

@@ -70,4 +70,26 @@ class MultimodalSpec extends SparkSpec {
         rows.foreach { case (_, _, _, ow, oh) => assert(ow === w && oh === h) }
     }
   }
+
+  test("blob dedup: groups byte-identical payloads across modalities") {
+    val blobs = Seq(
+      (10L, "image", "same bytes"), (11L, "audio", "same bytes"),
+      (12L, "video", "same bytes"),                       // 3-copy group, 3 modalities
+      (20L, "image", "pair"), (21L, "image", "pair"),     // 2-copy group, 1 modality
+      (30L, "audio", "unique"))                           // singleton: absent
+      .toDF("doc_id", "modality", "txt")
+      .select($"doc_id", $"modality", org.apache.spark.sql.functions.encode($"txt", "UTF-8").as("blob"))
+    val out = Multimodal.blobDedupOf(blobs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // (canonical, n_copies, n_modalities): 3-copy cross-modal group,
+    // 2-copy single-modal group, singleton
+    assert(out === Set((10L, 3L, 3L), (20L, 2L, 1L), (30L, 1L, 1L)))
+    // corpus form: one group per distinct payload, groups re-total the corpus
+    val corpus = Multimodal.blobDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    assert(corpus.length === texts.distinct.length)
+    assert(corpus.map(_._2).sum === texts.length.toLong)
+  }
 }

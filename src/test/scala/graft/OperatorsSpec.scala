@@ -100,6 +100,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cumulative users: growth curve replays first-seen accounting") {
+    val out = Events.cumulativeUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val first = ud.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).minBy(_.toEpochDay) }
+    val days = ud.map(_._2).distinct.sortBy(_.toEpochDay)
+    assert(out.map(_._1).toSeq === days.toSeq)
+    var cum = 0L
+    days.zip(out).foreach { case (day, (_, dau, newU, cumU)) =>
+      val expNew = first.values.count(_ == day).toLong
+      cum += expNew
+      assert(dau === ud.count(_._2 == day).toLong, s"$day dau")
+      assert(newU === expNew, s"$day new users")
+      assert(cumU === cum, s"$day cumulative")
+    }
+    assert(out.last._4 === first.size.toLong, "final total = distinct users")
+  }
+
   test("interarrival stats: percentiles replay the brute-force gap distribution") {
     val Seq(row) = Events.interarrivalStats(spark, sf).collect().toSeq
     val ev = graft.sources.Tables.events(spark, sf)
