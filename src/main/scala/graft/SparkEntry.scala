@@ -116,6 +116,8 @@ object SparkEntry {
     // driver-checked fact, not only an sbt-test one
     "stream_tumbling" -> (graft.streaming.EventStream.tumblingViaStream _),
     "events_sliding" -> (Events.slidingHourly _),
+    "stream_sliding" -> (graft.streaming.EventStream.slidingViaStream _),
+    "layout_compaction_plan" -> ((s, d) => Layout.compactionPlan(s, d)),
     "events_sessionize" -> (Events.sessionize _),
     "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
     "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
@@ -1819,14 +1821,20 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "events_sliding" ->
-      """SELECT ws AS window_start, count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
-        |FROM (SELECT unnest([
-        |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND,
-        |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * INTERVAL 1 SECOND
-        |       ]) AS ws, value
-        |      FROM events)
-        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "events_sliding" -> slidingOracle,
+    // identical to events_sliding BY DESIGN: the streaming sliding
+    // window must reproduce the batch overlap exactly
+    "stream_sliding" -> slidingOracle,
+    // compactionPlan(target=2 MiB): pure integer ceil arithmetic
+    "layout_compaction_plan" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        |           FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_bytes,
+        |  greatest(1, (total_bytes + 2097151) // 2097152) AS n_files,
+        |  (n_docs + greatest(1, (total_bytes + 2097151) // 2097152) - 1)
+        |    // greatest(1, (total_bytes + 2097151) // 2097152) AS rows_per_file
+        |FROM s ORDER BY source""".stripMargin,
     "events_sessionize" -> sessionizeOracle,
     // identical to events_sessionize BY DESIGN: the stateful streaming
     // session_window must reproduce the batch sessionization exactly
@@ -2050,6 +2058,18 @@ object SparkEntry {
 
   /** Gap-based sessionization as ANSI SQL (lag + cumulative session id),
     * shared verbatim by the batch query and its streaming twin. */
+  /** 1 h / 30 min sliding windows restated as a bounded ×2 replication
+    * (each event belongs to exactly two windows) — shared by the batch
+    * query and its streaming twin. */
+  private val slidingOracle: String =
+    """SELECT ws AS window_start, count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
+      |FROM (SELECT unnest([
+      |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND,
+      |         TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * INTERVAL 1 SECOND
+      |       ]) AS ws, value
+      |      FROM events)
+      |GROUP BY ws ORDER BY ws""".stripMargin
+
   private val sessionizeOracle: String =
     """WITH m AS (SELECT user_id, ts, value,
       |             CASE WHEN lag(ts) OVER w IS NULL

@@ -115,4 +115,26 @@ object Layout {
         qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** Small-files compaction PLAN per source partition: given a target
+    * file size, how many output files each partition should coalesce
+    * into and the rows per file — the planning half of the compaction
+    * job every large table needs (file counts drive open-file cost,
+    * footer reads, and scheduler overhead at 100 TB; the 2 MiB default
+    * matches the bench corpus, production dials to 128 MiB+). All
+    * integer arithmetic (`ceil` as `(a + b - 1) div b`), so the oracle
+    * replays it exactly; one bounded per-source agg. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 2L << 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_bytes"))
+      .select(col("source"), col("n_docs"), col("total_bytes"),
+        greatest(lit(1L), expr(
+          s"(total_bytes + ${targetBytes - 1}L) div ${targetBytes}L"))
+          .as("n_files"))
+      .withColumn("rows_per_file",
+        expr("(n_docs + n_files - 1) div n_files"))
+      .orderBy("source")
 }

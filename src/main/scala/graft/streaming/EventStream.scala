@@ -182,6 +182,24 @@ object EventStream {
       partitions = drainPartitions(sfDir))
       .orderBy("window_start", "event_type")
 
+  /** Sliding-window twin of `events_sliding` through the streaming
+    * path: 1 h windows sliding every 30 min (each event lands in two
+    * windows — the overlap is produced by the window operator's state,
+    * not by input duplication), drained to completion and sharing the
+    * batch query's oracle. Completes the stream/batch parity matrix
+    * alongside tumbling, session, join and dedup state. */
+  def slidingViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.{qsum, rd}
+    val slid = corpusEventsSource(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+    runToCompletion(spark, slid, "graft_stream_sliding",
+      partitions = drainPartitions(sfDir))
+      .orderBy("window_start")
+  }
+
   /** Second driver-contract streaming entry: gap-based sessionization
     * through the stateful `session_window` streaming operator (state
     * merges sessions as events arrive), drained to completion — the

@@ -89,4 +89,21 @@ class BucketedJoinSpec extends SparkSpec {
     assert(res.collect().map(_.toString).toSeq === plain)
     assert(plain.nonEmpty)
   }
+
+  test("compaction plan: integer ceil invariants hold per source") {
+    val target = 2L << 20
+    val rows = graft.operators.Layout.compactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, bytes, nFiles, rpf) =>
+      assert(nFiles >= 1, s"$src files")
+      assert(nFiles * target >= bytes || nFiles == 1, s"$src capacity")
+      assert(nFiles == 1 || (nFiles - 1) * target < bytes, s"$src no overshoot")
+      assert(rpf * nFiles >= nDocs && (rpf - 1) * nFiles < nDocs, s"$src rows split")
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === docs, "doc counts per source")
+  }
 }

@@ -336,6 +336,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("file-source streaming sliding window equals the batch operator on real data") {
+    // overlapping windows come from the window operator's state, not
+    // input duplication — must reproduce Events.slidingHourly row for
+    // row (same oracle as events_sliding)
+    val streamed = EventStream.slidingViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Events.slidingHourly(spark, sf)
+      .orderBy("window_start")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("file-source streaming sessionize equals the batch operator on real data") {
     // stateful session_window with merge state, drained to completion —
     // must reproduce Events.sessionize row for row (same oracle)
