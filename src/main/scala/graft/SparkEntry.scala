@@ -43,6 +43,8 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantityRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeVolumeOrders(s, d)),
+    "q19_disjunctive_revenue" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
+    "corpus_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "events_salted_enrich" -> ((s, d) => SkewTools.saltedUserEnrich(s, d)),
     "set_ops_active_customers" -> (Relational.setOpsActiveCustomers _),
     "scalar_functions" -> (Relational.scalarFunctions _),
@@ -390,6 +392,35 @@ object SparkEntry {
         |  quantile_cont(gap_us, 0.9) AS p90_us,
         |  max(gap_us) AS max_us
         |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
+    // Q19: OR of brand/size/quantity conjunctions over the common-
+    // conjunct prefilters
+    "q19_disjunctive_revenue" ->
+      """SELECT p.p_brand, count(*) AS n_items,
+        |  floor((CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity BETWEEN 1 AND 30 AND p.p_size >= 1
+        |  AND ((p.p_brand = 'Brand#12' AND p.p_size <= 5 AND l.l_quantity <= 11)
+        |    OR (p.p_brand = 'Brand#23' AND p.p_size <= 10 AND l.l_quantity BETWEEN 10 AND 20)
+        |    OR (p.p_brand = 'Brand#34' AND p.p_size <= 15 AND l.l_quantity >= 20))
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    // vocabGrowth(buckets=10): first-seen decomposition; integer-div
+    // buckets from the id range
+    "corpus_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |toks AS (SELECT (doc_id * 10) // (SELECT m FROM mx) AS bucket, doc_id,
+        |           unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS token
+        |         FROM documents),
+        |occ AS (SELECT bucket, count(*) AS n_occurrences FROM toks GROUP BY bucket),
+        |fs AS (SELECT (first_id * 10) // (SELECT m FROM mx) AS bucket,
+        |         count(*) AS new_types
+        |       FROM (SELECT token, min(doc_id) AS first_id FROM toks GROUP BY token)
+        |       GROUP BY 1)
+        |SELECT o.bucket, o.n_occurrences, coalesce(f.new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(f.new_types, 0)) OVER (ORDER BY o.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+        |FROM occ o LEFT JOIN fs f ON f.bucket = o.bucket
+        |ORDER BY o.bucket""".stripMargin,
     // Q17: the correlated threshold decorrelated to a per-part agg; the
     // predicate 5·q·c < S is the exact-integer form of q < 0.2·S/c
     "q17_small_quantity" ->

@@ -374,6 +374,34 @@ object Relational {
         rd(col("pv") * lit(100.0) / col("tv"), 4).as("promo_share"))
       .orderBy("month")
 
+  /** TPC-H Q19-style disjunctive discounted revenue: an OR of
+    * brand/size/quantity conjunctions — the classic disjunction test.
+    * The OR cannot push into either scan whole, but its COMMON
+    * conjuncts can and do (quantity ≤ 30, size ≥ 1 reach
+    * PushedFilters), and the per-branch residual evaluates post-join in
+    * one codegen stage; the part side broadcasts. One output row per
+    * matched brand keeps the result driver-sized. */
+  def q19DisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val p = part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+      .filter(col("p_size") >= 1)
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size") <= 5 &&
+      col("l_quantity") <= 11
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size") <= 10 &&
+      col("l_quantity") >= 10 && col("l_quantity") <= 20
+    val branch3 = col("p_brand") === "Brand#34" && col("p_size") <= 15 &&
+      col("l_quantity") >= 20
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q17-style small-quantity revenue per brand: lineitems whose
     * quantity is below 0.2× their part's average quantity — the classic
     * correlated-scalar-subquery plan, decorrelated into one per-part

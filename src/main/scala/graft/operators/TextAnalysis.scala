@@ -1058,6 +1058,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary growth curve (the Heaps'-law view): new and cumulative
+    * distinct token TYPES per tenth of the corpus, read in doc_id
+    * order — how fast the vocabulary saturates as ingestion proceeds
+    * (a flat tail says more data adds tokens, not words; a steep tail
+    * flags noise/OCR). Same first-seen decomposition as
+    * [[Events.cumulativeUsers]]: a type counts once, at its minimum
+    * doc_id, so the per-bucket agg is token-keyed and the running total
+    * is a window over TEN rows. Buckets come from the id range (one
+    * max-scalar), not a corpus-wide rank window. */
+  def vocabGrowth(spark: SparkSession, sfDir: String, buckets: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) // 1-row scalar
+    val toks = docs
+      .select(expr(s"(doc_id * $buckets) div ${maxId + 1}L").as("bucket"),
+        col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val occ = toks.groupBy("bucket").agg(count(lit(1)).as("n_occurrences"))
+    val firstSeen = toks.groupBy("token").agg(min("doc_id").as("first_id"))
+      .select(expr(s"(first_id * $buckets) div ${maxId + 1}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    occ.join(firstSeen, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_occurrences"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .orderBy("bucket")
+  }
+
   /** Zipf-law audit: least-squares slope of log10(freq) vs log10(rank)
     * over the `topN` most frequent tokens — natural text sits near −1;
     * a flat slope flags synthetic/templated corpora, a cliff flags

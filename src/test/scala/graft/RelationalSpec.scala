@@ -150,6 +150,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q19: disjunctive branches replay brute force; common conjuncts push down") {
+    val plan = Relational.q19DisjunctiveRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"common quantity conjunct must reach the scan:\n$plan")
+    val out = Relational.q19DisjunctiveRevenue(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size")
+      .as[(Long, String, Int)].collect().map(p => p._1 -> (p._2, p._3)).toMap
+    val expect = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity").as[(Long, Double)].collect()
+      .flatMap { case (pk, q) =>
+        val (b, s) = parts(pk)
+        val hit = (b == "Brand#12" && s <= 5 && q >= 1 && q <= 11) ||
+          (b == "Brand#23" && s <= 10 && q >= 10 && q <= 20) ||
+          (b == "Brand#34" && s <= 15 && q >= 20 && q <= 30)
+        if (hit) Some(b) else None
+      }
+      .groupBy(identity).map { case (b, hits) => b -> hits.length.toLong }
+    assert(out === expect)
+  }
+
   test("q17: integer threshold predicate replays the 0.2x-average filter") {
     val out = Relational.q17SmallQuantityRevenue(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

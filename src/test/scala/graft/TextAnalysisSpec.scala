@@ -578,6 +578,31 @@ class TextAnalysisSpec extends SparkSpec {
     out.values.foreach { case (_, avg) => assert(avg < 0.0) }
   }
 
+  test("vocab growth: buckets replay first-seen accounting and re-total the vocabulary") {
+    val out = TextAnalysis.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("[ \n]").filter(_.nonEmpty) }
+    val maxId = docs.map(_._1).max + 1
+    def bucket(id: Long): Long = id * 10 / maxId
+    val occ = docs.flatMap { case (id, ts) => ts.map(_ => bucket(id)) }
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val firstSeen = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).map { case (_, rs) => bucket(rs.map(_._2).min) }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    assert(out.map(_._1).toSeq === occ.keys.toSeq.sorted)
+    var cum = 0L
+    out.foreach { case (b, n, newT, cumT) =>
+      assert(n === occ(b), s"bucket $b occurrences")
+      assert(newT === firstSeen.getOrElse(b, 0L), s"bucket $b new types")
+      cum += newT
+      assert(cumT === cum, s"bucket $b cumulative")
+    }
+    val vocab = docs.flatMap(_._2).distinct.length.toLong
+    assert(out.last._4 === vocab, "curve ends at the full vocabulary")
+  }
+
   test("zipf fit: slope/intercept replay the quantized least-squares fit") {
     val Seq(row) = TextAnalysis.zipfFit(spark, sf).collect().toSeq
     val (nFit, slope, intercept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
