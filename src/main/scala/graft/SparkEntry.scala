@@ -81,6 +81,7 @@ object SparkEntry {
     "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
     "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
+    "corpus_split_repair" -> ((s, d) => TextAnalysis.splitRepair(s, d)),
     "corpus_export_manifest" -> ((s, d) => TextAnalysis.exportManifest(s, d)),
     "text_hash_classifier" -> ((s, d) => TextAnalysis.hashClassifier(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
@@ -992,6 +993,39 @@ object SparkEntry {
         |FROM pr p JOIN sp sa ON sa.doc_id = p.doc_a JOIN sp sb ON sb.doc_id = p.doc_b
         |WHERE sa.split != sb.split
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    // splitRepair: the leakage CTEs + follow-the-minimum-doc_a rule
+    "corpus_split_repair" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |       FROM (SELECT doc_id,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |             FROM w)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |         JOIN sz sa ON sa.doc_id = a.doc_id
+        |         JOIN sz sb ON sb.doc_id = b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |       HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |               i -> (strpos('0123456789abcdef',
+        |                       substr(md5('split0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |                    * pow(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        |             FROM documents)),
+        |mv AS (SELECT p.doc_b AS doc_id, min(p.doc_a) AS follow_doc
+        |       FROM pr p JOIN sp sa ON sa.doc_id = p.doc_a
+        |         JOIN sp sb ON sb.doc_id = p.doc_b
+        |       WHERE sa.split != sb.split GROUP BY p.doc_b)
+        |SELECT m.doc_id, so.split AS old_split, sn.split AS new_split, m.follow_doc
+        |FROM mv m JOIN sp so ON so.doc_id = m.doc_id
+        |  JOIN sp sn ON sn.doc_id = m.follow_doc
+        |ORDER BY m.doc_id""".stripMargin,
     // readability: sentence segments on [.!?] (trimmed non-empty, min
     // 1), vowel-group syllables (min 1/word), 4-dp Flesch replay
     "text_readability" ->

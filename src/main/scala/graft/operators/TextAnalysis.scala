@@ -1262,6 +1262,35 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Split REPAIR — the action [[splitLeakage]]'s audit calls for:
+    * every document that near-duplicates a lower-id document in a
+    * DIFFERENT split is moved into that document's split (rule: follow
+    * the minimum doc_a among a doc's cross-split pairs — deterministic,
+    * and convergent because pairs always point to lower ids). Output is
+    * the corrected rows only (doc, old split, new split, the pair
+    * followed). Same inputs as the audit — the stored pair table and
+    * the hash split — plus one doc-keyed agg; corpus text never
+    * re-read. */
+  def splitRepair(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val splits = splitAssign(spark, sfDir).select("doc_id", "split")
+    val moves = Dedup.materializedPairs(spark, sfDir, threshold)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("follow_doc"))
+    moves
+      .join(splits, Seq("doc_id"))
+      .join(splits.select(col("doc_id").as("follow_doc"),
+        col("split").as("new_split")), Seq("follow_doc"))
+      .select(col("doc_id"), col("split").as("old_split"),
+        col("new_split"), col("follow_doc"))
+      .orderBy("doc_id")
+  }
+
   /** Flesch-style readability per document: words (whitespace tokens),
     * sentences (non-empty `[.!?]` segments, floored at 1), syllables
     * (maximal `[aeiouy]+` vowel groups per lowercased word, floored at

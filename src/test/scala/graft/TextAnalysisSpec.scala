@@ -705,6 +705,21 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach { case (_, _, _, sa, sb) => assert(sa !== sb) }
   }
 
+  test("split repair: every move follows the minimum cross-split pair and fixes it") {
+    val leaks = TextAnalysis.splitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val split = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val out = TextAnalysis.splitRepair(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expect = leaks.groupBy(_._2).map { case (b, ps) =>
+      val follow = ps.map(_._1).min
+      (b, split(b), split(follow), follow)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq === expect)
+    out.foreach { case (_, oldS, newS, _) => assert(oldS !== newS, "every move changes split") }
+  }
+
   test("readability: flesch components replay the brute-force pass") {
     val out = TextAnalysis.readability(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
