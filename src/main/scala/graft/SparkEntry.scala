@@ -85,6 +85,7 @@ object SparkEntry {
     "corpus_export_manifest" -> ((s, d) => TextAnalysis.exportManifest(s, d)),
     "text_hash_classifier" -> ((s, d) => TextAnalysis.hashClassifier(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "text_mixed_language" -> ((s, d) => TextAnalysis.mixedLanguage(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
@@ -1268,6 +1269,47 @@ object SparkEntry {
         |        len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS hd
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // mixedLanguage: the langid CASE per LINE, doc pred from the same
+    // CASE over the whole text; detected = any profile hit
+    "text_mixed_language" ->
+      """WITH dp AS (SELECT doc_id,
+        |    CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
+        |         WHEN hf > greatest(he, hs) THEN 'fr'
+        |         WHEN hs > he THEN 'es'
+        |         WHEN he > 0 THEN 'en'
+        |         ELSE 'und' END AS doc_lang
+        |  FROM (SELECT doc_id,
+        |          len(regexp_extract_all(text, '\b(the|and|of|to|is|that|it)\b')) AS he,
+        |          len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las)\b')) AS hs,
+        |          len(regexp_extract_all(text, '\b(le|la|les|de|et|est|une)\b')) AS hf,
+        |          len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS hd
+        |        FROM documents)),
+        |ln AS (SELECT doc_id, l AS line
+        |       FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |             FROM documents) WHERE l != ''),
+        |ll AS (SELECT doc_id,
+        |    CASE WHEN hd > greatest(he, hs, hf) THEN 'de'
+        |         WHEN hf > greatest(he, hs) THEN 'fr'
+        |         WHEN hs > he THEN 'es'
+        |         WHEN he > 0 THEN 'en'
+        |         ELSE 'und' END AS line_lang
+        |  FROM (SELECT doc_id,
+        |          len(regexp_extract_all(line, '\b(the|and|of|to|is|that|it)\b')) AS he,
+        |          len(regexp_extract_all(line, '\b(el|la|de|que|y|los|las)\b')) AS hs,
+        |          len(regexp_extract_all(line, '\b(le|la|les|de|et|est|une)\b')) AS hf,
+        |          len(regexp_extract_all(line, '\b(der|die|das|und|ist|nicht)\b')) AS hd
+        |        FROM ln))
+        |SELECT l.doc_id, d.doc_lang, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN l.line_lang != 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+        |  CAST(sum(CASE WHEN l.line_lang != 'und' AND l.line_lang != d.doc_lang
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign,
+        |  floor((CAST(sum(CASE WHEN l.line_lang != 'und' AND l.line_lang != d.doc_lang
+        |                       THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / greatest(sum(CASE WHEN l.line_lang != 'und' THEN 1 ELSE 0 END), 1))
+        |        * 1e4 + 0.5) / 1e4 AS mixed_frac
+        |FROM ll l JOIN dp d ON d.doc_id = l.doc_id
+        |GROUP BY l.doc_id, d.doc_lang
+        |ORDER BY l.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,

@@ -225,25 +225,65 @@ object TextAnalysis {
   /** Stopword-profile language ID (n-gram-heuristic family): count
     * characteristic function-word hits per language, argmax with a
     * deterministic priority order, 'und' when nothing matches. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val profiles: Seq[(String, String)] = Seq(
-      "en" -> "\\b(the|and|of|to|is|that|it)\\b",
-      "es" -> "\\b(el|la|de|que|y|los|las)\\b",
-      "fr" -> "\\b(le|la|les|de|et|est|une)\\b",
-      "de" -> "\\b(der|die|das|und|ist|nicht)\\b")
-    val hits = profiles.map { case (lang, pat) =>
-      regexp_count(col("text"), lit(pat)).as(s"hits_$lang")
-    }
-    val best = profiles.foldLeft((lit("und"), lit(0))) {
+  /** The function-word profiles + argmax rule shared by [[langId]] and
+    * [[mixedLanguage]] (later profile wins only on STRICTLY more hits —
+    * the priority order both oracles replay). */
+  private val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|that|it)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|las)\\b",
+    "fr" -> "\\b(le|la|les|de|et|est|une)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b")
+
+  private def langArgmax(hitsOf: String => Column): (Column, Column) =
+    LangProfiles.foldLeft((lit("und"), lit(0))) {
       case ((bestLang, bestHits), (lang, _)) =>
-        val h = col(s"hits_$lang")
+        val h = hitsOf(lang)
         (when(h > bestHits, lit(lang)).otherwise(bestLang),
          when(h > bestHits, h).otherwise(bestHits))
     }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles = LangProfiles
+    val hits = profiles.map { case (lang, pat) =>
+      regexp_count(col("text"), lit(pat)).as(s"hits_$lang")
+    }
+    val best = langArgmax(lang => col(s"hits_$lang"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id") +: col("lang").as("lang_label") +: hits: _*)
       .select(col("doc_id"), col("lang_label"),
         best._1.as("lang_pred"), best._2.as("lang_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixed-language detection — the C4-style per-LINE disagreement
+    * filter: a document whose lines vote for different languages is
+    * usually boilerplate-wrapped or machine-concatenated, and a
+    * doc-level language gate silently keeps it. Per line, the same
+    * profile argmax as [[langId]]; `mixed_frac` is the share of
+    * DETECTED lines (profile hit > 0) disagreeing with the doc-level
+    * prediction. Everything is row-local regexp counting over the same
+    * scan; the one agg is doc-keyed. */
+  def mixedLanguage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docPred = langId(spark, sfDir)
+      .select(col("doc_id"), col("lang_pred").as("doc_lang"))
+    val lines = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\n"), l => l =!= "")).as("line"))
+    val withHits = lines.select(col("doc_id") +: LangProfiles.map {
+      case (lang, pat) => regexp_count(col("line"), lit(pat)).as(s"hits_$lang")
+    }: _*)
+    val best = langArgmax(lang => col(s"hits_$lang"))
+    withHits.select(col("doc_id"), best._1.as("line_lang"))
+      .join(docPred, Seq("doc_id"))
+      .groupBy("doc_id", "doc_lang")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_lang") =!= "und", 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("line_lang") =!= "und" && col("line_lang") =!= col("doc_lang"),
+          1L).otherwise(0L)).as("n_foreign"))
+      .select(col("doc_id"), col("doc_lang"), col("n_lines"),
+        col("n_detected"), col("n_foreign"),
+        rd(col("n_foreign").cast("double") /
+          greatest(col("n_detected"), lit(1L)), 4).as("mixed_frac"))
       .orderBy("doc_id")
   }
 

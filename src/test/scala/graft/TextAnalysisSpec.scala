@@ -720,6 +720,40 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach { case (_, oldS, newS, _) => assert(oldS !== newS, "every move changes split") }
   }
 
+  test("mixed language: per-line disagreement replays the profile argmax") {
+    val out = TextAnalysis.mixedLanguage(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val profiles = Seq(
+      "en" -> "\\b(the|and|of|to|is|that|it)\\b",
+      "es" -> "\\b(el|la|de|que|y|los|las)\\b",
+      "fr" -> "\\b(le|la|les|de|et|est|une)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht)\\b")
+    def predict(s: String): String =
+      profiles.foldLeft(("und", 0)) { case ((bl, bh), (lang, pat)) =>
+        val h = pat.r.findAllIn(s).length
+        if (h > bh) (lang, h) else (bl, bh)
+      }._1
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n").filter(_.nonEmpty)
+      if (lines.isEmpty) assert(!out.contains(id))
+      else {
+        val docLang = predict(text)
+        val lineLangs = lines.map(predict)
+        val det = lineLangs.count(_ != "und").toLong
+        val foreign = lineLangs.count(l => l != "und" && l != docLang).toLong
+        val (gl, nl, nd, nf, mf) = out(id)
+        assert(gl === docLang, s"doc $id lang")
+        assert(nl === lines.length.toLong, s"doc $id lines")
+        assert(nd === det, s"doc $id detected")
+        assert(nf === foreign, s"doc $id foreign")
+        assert(mf === math.floor(foreign.toDouble / math.max(det, 1L) * 1e4 + 0.5) / 1e4)
+      }
+    }
+  }
+
   test("readability: flesch components replay the brute-force pass") {
     val out = TextAnalysis.readability(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
