@@ -153,6 +153,8 @@ object SparkEntry {
     "stratified_sample" -> (Events.stratifiedSample _),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
+    "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
@@ -1478,6 +1480,18 @@ object SparkEntry {
     // stratified_sample: engine-specific RNG -> rows-only check
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "ann_incremental_assign" -> ivfIncrementalOracle(2),
+    "ann_index_health" -> indexHealthOracle(2),
+    // Q15: correlated max decorrelated onto ONE supplier agg; the cut
+    // compares 2-dp quantized revenues
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    floor((CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |          * 1e2 + 0.5) / 1e2 AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
     "embedding_prototypicality" -> prototypicalityOracle(2),
     // PQ: per-subspace k-means + encoding + ADC replayed end-to-end;
@@ -2388,6 +2402,30 @@ object SparkEntry {
        |    FROM d v, $cFinal c)
        |  WHERE arn = 1)
        |SELECT vec_id, cluster, csim AS assign_sim FROM asg ORDER BY vec_id""".stripMargin
+  }
+
+  /** Index-health oracle: replay training, then the C×C nearest-other
+    * ranking on the trained centroids (cvec is already double). */
+  private def indexHealthOracle(iters: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    val cos = "floor((list_sum(list_transform(range(1, 65), " +
+      "i -> list_extract(a.cvec, i) * list_extract(b.cvec, i))) / (a.nrm * b.nrm)) " +
+      "* 1e6 + 0.5) / 1e6"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training
+       |SELECT cent_id, other_id AS nearest_id, cosine FROM (
+       |  SELECT a.cent_id, b.cent_id AS other_id, $cos AS cosine,
+       |    row_number() OVER (PARTITION BY a.cent_id
+       |      ORDER BY $cos DESC, b.cent_id ASC) AS rn
+       |  FROM $cFinal a JOIN $cFinal b ON a.cent_id != b.cent_id)
+       |WHERE rn = 1 ORDER BY cent_id""".stripMargin
   }
 
   private def ivfTrainedOracle(iters: Int): String = {

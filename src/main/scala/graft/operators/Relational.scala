@@ -374,6 +374,26 @@ object Relational {
         rd(col("pv") * lit(100.0) / col("tv"), 4).as("promo_share"))
       .orderBy("month")
 
+  /** TPC-H Q15-style top supplier(s): revenue per supplier, then the
+    * supplier(s) achieving the maximum — the correlated
+    * `= (SELECT max(...))` pattern, decorrelated into one supplier agg
+    * reused for BOTH the max scalar and the final filter (Catalyst
+    * reuses the exchange; no second corpus pass). Ties all surface, as
+    * in the spec query. Comparison happens on the 2-dp quantized
+    * revenue, so the cut is engine-stable. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = lineitem(spark, sfDir)
+      .groupBy("l_suppkey")
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue")).head().getDouble(0) // 1-row scalar
+    rev.filter(col("total_revenue") === maxRev)
+      .join(supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q19-style disjunctive discounted revenue: an OR of
     * brand/size/quantity conjunctions — the classic disjunction test.
     * The OR cannot push into either scan whole, but its COMMON

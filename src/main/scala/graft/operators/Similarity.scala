@@ -191,6 +191,29 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Index-health report for the stored coarse quantizer: each
+    * centroid's nearest OTHER centroid and their cosine — the
+    * separation audit run after (re)training (centroids that sit on top
+    * of each other waste cells and inflate nprobe; a max pairwise
+    * cosine near 1.0 says retrain with fewer clusters). C×C rounded
+    * cosines over the C-row artifact — micro-work at any corpus size,
+    * because the corpus itself is never touched. */
+  def indexHealth(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val cent = centroidIndex(spark, sfDir, numCentroids, iters)
+    val a = cent.select(col("cent_id"), col("e_cent").as("e_a"), col("n_cent").as("n_a"))
+    val b = cent.select(col("cent_id").as("other_id"), col("e_cent").as("e_b"),
+      col("n_cent").as("n_b"))
+    val w = Window.partitionBy("cent_id").orderBy(desc("cosine"), asc("other_id"))
+    a.join(broadcast(b), col("cent_id") =!= col("other_id"))
+      .select(col("cent_id"), col("other_id"),
+        rd(cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("other_id").as("nearest_id"), col("cosine"))
+      .orderBy("cent_id")
+  }
+
   /** IVF-style ANN: coarse quantization with k-means-trained centroids
     * (deterministic seeded training, see [[trainedCentroids]]), vectors
     * assigned to their nearest centroid, queries probing the `nprobe`

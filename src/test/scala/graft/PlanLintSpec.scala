@@ -21,10 +21,14 @@ class PlanLintSpec extends SparkSpec {
   // ann_incremental_assign is the same broadcast-C × delta product as
   // the IVF assignment pass it replays: |delta|·16 rounded cosines IS
   // the nearest-centroid rule, with no corpus shuffle.
+  // ann_index_health is a C×C product over the 16-row centroid
+  // artifact — the separation audit IS the pairwise compare; the
+  // corpus is never touched.
   private val byDesignQuadratic = Set(
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
-    "embedding_decontamination", "ann_incremental_assign")
+    "embedding_decontamination", "ann_incremental_assign",
+    "ann_index_health")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

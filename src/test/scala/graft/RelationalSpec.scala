@@ -150,6 +150,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q15: winners achieve the exact maximum quantized revenue, none missed") {
+    val out = Relational.q15TopSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val perSupp = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> math.floor(rs.map { case (_, p, d) =>
+          math.floor(p * (1 - d) * 1e6 + 0.5).toLong }.sum.toDouble / 1e6
+          * 1e2 + 0.5) / 1e2
+      }
+    val mx = perSupp.values.max
+    assert(out.map(_._1).toSet === perSupp.filter(_._2 == mx).keySet)
+    out.foreach { case (_, rev) => assert(rev === mx) }
+  }
+
   test("q19: disjunctive branches replay brute force; common conjuncts push down") {
     val plan = Relational.q19DisjunctiveRevenue(spark, sf)
       .queryExecution.executedPlan.toString

@@ -214,6 +214,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index health: one row per centroid, symmetric-input argmax, cosines in range") {
+    val out = Similarity.indexHealth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cent = Similarity.centroidIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(out.map(_._1).toSet === cent.keySet, "one row per trained centroid")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val raw = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    out.foreach { case (cid, nid, c) =>
+      assert(cid !== nid)
+      assert(c >= -1.0 && c <= 1.0)
+      val best = cent.keys.filter(_ != cid)
+        .map(o => (o, cos(cent(cid), cent(o))))
+        .minBy { case (o, s) => (-s, o) }
+      assert(best._1 === nid, s"centroid $cid nearest")
+      assert(best._2 === c, s"centroid $cid cosine")
+    }
+  }
+
   test("incremental assign: covers exactly the delta; every row is argmax-optimal") {
     val out = Similarity.incrementalAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
