@@ -155,6 +155,8 @@ object SparkEntry {
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "brand_supplier_hhi" -> ((s, d) => Relational.brandSupplierHhi(s, d)),
+    "dedup_rate_by_source" -> ((s, d) => Dedup.dedupRateBySource(s, d)),
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
@@ -1492,6 +1494,27 @@ object SparkEntry {
         |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s.s_suppkey""".stripMargin,
+    // brandSupplierHhi: share² at 8 dp, integer-unit sums, 4-dp display
+    "brand_supplier_hhi" ->
+      """WITH bs AS (SELECT p.p_brand, l.l_suppkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS supp_rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand, l.l_suppkey),
+        |tot AS (SELECT p_brand,
+        |    CAST(sum(CAST(floor(supp_rev * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS brand_rev
+        |  FROM bs GROUP BY p_brand)
+        |SELECT b.p_brand, count(*) AS n_suppliers,
+        |  floor((CAST(sum(CAST(floor((floor(pow(b.supp_rev / t.brand_rev, 2) * 1e8 + 0.5) / 1e8) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)
+        |        * 1e4 + 0.5) / 1e4 AS hhi
+        |FROM bs b JOIN tot t ON t.p_brand = b.p_brand
+        |GROUP BY b.p_brand ORDER BY b.p_brand""".stripMargin,
+    // dedupRateBySource: the exact-dedup fingerprint currency per source
+    "dedup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique,
+        |  floor((CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+        |        / count(*)) * 1e4 + 0.5) / 1e4 AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
     "embedding_prototypicality" -> prototypicalityOracle(2),
     // PQ: per-subspace k-means + encoding + ADC replayed end-to-end;

@@ -62,6 +62,27 @@ object Dedup {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("canonical_id")
 
+  /** Per-source duplication-rate report: documents, distinct normalized
+    * fingerprints, and the duplicate share per source — the first
+    * question asked of any new data source ("how much of this feed is
+    * copies?"), and the dashboard row that decides whether a source
+    * gets the expensive near-dup pass at all. Reuses [[exact]]'s md5
+    * fingerprint currency; two source-keyed aggs, nothing but 16-byte
+    * hashes shuffles. */
+  def dedupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.rd
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        md5(TextAnalysis.normText(col("text"))).as("fingerprint"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fingerprint")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        rd((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Line-level corpus dedup (the C4 / RefinedWeb rule): a line whose
     * trimmed form appears in `minDf`-or-more DISTINCT documents is
     * boilerplate (nav bars, cookie banners, license headers) and is

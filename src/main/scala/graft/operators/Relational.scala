@@ -374,6 +374,31 @@ object Relational {
         rd(col("pv") * lit(100.0) / col("tv"), 4).as("promo_share"))
       .orderBy("month")
 
+  /** Supplier-concentration report (Herfindahl–Hirschman index) per
+    * brand: Σ share² over each brand's suppliers, share = supplier
+    * revenue / brand revenue — near 1.0 means a single-supplier brand
+    * (supply risk), near 1/n means even spread. Determinism: revenues
+    * are exact-quantized; each share² quantizes at 8 dp and sums in
+    * integer units, so the Σ is order-independent in both engines. Two
+    * key-local aggs ((brand, supplier) then brand) — wordcount
+    * currency over the join output. */
+  def brandSupplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val bs = lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(part(spark, sfDir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_suppkey")
+      .agg(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("supp_rev"))
+    val tot = bs.groupBy("p_brand").agg(qsum(col("supp_rev"), 6).as("brand_rev"))
+    bs.join(tot, Seq("p_brand"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        qsum(rd(pow(col("supp_rev") / col("brand_rev"), 2), 8), 8).as("hhi_raw"))
+      .select(col("p_brand"), col("n_suppliers"), rd(col("hhi_raw"), 4).as("hhi"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q15-style top supplier(s): revenue per supplier, then the
     * supplier(s) achieving the maximum — the correlated
     * `= (SELECT max(...))` pattern, decorrelated into one supplier agg

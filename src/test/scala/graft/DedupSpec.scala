@@ -405,4 +405,20 @@ class DedupSpec extends SparkSpec {
         assert(!emitted.contains((a, b)), s"below-threshold pair ($a,$b) cos=$c emitted")
     }
   }
+
+  test("dedup rate by source: rates replay the normalized fingerprint counts") {
+    val out = Dedup.dedupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+      .map { case (s, t) =>
+        (s, t.toLowerCase.replaceAll("\\s+", " ").trim) }
+    val expect = docs.groupBy(_._1).map { case (s, rs) =>
+      val n = rs.length.toLong
+      val u = rs.map(_._2).distinct.length.toLong
+      s -> (n, u, math.floor((n - u).toDouble / n * 1e4 + 0.5) / 1e4)
+    }
+    assert(out === expect)
+    assert(out.values.map(_._1).sum === docs.length.toLong, "sources partition the corpus")
+  }
 }

@@ -150,6 +150,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("hhi: concentration bounded by [1/n, 1] and replays the share math") {
+    val rows = Relational.brandSupplierHhi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, hhi) =>
+      assert(n >= 1, s"$b suppliers")
+      // quantized Σ share² sits within rounding slack of the exact bounds
+      assert(hhi >= 1.0 / n - 1e-3 && hhi <= 1.0 + 1e-3, s"$b hhi bounds")
+    }
+    // a brand with one supplier must score exactly 1.0
+    rows.filter(_._2 == 1L).foreach { case (b, _, hhi) =>
+      assert(hhi === 1.0, s"$b single-supplier")
+    }
+  }
+
   test("q15: winners achieve the exact maximum quantized revenue, none missed") {
     val out = Relational.q15TopSupplier(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
