@@ -157,6 +157,8 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "brand_supplier_hhi" -> ((s, d) => Relational.brandSupplierHhi(s, d)),
     "dedup_rate_by_source" -> ((s, d) => Dedup.dedupRateBySource(s, d)),
+    "events_value_outliers" -> ((s, d) => Events.valueOutliers(s, d)),
+    "orders_status_aging" -> ((s, d) => Relational.orderStatusAging(s, d)),
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
@@ -1508,6 +1510,32 @@ object SparkEntry {
         |        * 1e4 + 0.5) / 1e4 AS hhi
         |FROM bs b JOIN tot t ON t.p_brand = b.p_brand
         |GROUP BY b.p_brand ORDER BY b.p_brand""".stripMargin,
+    // valueOutliers: Tukey fence from quantile_cont quartiles (the
+    // percentile-parity device); mass via the quantized sum
+    "events_value_outliers" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY event_type),
+        |fe AS (SELECT event_type, p25 - 1.5 * (p75 - p25) AS lo,
+        |         p75 + 1.5 * (p75 - p25) AS hi FROM f)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN e.value < fe.lo OR e.value > fe.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor((CAST(sum(CASE WHEN e.value < fe.lo OR e.value > fe.hi THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*)) * 1e4 + 0.5) / 1e4 AS outlier_frac,
+        |  floor((CAST(sum(CAST(floor((CASE WHEN e.value < fe.lo OR e.value > fe.hi THEN e.value ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        * 1e2 + 0.5) / 1e2 AS outlier_mass
+        |FROM events e JOIN fe ON fe.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // orderStatusAging: ages vs the max-order-date anchor; integer-day
+    // percentiles interpolate identically
+    "orders_status_aging" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) * 1e2 + 0.5) / 1e2 AS total_value,
+        |  quantile_cont(datediff('day', CAST(o_orderdate AS DATE), (SELECT as_of FROM mx)), 0.5) AS p50_age,
+        |  quantile_cont(datediff('day', CAST(o_orderdate AS DATE), (SELECT as_of FROM mx)), 0.9) AS p90_age,
+        |  max(datediff('day', CAST(o_orderdate AS DATE), (SELECT as_of FROM mx))) AS max_age
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // dedupRateBySource: the exact-dedup fingerprint currency per source
     "dedup_rate_by_source" ->
       """SELECT source, count(*) AS n_docs,

@@ -296,6 +296,34 @@ object Events {
       .orderBy("day")
   }
 
+  /** Value-outlier report per event type: counts and mass outside the
+    * Tukey fence `[p25 − 1.5·IQR, p75 + 1.5·IQR]` — the standard
+    * instrumentation-bug detector (a fat outlier share on one event
+    * type usually means a unit change or a bot). Quartiles come from
+    * the exact percentile agg per type (the [[quantityPercentiles]]
+    * parity device, group-bounded); the fence filter is a second
+    * map-only pass. */
+  def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_type", "value")
+    val fences = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .select(col("event_type"),
+        (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        rd(qsum(when(col("value") < col("lo") || col("value") > col("hi"),
+          col("value")).otherwise(lit(0.0)), 6), 2).as("outlier_mass"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        rd(col("n_outliers").cast("double") / col("n_events"), 4)
+          .as("outlier_frac"), col("outlier_mass"))
+      .orderBy("event_type")
+  }
+
   /** User growth curve: per day, first-time users and the cumulative
     * distinct user count — the adoption report next to
     * [[rollingActiveUsers]]' engagement view. Cumulative DISTINCT

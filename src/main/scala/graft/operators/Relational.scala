@@ -374,6 +374,28 @@ object Relational {
         rd(col("pv") * lit(100.0) / col("tv"), 4).as("promo_share"))
       .orderBy("month")
 
+  /** Order-status aging report: per status, order count, value total,
+    * and the age distribution (days from order date to the corpus's
+    * newest order — a deterministic "as of" anchor). The ops dashboard
+    * behind backlog tracking: a P-status tail with high p90 age is
+    * stuck fulfillment. One status-keyed agg; the anchor is a 1-row
+    * scalar. */
+  def orderStatusAging(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("d"))
+    val asOf = ord.agg(max("d")).head().getDate(0) // 1-row scalar anchor
+    ord.select(col("o_orderstatus"), col("o_totalprice"),
+        datediff(lit(asOf), col("d")).as("age_days"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        rd(qsum(col("o_totalprice"), 2), 2).as("total_value"),
+        expr("percentile(age_days, 0.5)").as("p50_age"),
+        expr("percentile(age_days, 0.9)").as("p90_age"),
+        max("age_days").as("max_age"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Supplier-concentration report (Herfindahl–Hirschman index) per
     * brand: Σ share² over each brand's suppliers, share = supplier
     * revenue / brand revenue — near 1.0 means a single-supplier brand

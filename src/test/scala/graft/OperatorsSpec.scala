@@ -100,6 +100,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("value outliers: fence replays quartiles; counts and mass agree") {
+    val out = Events.valueOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val h = (s.length - 1) * p
+      val lo = s(h.toInt)
+      if (h == h.toInt) lo else lo + (h - h.toInt) * (s(h.toInt + 1) - lo)
+    }
+    ev.groupBy(_._1).foreach { case (t, rs) =>
+      val vs = rs.map(_._2).toSeq
+      val (p25, p75) = (pct(vs, 0.25), pct(vs, 0.75))
+      val (lo, hi) = (p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25))
+      val outliers = vs.filter(v => v < lo || v > hi)
+      val (n, nOut, frac, mass) = out(t)
+      assert(n === vs.length.toLong, s"$t count")
+      assert(nOut === outliers.length.toLong, s"$t outliers")
+      assert(frac === math.floor(outliers.length.toDouble / vs.length * 1e4 + 0.5) / 1e4)
+      val expMass = math.floor(outliers.map(v =>
+        math.floor(v * 1e6 + 0.5).toLong).sum.toDouble / 1e6 * 1e2 + 0.5) / 1e2
+      assert(mass === expMass, s"$t mass")
+    }
+  }
+
   test("cumulative users: growth curve replays first-seen accounting") {
     val out = Events.cumulativeUsers(spark, sf).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -150,6 +150,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("status aging: ages anchor to the newest order and statuses re-total") {
+    val rows = Relational.orderStatusAging(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (s, n, p50, p90, mx) =>
+      assert(n > 0, s"$s count")
+      assert(p50 <= p90 && p90 <= mx, s"$s monotone percentiles")
+      assert(mx >= 0, s"$s ages non-negative")
+    }
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "statuses partition the orders")
+  }
+
   test("hhi: concentration bounded by [1/n, 1] and replays the share math") {
     val rows = Relational.brandSupplierHhi(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
