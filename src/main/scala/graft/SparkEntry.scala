@@ -83,6 +83,8 @@ object SparkEntry {
     "corpus_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "corpus_split_repair" -> ((s, d) => TextAnalysis.splitRepair(s, d)),
     "corpus_export_manifest" -> ((s, d) => TextAnalysis.exportManifest(s, d)),
+    "corpus_split_budget" -> ((s, d) => TextAnalysis.splitBudget(s, d)),
+    "text_boilerplate_by_source" -> ((s, d) => TextAnalysis.boilerplateBySource(s, d)),
     "text_hash_classifier" -> ((s, d) => TextAnalysis.hashClassifier(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_mixed_language" -> ((s, d) => TextAnalysis.mixedLanguage(s, d)),
@@ -1382,6 +1384,47 @@ object SparkEntry {
         |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    // splitBudget: the manifest CTEs rolled to split grain; share over
+    // the manifest total
+    "corpus_split_budget" ->
+      (curationCtes + ",\n" +
+       """sp AS (SELECT doc_id,
+        |         CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |               i -> (strpos('0123456789abcdef',
+        |                       substr(md5('split0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |                    * pow(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        |             FROM documents)),
+        |m AS (SELECT sp.split, t.n_tokens
+        |      FROM documents d
+        |        JOIN q ON q.doc_id = d.doc_id
+        |        JOIN l ON l.doc_id = d.doc_id
+        |        JOIN t ON t.doc_id = d.doc_id
+        |        JOIN sp ON sp.doc_id = d.doc_id
+        |      WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
+        |        AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM m)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  floor((CAST(sum(n_tokens) AS DOUBLE) / (SELECT t FROM tot)) * 1e4 + 0.5) / 1e4 AS token_share
+        |FROM m GROUP BY split ORDER BY split""".stripMargin),
+    // boilerplateBySource(minDf=2): the line-dedup hash currency at
+    // source grain
+    "text_boilerplate_by_source" ->
+      """WITH pl AS (SELECT source, doc_id, md5(trim(l)) AS h
+        |            FROM (SELECT source, doc_id, unnest(string_split(text, chr(10))) AS l
+        |                  FROM documents)
+        |            WHERE trim(l) != ''),
+        |bo AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS n FROM pl GROUP BY h)
+        |       WHERE n >= 2),
+        |nb AS (SELECT source, count(*) AS n_boiler
+        |       FROM pl WHERE h IN (SELECT h FROM bo) GROUP BY source),
+        |nl AS (SELECT source, count(*) AS n_lines FROM pl GROUP BY source)
+        |SELECT nl.source, nl.n_lines, coalesce(nb.n_boiler, 0) AS n_boiler,
+        |  floor((CAST(coalesce(nb.n_boiler, 0) AS DOUBLE) / nl.n_lines) * 1e4 + 0.5) / 1e4 AS boilerplate_frac
+        |FROM nl LEFT JOIN nb ON nb.source = nl.source
+        |ORDER BY nl.source""".stripMargin,
     // hashClassifier(dim=1024): md5-bucket features, md5-derived weight
     // table (range join), qavg mean, flag on the ROUNDED score
     "text_hash_classifier" ->

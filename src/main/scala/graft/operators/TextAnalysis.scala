@@ -1225,6 +1225,50 @@ object TextAnalysis {
       .orderBy("df")
   }
 
+  /** Per-split budget rollup of the [[exportManifest]]: documents,
+    * token totals and token share per train/val/test split — the
+    * number a training run actually plans against ("how many tokens of
+    * train data survived curation?"). Manifest-sized work; the corpus
+    * total is a 1-row scalar. */
+  def splitBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifest = exportManifest(spark, sfDir)
+      .select(col("split"), col("n_tokens").cast("long").as("n_tokens"))
+    val total = manifest.agg(sum("n_tokens")).head().getLong(0).toDouble
+    manifest.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        rd(col("total_tokens").cast("double") / lit(total), 4).as("token_share"))
+      .orderBy("split")
+  }
+
+  /** Per-source boilerplate share: the fraction of each source's
+    * non-blank lines that are CROSS-DOCUMENT duplicates (the C4
+    * line-dedup currency of [[graft.operators.Dedup.lineDedup]], rolled
+    * up to the source grain) — the triage number that decides which
+    * feed needs boilerplate stripping before anything else. Only
+    * 16-byte line hashes shuffle; two bounded aggs. */
+  def boilerplateBySource(spark: SparkSession, sfDir: String,
+      minDf: Int = 2): DataFrame = {
+    val lines = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(col("source"), col("doc_id"), md5(trim(col("line"))).as("h"))
+    val boiler = lines.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+      .select("h")
+    val boilerCounts = lines.join(boiler, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_boiler"))
+    lines.groupBy("source").agg(count(lit(1)).as("n_lines"))
+      .join(boilerCounts, Seq("source"), "left_outer")
+      .select(col("source"), col("n_lines"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        rd(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_lines"), 4)
+          .as("boilerplate_frac"))
+      .orderBy("source")
+  }
+
   /** Hashing-trick linear classifier INFERENCE — the fastText-style
     * quality-scoring shape: each token hashes into one of `dim` feature
     * buckets (no vocabulary table), the model is a `dim`-row weight

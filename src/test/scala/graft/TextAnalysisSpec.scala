@@ -641,6 +641,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).sum === dfOf.size.toLong, "spectrum re-totals the vocabulary")
   }
 
+  test("split budget: shares re-total the manifest exactly") {
+    val out = TextAnalysis.splitBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val manifest = TextAnalysis.exportManifest(spark, sf).collect()
+      .map(r => (r.getString(1), r.getAs[Number](3).longValue))
+    val bydSplit = manifest.groupBy(_._1)
+      .map { case (s, rs) => s -> (rs.length.toLong, rs.map(_._2).sum) }
+    val total = manifest.map(_._2).sum.toDouble
+    assert(out.map(_._1).toSet === bydSplit.keySet)
+    out.foreach { case (s, nd, tt, share) =>
+      assert((nd, tt) === bydSplit(s), s"split $s totals")
+      assert(share === math.floor(tt / total * 1e4 + 0.5) / 1e4, s"split $s share")
+    }
+    assert(out.map(_._2).sum === manifest.length.toLong)
+  }
+
+  test("boilerplate by source: fractions replay the cross-doc line counts") {
+    val out = TextAnalysis.boilerplateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val lines = graft.sources.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").as[(String, Long, String)].collect()
+      .flatMap { case (s, id, t) =>
+        t.split("\n").map(_.trim).filter(_.nonEmpty).map(l => (s, id, l)) }
+    val boiler = lines.groupBy(_._3)
+      .filter { case (_, rs) => rs.map(_._2).distinct.length >= 2 }.keySet
+    val expect = lines.groupBy(_._1).map { case (s, rs) =>
+      val nb = rs.count(r => boiler(r._3)).toLong
+      val nl = rs.length.toLong
+      s -> (nl, nb, math.floor(nb.toDouble / nl * 1e4 + 0.5) / 1e4)
+    }
+    assert(out === expect)
+  }
+
   test("hash classifier: scores replay the hashed-feature linear model") {
     val out = TextAnalysis.hashClassifier(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
