@@ -161,6 +161,8 @@ object SparkEntry {
     "dedup_rate_by_source" -> ((s, d) => Dedup.dedupRateBySource(s, d)),
     "events_value_outliers" -> ((s, d) => Events.valueOutliers(s, d)),
     "orders_status_aging" -> ((s, d) => Relational.orderStatusAging(s, d)),
+    "events_stickiness" -> ((s, d) => Events.stickiness(s, d)),
+    "corpus_effective_size" -> ((s, d) => Dedup.effectiveSize(s, d)),
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
@@ -1553,6 +1555,60 @@ object SparkEntry {
         |        * 1e4 + 0.5) / 1e4 AS hhi
         |FROM bs b JOIN tot t ON t.p_brand = b.p_brand
         |GROUP BY b.p_brand ORDER BY b.p_brand""".stripMargin,
+    // stickiness: the rolling_active correlated-count oracle at 30 days
+    // plus the 4-dp ratio
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |r AS (SELECT d.day,
+        |        (SELECT count(*) FROM ud WHERE ud.day = d.day) AS dau,
+        |        (SELECT count(DISTINCT user_id) FROM ud
+        |         WHERE ud.day BETWEEN d.day - 29 AND d.day) AS mau
+        |      FROM days d)
+        |SELECT day, dau, mau,
+        |  floor((CAST(dau AS DOUBLE) / mau) * 1e4 + 0.5) / 1e4 AS stickiness
+        |FROM r ORDER BY day""".stripMargin,
+    // effectiveSize: soft-weight CTEs + 4-dp integer-unit sums
+    "corpus_effective_size" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH w AS (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle
+        |         FROM (SELECT doc_id,
+        |                 unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                         for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |               FROM w)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a),
+        |allc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |sz2 AS (SELECT cluster_id, count(*) AS cluster_size FROM allc GROUP BY 1),
+        |wt AS (SELECT a.doc_id,
+        |         floor((1.0 / s.cluster_size) * 1e4 + 0.5) / 1e4 AS weight
+        |       FROM allc a JOIN sz2 s USING (cluster_id)),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS BIGINT) AS n_tokens
+        |       FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(tk.n_tokens) AS BIGINT) AS n_tokens_raw,
+        |  floor((CAST(sum(CAST(floor(wt.weight * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2 AS effective_docs,
+        |  floor((CAST(sum(CAST(floor(wt.weight * tk.n_tokens * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2 AS effective_tokens,
+        |  floor((1.0 - (CAST(sum(CAST(floor(wt.weight * tk.n_tokens * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
+        |        / CAST(sum(tk.n_tokens) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dedup_savings_frac
+        |FROM wt JOIN tk USING (doc_id)""".stripMargin,
     // valueOutliers: Tukey fence from quantile_cont quartiles (the
     // percentile-parity device); mass via the quantized sum
     "events_value_outliers" ->

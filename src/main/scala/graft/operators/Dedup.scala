@@ -1001,6 +1001,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Effective corpus size under soft-dedup weights — the one-row
+    * answer to "how much data do we REALLY have after down-weighting
+    * duplicates?": Σ weight (effective documents) and Σ weight·tokens
+    * (effective tokens, the number a compute-optimal budget consumes)
+    * against the raw counts. Weights are the 4-dp
+    * [[softDedupWeights]]; products stay 4-dp so the sums are exact
+    * integer-unit sums in both engines. Cluster-table-sized work plus
+    * one map-only token count. */
+  def effectiveSize(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.functions.Deterministic.{qsum, rd}
+    val w = softDedupWeights(spark, sfDir, threshold).select("doc_id", "weight")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    w.join(toks, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_raw"),
+        qsum(col("weight"), 4).as("ed_raw"),
+        qsum(col("weight") * col("n_tokens"), 4).as("et_raw"))
+      .select(col("n_docs"), col("n_tokens_raw"),
+        rd(col("ed_raw"), 2).as("effective_docs"),
+        rd(col("et_raw"), 2).as("effective_tokens"),
+        // the fraction divides the UNROUNDED sum (display rounding only)
+        rd(lit(1.0) - col("et_raw") / col("n_tokens_raw").cast("double"), 4)
+          .as("dedup_savings_frac"))
+  }
+
   // --- Embedding cosine near-dup ---
 
   /** All-pairs cosine ≥ threshold. Exact (quadratic) — the REFERENCE

@@ -401,6 +401,17 @@ object Events {
       .orderBy("segment")
   }
 
+  /** DAU/MAU stickiness: daily active over 30-day rolling distinct
+    * active — the classic engagement ratio. Pure reuse of
+    * [[rollingActiveUsers]]' bounded-replication rewrite at
+    * windowDays=30 (the ×30 replication of the collapsed (user, day)
+    * table is the price, never a per-day rescan). */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame =
+    rollingActiveUsers(spark, sfDir, windowDays = 30)
+      .select(col("day"), col("dau"), col("rolling_users").as("mau"),
+        rd(col("dau").cast("double") / col("rolling_users"), 4).as("stickiness"))
+      .orderBy("day")
+
   /** Cohort retention matrix: users grouped by first-active day, then
     * for each day-offset 0..`maxOffset` the count and share of the
     * cohort active exactly `offset` days later — the standard retention

@@ -406,6 +406,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("effective size: weighted sums replay the soft-weight table") {
+    val Seq(row) = Dedup.effectiveSize(spark, sf).collect().toSeq
+    val weights = Dedup.softDedupWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("[ \n]").count(_.nonEmpty).toLong }.toMap
+    val rawTok = toks.values.sum
+    val edRaw = weights.values.map(w => math.floor(w * 1e4 + 0.5).toLong).sum.toDouble / 1e4
+    val etRaw = weights.map { case (id, w) =>
+      math.floor(w * toks(id) * 1e4 + 0.5).toLong }.sum.toDouble / 1e4
+    assert(row.getLong(0) === weights.size.toLong)
+    assert(row.getLong(1) === rawTok)
+    assert(row.getDouble(2) === math.floor(edRaw * 1e2 + 0.5) / 1e2)
+    assert(row.getDouble(3) === math.floor(etRaw * 1e2 + 0.5) / 1e2)
+    assert(row.getDouble(4) === math.floor((1.0 - etRaw / rawTok) * 1e4 + 0.5) / 1e4)
+    // duplicates exist at this SF only if clusters do; savings is in [0, 1)
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
+  }
+
   test("dedup rate by source: rates replay the normalized fingerprint counts") {
     val out = Dedup.dedupRateBySource(spark, sf).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

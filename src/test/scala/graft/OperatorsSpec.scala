@@ -100,6 +100,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("stickiness: ratio of dau to the 30-day rolling distinct") {
+    val out = Events.stickiness(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    assert(out.nonEmpty)
+    out.foreach { case (day, dau, mau, st) =>
+      val expMau = ud.filter { case (_, d) =>
+        !d.isBefore(day.minusDays(29)) && !d.isAfter(day) }
+        .map(_._1).distinct.length.toLong
+      assert(dau === ud.count(_._2 == day).toLong, s"$day dau")
+      assert(mau === expMau, s"$day mau")
+      assert(st === math.floor(dau.toDouble / mau * 1e4 + 0.5) / 1e4, s"$day ratio")
+      assert(st > 0.0 && st <= 1.0, s"$day bounds")
+    }
+  }
+
   test("value outliers: fence replays quartiles; counts and mass agree") {
     val out = Events.valueOutliers(spark, sf).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
