@@ -156,6 +156,7 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
+    "ann_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "brand_supplier_hhi" -> ((s, d) => Relational.brandSupplierHhi(s, d)),
     "dedup_rate_by_source" -> ((s, d) => Dedup.dedupRateBySource(s, d)),
@@ -1530,6 +1531,7 @@ object SparkEntry {
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "ann_incremental_assign" -> ivfIncrementalOracle(2),
     "ann_index_health" -> indexHealthOracle(2),
+    "ann_recall_curve" -> recallCurveOracle(2),
     // Q15: correlated max decorrelated onto ONE supplier agg; the cut
     // compares 2-dp quantized revenues
     "q15_top_supplier" ->
@@ -2552,6 +2554,54 @@ object SparkEntry {
        |    FROM d v, $cFinal c)
        |  WHERE arn = 1)
        |SELECT vec_id, cluster, csim AS assign_sim FROM asg ORDER BY vec_id""".stripMargin
+  }
+
+  /** Recall-curve oracle: replay training + assignment, rank candidate
+    * pairs at every probe depth 1..16, intersect with the SQL brute
+    * top-10, and average per depth (200 = 20 queries × k 10). */
+  private def recallCurveOracle(iters: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    val cos4 = "floor((list_sum(list_transform(range(1, 65), " +
+      "i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * " +
+      "CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) " +
+      "* 1e4 + 0.5) / 1e4"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |qc AS (SELECT query_id, cluster, prn FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfCsim("q.embedding", "q.nrm")} DESC, c.cent_id ASC) AS prn
+       |    FROM n q, $cFinal c WHERE q.vec_id < 20)),
+       |cand AS (SELECT qc.query_id, a.vec_id AS neighbor_id, qc.prn, $cos4 AS cosine
+       |         FROM qc JOIN assigned a ON a.cluster = qc.cluster
+       |           JOIN n q ON q.vec_id = qc.query_id
+       |           JOIN n v ON v.vec_id = a.vec_id
+       |         WHERE a.vec_id != qc.query_id),
+       |pd AS (SELECT query_id, neighbor_id, np.nprobe,
+       |         row_number() OVER (PARTITION BY query_id, np.nprobe
+       |           ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |       FROM cand CROSS JOIN (SELECT unnest(range(1, 17)) AS nprobe) np
+       |       WHERE cand.prn <= np.nprobe),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos4 DESC, v.vec_id ASC) AS rnk
+       |    FROM n q JOIN n v ON v.vec_id != q.vec_id WHERE q.vec_id < 20)
+       |  WHERE rnk <= 10),
+       |hits AS (SELECT nprobe, count(*) AS h
+       |         FROM (SELECT query_id, neighbor_id, nprobe FROM pd WHERE rnk <= 10)
+       |         JOIN brute USING (query_id, neighbor_id) GROUP BY nprobe)
+       |SELECT CAST(np.nprobe AS INT) AS nprobe,
+       |  floor((CAST(coalesce(h, 0) AS DOUBLE) / 200) * 1e4 + 0.5) / 1e4 AS recall
+       |FROM (SELECT unnest(range(1, 17)) AS nprobe) np
+       |  LEFT JOIN hits ON hits.nprobe = np.nprobe
+       |ORDER BY nprobe""".stripMargin
   }
 
   /** Index-health oracle: replay training, then the C×C nearest-other

@@ -191,6 +191,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Recall-vs-nprobe curve for the stored IVF index: for every probe
+    * depth 1..C, top-k recall against the exact brute-force neighbors —
+    * the cost/recall dial of [[ivfTopK]] made measurable (the row where
+    * the curve flattens IS the right nprobe; at nprobe=C every cell is
+    * probed, so recall is exactly 1.0 — a built-in self-check). One
+    * candidate pass: each (query, neighbor) pair carries the rank of
+    * its cell for that query, explodes to the probe depths that would
+    * include it (bounded ×C), ranks per depth, and intersects the
+    * brute top-k. At 100 TB this is a TUNING query run on a query
+    * sample, not a production scan — and it still touches the corpus
+    * once. */
+  def recallCurve(spark: SparkSession, sfDir: String, k: Int = 10,
+      numQueries: Int = 20, numCentroids: Int = 16,
+      trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+    val assigned = assignmentIndex(spark, sfDir, numCentroids, trainIters)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val cellRank = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("e_q"), col("n_q"), col("cent_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wq))
+      .select(col("query_id"), col("e_q"), col("n_q"),
+        col("cent_id").as("cluster"), col("prn"))
+    val cvec = emb.select(col("vec_id").as("neighbor_id"),
+      col("e").as("e_c"), col("nrm").as("n_c"))
+    val cand = cellRank.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(cvec, col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("prn"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+    val wr = Window.partitionBy("query_id", "nprobe")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    val perDepth = cand
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        explode(sequence(col("prn"), lit(numCentroids))).as("nprobe"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+    val brute = bruteForceTopK(spark, sfDir, k, numQueries)
+      .select("query_id", "neighbor_id")
+    val hits = perDepth.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    spark.range(1, numCentroids + 1).select(col("id").cast("int").as("nprobe"))
+      .join(hits, Seq("nprobe"), "left_outer")
+      .select(col("nprobe"),
+        rd(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit((numQueries * k).toDouble), 4).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Index-health report for the stored coarse quantizer: each
     * centroid's nearest OTHER centroid and their cosine — the
     * separation audit run after (re)training (centroids that sit on top

@@ -28,7 +28,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
     "embedding_decontamination", "ann_incremental_assign",
-    "ann_index_health")
+    "ann_index_health", "ann_recall_curve")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

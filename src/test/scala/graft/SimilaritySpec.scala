@@ -214,6 +214,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recall curve: monotone in nprobe, exact 1.0 when every cell is probed") {
+    val out = Similarity.recallCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === (1 to 16))
+    out.foreach { case (np, r) => assert(r >= 0.0 && r <= 1.0, s"nprobe $np") }
+    out.map(_._2).toSeq.sliding(2).foreach { w =>
+      assert(w.head <= w.last, "recall must not fall as more cells are probed")
+    }
+    assert(out.last._2 === 1.0, "probing all cells is exact search")
+    assert(out.head._2 < 1.0, "one cell must miss on this near-uniform corpus")
+  }
+
   test("index health: one row per centroid, symmetric-input argmax, cosines in range") {
     val out = Similarity.indexHealth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
