@@ -2033,7 +2033,59 @@ object SparkEntry {
     // rows recall at j>=0.8 is ~0.9998 (and 1.0 measured on this corpus),
     // so the exact-Jaccard oracle applies
     "dedup_minhash_lsh" -> ngramJaccardOracle,
-    // dedup_simhash: xxhash64-based signature not expressible in DuckDB -> rows-only check
+    // dedup_simhash: md5-derived signature bits replayed vote-for-vote;
+    // the oracle blocks by the same 16-bit chunks (pigeonhole-lossless,
+    // so candidates = exact hd<=3 pairs) and expands canonical groups
+    "dedup_simhash" ->
+      """WITH fp AS (SELECT doc_id,
+        |              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |            FROM documents),
+        |mem AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canon_id FROM fp),
+        |canon AS (SELECT doc_id FROM mem WHERE doc_id = canon_id),
+        |w AS (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+        |      FROM documents),
+        |tokc AS (SELECT w.doc_id, w.tok, count(*) AS cnt
+        |         FROM w JOIN canon c ON c.doc_id = w.doc_id GROUP BY 1, 2),
+        |hx AS (SELECT doc_id, cnt,
+        |         CAST(list_sum(list_transform(range(1, 9),
+        |           i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+        |                * pow(16, 8 - i))) AS BIGINT) AS hi,
+        |         CAST(list_sum(list_transform(range(9, 17),
+        |           i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+        |                * pow(16, 16 - i))) AS BIGINT) AS lo
+        |       FROM tokc),
+        |votes AS (SELECT doc_id, b.i,
+        |            sum(cnt * (2 * (CASE WHEN b.i < 32 THEN (lo >> b.i) & 1
+        |                            ELSE (hi >> (b.i - 32)) & 1 END) - 1)) AS v
+        |          FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+        |          GROUP BY doc_id, b.i),
+        |bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+        |chunks AS (SELECT doc_id, i // 16 AS blk,
+        |             CAST(sum(CAST(bit AS BIGINT) << CAST(i % 16 AS INT)) AS BIGINT) AS cv
+        |           FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM chunks a JOIN chunks b
+        |           ON a.blk = b.blk AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        |hd AS (SELECT p.doc_a, p.doc_b,
+        |         CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |       FROM cand p
+        |         JOIN bits ba ON ba.doc_id = p.doc_a
+        |         JOIN bits bb ON bb.doc_id = p.doc_b AND bb.i = ba.i
+        |       GROUP BY 1, 2
+        |       HAVING sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) <= 3),
+        |cross_p AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |              greatest(ma.doc_id, mb.doc_id) AS doc_b, h.hamming
+        |            FROM hd h
+        |              JOIN mem ma ON ma.canon_id = h.doc_a
+        |              JOIN mem mb ON mb.canon_id = h.doc_b),
+        |intra AS (SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        |          FROM mem ma JOIN mem mb
+        |            ON ma.canon_id = mb.canon_id AND ma.doc_id < mb.doc_id
+        |          WHERE ma.canon_id IN (SELECT DISTINCT doc_id FROM bits))
+        |SELECT doc_a, doc_b, hamming FROM cross_p
+        |UNION ALL SELECT doc_a, doc_b, hamming FROM intra
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

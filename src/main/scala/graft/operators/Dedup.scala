@@ -450,14 +450,23 @@ object Dedup {
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     simhashSignaturesOf(Tables.documents(spark, sfDir))
 
-  /** SimHash signature from any (doc_id, text) frame. */
+  /** SimHash signature from any (doc_id, text) frame. The per-token
+    * 64-bit hash is the md5 16-hex prefix split into two 32-bit halves
+    * (bit i of the signature votes on bit i of `lo` for i<32, bit i−32
+    * of `hi` above) — md5 instead of xxhash64 PRECISELY so a DuckDB
+    * oracle can replay every vote bit-for-bit (the same portability
+    * trade as `splitAssign`; collision odds are the usual accepted
+    * md5 ones). */
   def simhashSignaturesOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("lo"))
+      .groupBy("doc_id", "hi", "lo").agg(count(lit(1)).as("cnt"))
     val bitSums = (0 until 64).map { i =>
-      sum(col("cnt") * (shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$i")
+      val (half, sh) = if (i < 32) (col("lo"), i) else (col("hi"), i - 32)
+      sum(col("cnt") * (shiftright(half, sh).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$i")
     }
     val sig = (0 until 64).map { i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
@@ -473,7 +482,7 @@ object Dedup {
     * preprocessing, independent of any query parameter. */
   def simhashIndex(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.ArtifactCache.readOrWrite(spark, "simhash-sig",
-      sfDir, s"$sfDir/documents.parquet") {
+      s"$sfDir|md5", s"$sfDir/documents.parquet") {
       val (_, canonDocs) = exactGroups(Tables.documents(spark, sfDir))
       simhashSignaturesOf(canonDocs)
     }
