@@ -1349,8 +1349,11 @@ object TextAnalysis {
   /** Split REPAIR — the action [[splitLeakage]]'s audit calls for:
     * every document that near-duplicates a lower-id document in a
     * DIFFERENT split is moved into that document's split (rule: follow
-    * the minimum doc_a among a doc's cross-split pairs — deterministic,
-    * and convergent because pairs always point to lower ids). Output is
+    * the minimum doc_a among a doc's cross-split pairs — deterministic).
+    * This is a ONE-PASS repair: in a chain A–B, B–C spanning three
+    * splits, C follows B's OLD split while B itself moves, so chained
+    * duplicates can leave residual cross-split pairs — re-run the
+    * [[splitLeakage]] audit (and this repair) until clean. Output is
     * the corrected rows only (doc, old split, new split, the pair
     * followed). Same inputs as the audit — the stored pair table and
     * the hash split — plus one doc-keyed agg; corpus text never
