@@ -105,7 +105,10 @@ object SparkEntry {
     "text_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
     "text_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "text_dup_span_merge" -> ((s, d) => Dedup.dupSpanMerge(s, d)),
+    "text_scrub_dup_spans" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "corpus_split_repair_converged" ->
+      ((s, d) => TextAnalysis.splitRepairConverged(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
@@ -1038,6 +1041,48 @@ object SparkEntry {
         |FROM mv m JOIN sp so ON so.doc_id = m.doc_id
         |  JOIN sp sn ON sn.doc_id = m.follow_doc
         |ORDER BY m.doc_id""".stripMargin,
+    // splitRepairConverged: the fixpoint is "every doc in a near-dup
+    // connected component takes the split of the component's min-id
+    // doc" — the oracle states the components as the same recursive
+    // transitive closure dedup_clusters uses, over the same 3-gram
+    // jaccard ≥ 0.8 pair set, then replays the split hash
+    "corpus_split_repair_converged" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH w AS (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle
+        |         FROM (SELECT doc_id,
+        |                 unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                         for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |               FROM w)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN sz sa ON sa.doc_id = a.doc_id
+        |    JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |rt(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT rt.a, e.dst FROM rt JOIN edges e ON rt.b = e.src),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM rt GROUP BY a),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+        |               i -> (strpos('0123456789abcdef',
+        |                       substr(md5('split0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |                    * pow(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        |             FROM documents))
+        |SELECT c.doc_id, so.split AS old_split, sn.split AS new_split, c.cluster_id
+        |FROM cl c JOIN sp so ON so.doc_id = c.doc_id
+        |  JOIN sp sn ON sn.doc_id = c.cluster_id
+        |WHERE so.split != sn.split
+        |ORDER BY c.doc_id""".stripMargin,
     // readability: sentence segments on [.!?] (trimmed non-empty, min
     // 1), vowel-group syllables (min 1/word), 4-dp Flesch replay
     "text_readability" ->
@@ -1846,6 +1891,53 @@ object SparkEntry {
         |        / greatest(len(w.words), 1)) * 1e4 + 0.5) / 1e4 AS dup_tok_frac
         |FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    // dupSpanScrub(n=5): same span CTEs as text_dup_span_merge, then the
+    // covered positions expand (spans are disjoint by construction) and
+    // survivors re-join on single spaces; Spark's row-local filter HOF
+    // must reproduce the position-set subtraction exactly
+    "text_scrub_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+        |      FROM (SELECT doc_id,
+        |              unnest([{'pos': i - 1,
+        |                       'gram': words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]}
+        |                      for i in range(1, greatest(len(words) - 3, 1))]) AS u
+        |            FROM w)),
+        |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |           GROUP BY gram HAVING count(*) > 1),
+        |dupg AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+        |         FROM g JOIN shared ON g.gram = shared.gram),
+        |marked AS (SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dupg),
+        |numbered AS (SELECT doc_id, pos, e,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM marked),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS ee
+        |          FROM numbered GROUP BY doc_id, span_id),
+        |perdoc AS (SELECT doc_id, sum(ee - s + 1) AS dup_tok
+        |           FROM spans GROUP BY doc_id),
+        |cov AS (SELECT doc_id, unnest(range(s, ee + 1)) AS p FROM spans),
+        |posn AS (SELECT doc_id, unnest(range(0, len(words))) AS p FROM w),
+        |kept AS (SELECT posn.doc_id, posn.p FROM posn
+        |         LEFT JOIN cov ON posn.doc_id = cov.doc_id AND posn.p = cov.p
+        |         WHERE cov.p IS NULL),
+        |clean AS (SELECT k.doc_id,
+        |            string_agg(w.words[k.p + 1], ' ' ORDER BY k.p) AS clean_text
+        |          FROM kept k JOIN w ON w.doc_id = k.doc_id GROUP BY k.doc_id)
+        |SELECT w.doc_id, CAST(len(w.words) AS INT) AS n_tok,
+        |  CAST(coalesce(p.dup_tok, 0) AS INT) AS n_removed,
+        |  coalesce(c.clean_text, '') AS clean_text
+        |FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
+        |  LEFT JOIN clean c ON w.doc_id = c.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     // repetitionSignals(n=5): Spark computes every signal row-locally
     // with sorted-array HOFs; the oracle replays each as the equivalent
     // unnest + GROUP BY multiplicity query (top-token multiplicity = the
@@ -2316,10 +2408,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST((frame_idx * 1000) // 24 AS INT) AS ts_ms,
         |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
-        |       WHEN width * 224 >= height * 224 THEN 224
+        |       WHEN width >= height THEN 224
         |       ELSE (width * 224) // height END AS INT) AS out_w,
         |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
-        |       WHEN width * 224 >= height * 224 THEN (height * 224) // width
+        |       WHEN width >= height THEN (height * 224) // width
         |       ELSE 224 END AS INT) AS out_h
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_summary" ->

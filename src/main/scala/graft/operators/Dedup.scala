@@ -706,31 +706,9 @@ object Dedup {
     * window (sort within doc partitions — docs are small, partitions
     * balanced by doc_id hash). No quadratic anything. */
   def dupSpanMergeOf(docs: DataFrame, n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       TextAnalysis.wsTokens(col("text")).as("w"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-    val sharedGrams = grams.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select("h")
-    val dupG = grams.join(sharedGrams, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"), (col("pos") + n - 1).as("e"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = dupG
-      .withColumn("prev_max_e",
-        max("e").over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
-      // a gram starts a new span iff it neither overlaps nor touches
-      // everything seen so far: pos > max(prior ends) + 1
-      .withColumn("new_span",
-        when(col("prev_max_e").isNull ||
-          col("pos") > col("prev_max_e") + 1, 1L).otherwise(0L))
-      .withColumn("span_id",
-        sum("new_span").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "span_id")
-      .agg(min("pos").as("s"), max("e").as("ee"))
+    val spans = mergedDupSpans(toks, n)
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("ee") - col("s") + 1).as("dup_tok"))
@@ -746,6 +724,77 @@ object Dedup {
 
   def dupSpanMerge(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
     dupSpanMergeOf(Tables.documents(spark, sfDir), n)
+
+  /** Shared span machinery for [[dupSpanMergeOf]] and [[dupSpanScrubOf]]:
+    * duplicated positional n-grams (grams occurring in ≥1 OTHER doc)
+    * coalesced into maximal disjoint token spans (doc_id, span_id,
+    * s, ee) — overlapping or adjacent [pos, pos+n-1] intervals merge.
+    * Gram hashing and interval arithmetic are row-local; the
+    * document-frequency agg and semi-join ship (8-byte hash, id) pairs;
+    * the merge is a per-document window. */
+  private def mergedDupSpans(toks: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val sharedGrams = grams.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("h")
+    val dupG = grams.join(sharedGrams, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + n - 1).as("e"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    dupG
+      .withColumn("prev_max_e",
+        max("e").over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      // a gram starts a new span iff it neither overlaps nor touches
+      // everything seen so far: pos > max(prior ends) + 1
+      .withColumn("new_span",
+        when(col("prev_max_e").isNull ||
+          col("pos") > col("prev_max_e") + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum("new_span").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("s"), max("e").as("ee"))
+  }
+
+  /** Span SCRUB — the transform [[dupSpanMergeOf]]'s profile exists to
+    * drive: REMOVE each document's duplicated maximal spans and emit the
+    * cleaned text (Lee et al. 2022 cut duplicated substrings out of the
+    * training corpus rather than dropping whole documents; this is that
+    * cut at fixed-n span granularity). Tokens covered by any merged span
+    * go; survivors re-join on single spaces. Output is (doc, token
+    * count, removed count, clean_text), so `n_tok - n_removed` tokens
+    * remain — the spec asserts that identity and that span-free docs
+    * pass through verbatim.
+    *
+    * Scale shape: everything [[mergedDupSpans]] does plus ONE doc-keyed
+    * join of the span list back to the token array and a row-local
+    * filter HOF (each token tests membership against its own doc's
+    * spans — per-doc work, never corpus-wide). Span lists are tiny
+    * (merged, disjoint); text crosses the shuffle once, as the token
+    * array of the docs being cleaned. */
+  def dupSpanScrubOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("w"))
+    val spanArr = mergedDupSpans(toks, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("ee"))).as("sp"))
+    toks.join(spanArr, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(col("w")).as("n_tok"),
+        expr("""CASE WHEN sp IS NULL THEN w ELSE
+                  filter(transform(w, (t, i) ->
+                    CASE WHEN exists(sp, z -> i >= z.s AND i <= z.ee)
+                         THEN NULL ELSE t END),
+                    t -> t IS NOT NULL) END""").as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpanScrub(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    dupSpanScrubOf(Tables.documents(spark, sfDir), n)
 
   // --- Edit-distance (Levenshtein) verification over blocked candidates ---
 

@@ -70,15 +70,27 @@ object Layout {
     * runs with ZERO exchange and zero sort (the scan itself reports
     * `HashPartitioning(key, buckets)` + per-bucket order). Keyed by the
     * source corpus fingerprint like every [[ArtifactCache]] artifact:
-    * refreshing the data in place yields a new table name, stale ones
-    * are ignored. `repartition(buckets, key)` before the write keeps it
+    * refreshing the data in place yields a new table name, and stale
+    * fingerprints of the same (name, buckets) are DROPPED — catalog
+    * entry and backing files both — mirroring `ArtifactCache`'s
+    * stale-fingerprint cleanup, so repeated refreshes don't leak.
+    * `repartition(buckets, key)` before the write keeps it
     * to ONE file per bucket, which is what lets the reader trust the
     * sort and skip its own. */
   def bucketedTable(spark: SparkSession, name: String, buckets: Int,
       key: String, srcPath: String)(df: => DataFrame): DataFrame = synchronized {
     val fp = ArtifactCache.fingerprint(spark, srcPath).take(8)
-    val tbl = s"graft_bkt_${name}_b${buckets}_$fp"
+    val prefix = s"graft_bkt_${name}_b${buckets}_"
+    val tbl = s"$prefix$fp"
     if (!spark.catalog.tableExists(tbl)) {
+      // stale fingerprints of the same (name, buckets) are garbage
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(t => t.startsWith(prefix) && t != tbl)
+        .foreach { stale =>
+          spark.sql(s"DROP TABLE IF EXISTS $stale")
+          deleteRecursively(java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft-bucketed", stale).toFile)
+        }
       val path = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-bucketed", tbl).toString
       df.repartition(buckets, col(key))
@@ -87,6 +99,11 @@ object Layout {
         .saveAsTable(tbl)
     }
     spark.table(tbl)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Revenue per order priority THROUGH the bucketed layout: orders and

@@ -109,10 +109,10 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
         expr(s"CAST((frame_idx * 1000) div $fps AS INT)").as("ts_ms"),
         expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN width
-                 WHEN width * $maxDim >= height * $maxDim THEN $maxDim
+                 WHEN width >= height THEN $maxDim
                  ELSE (width * $maxDim) div height END AS INT)""").as("out_w"),
         expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN height
-                 WHEN width * $maxDim >= height * $maxDim THEN (height * $maxDim) div width
+                 WHEN width >= height THEN (height * $maxDim) div width
                  ELSE $maxDim END AS INT)""").as("out_h"))
       .orderBy("doc_id", "frame_idx")
   }

@@ -310,13 +310,6 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** TPC-H Q8-style market share: revenue share of one nation's
-    * suppliers per order-year within a region's customers, for one
-    * part type — the deepest join tree in the suite (lineitem ⋈ part ⋈
-    * orders ⋈ customer ⋈ supplier + two broadcast dims) feeding a
-    * share-of-total. Numerator and denominator are conditional /
-    * unconditional exact quantized sums in ONE aggregation pass (no
-    * second scan, no join back), so the ratio is oracle-stable. */
   /** TPC-H Q6-style forecast revenue change: one tight scan-filter-agg
     * — the canonical pushdown showcase. All three predicates reach the
     * parquet scan as PushedFilters; the agg is a 1-row partial+final
@@ -517,6 +510,13 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q8-style market share: revenue share of one nation's
+    * suppliers per order-year within a region's customers, for one
+    * part type — the deepest join tree in the suite (lineitem ⋈ part ⋈
+    * orders ⋈ customer ⋈ supplier + two broadcast dims) feeding a
+    * share-of-total. Numerator and denominator are conditional /
+    * unconditional exact quantized sums in ONE aggregation pass (no
+    * second scan, no join back), so the ratio is oracle-stable. */
   def q8MarketShare(spark: SparkSession, sfDir: String,
       regionName: String = "ASIA", partType: String = "PROMO",
       shareNation: String = "NATION_7"): DataFrame = {

@@ -1378,6 +1378,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CONVERGED split repair — the FIXPOINT of [[splitRepair]]'s
+    * follow-the-minimum rule, computed in one shot instead of by
+    * looping repair→audit→repair: under that rule a near-dup chain
+    * A–B, B–C is a connected component of the pair graph, its minimum
+    * doc can never move (it has no lower-id partner), and every other
+    * member ends up in that minimum doc's split — so the fixpoint is
+    * exactly "each doc takes the split of its component's min-id doc".
+    * The Spark-first formulation is therefore
+    * [[graft.operators.Dedup.duplicateClusters]] (hash-min label
+    * propagation over the STORED pair table, O(log diameter) shuffle
+    * rounds) plus two joins against the deterministic [[splitAssign]]
+    * hash — no iteration over the corpus at all. After applying the
+    * output, [[splitLeakage]] over the repaired assignment is empty by
+    * construction (asserted in TextAnalysisSpec). Pair-table-sized
+    * work like the audit; corpus text never re-read. */
+  def splitRepairConverged(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val splits = splitAssign(spark, sfDir).select("doc_id", "split")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.materializedPairs(spark, sfDir, threshold)
+        .select("doc_a", "doc_b"))
+    clusters
+      .join(splits, Seq("doc_id"))
+      .join(splits.select(col("doc_id").as("cluster_id"),
+        col("split").as("new_split")), Seq("cluster_id"))
+      .filter(col("split") =!= col("new_split"))
+      .select(col("doc_id"), col("split").as("old_split"),
+        col("new_split"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Flesch-style readability per document: words (whitespace tokens),
     * sentences (non-empty `[.!?]` segments, floored at 1), syllables
     * (maximal `[aeiouy]+` vowel groups per lowercased word, floored at

@@ -50,11 +50,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long and convert with
-    * integer division (`div`, not `/` — true division routes through
-    * double and loses precision above 2^53 ns). DuckDB reads the same
-    * column at µs precision, so truncation matches the oracle. */
+  /** `events.ts` has shipped in several parquet physical forms across
+    * driver data refreshes — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright), naive TIMESTAMP(MICROS) (surfaced as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP — so the reader normalizes all
+    * of them to one session type, TIMESTAMP (LTZ): nanos are read as
+    * long under the legacy conf and converted with integer division
+    * (`div`, not `/` — true division routes through double and loses
+    * precision above 2^53 ns), and NTZ is cast (wall-clock-preserving
+    * under the fixed UTC session zone every entry point sets). DuckDB
+    * reads the same column at µs precision as naive timestamps, so
+    * values match the oracle either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
@@ -62,7 +68,11 @@ object Tables {
       // NANOS column surfaced as long under the legacy conf → convert
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      // already a timestamp (e.g. re-written copies) → untouched
+      // naive micros → NTZ; align with the LTZ type every other ts form
+      // lands on (UTC session zone makes the cast wall-clock-identical)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      // already a (LTZ) timestamp (e.g. re-written copies) → untouched
       case _ => df
     }
   }

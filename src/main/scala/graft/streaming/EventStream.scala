@@ -246,7 +246,7 @@ object EventStream {
   /** Fourth driver-contract streaming entry: keyed DE-DUPLICATION
     * through `dropDuplicates` state — the remaining stateful operator
     * class after windowed aggs, session merge, and join state. Emits
-    * each distinct (user, type, minute) key once, on first arrival;
+    * each distinct (user, type, hour) key once, on first arrival;
     * the output is exactly the batch DISTINCT of those columns, which
     * is what makes it oracle-stable (emitting whole first-seen ROWS
     * would tie the result to arrival order). No watermark here: a

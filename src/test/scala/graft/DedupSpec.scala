@@ -332,6 +332,33 @@ class DedupSpec extends SparkSpec {
     assert(rows(7L) === ((3, 0L, 0L, 0.0)), "sub-n docs present with zero spans")
   }
 
+  test("dup-span scrub: covered tokens removed, survivors re-join, span-free docs verbatim") {
+    val docs = Seq(
+      // same fixture as the merge test: doc 1 has spans [0,5] and
+      // [9,14]; doc 4 is fully covered [0,9]; doc 7 is sub-n
+      (1L, "a b c d e f x1 x2 x3 p q r s t u"),
+      (2L, "a b c d e f y1 y2 y3"),
+      (3L, "p q r s t u n1 n2 n3"),
+      (4L, "m1 m2 m3 m4 m5 k1 k2 k3 k4 k5"),
+      (5L, "m1 m2 m3 m4 m5 w1 w2 w3 w4"),
+      (6L, "k1 k2 k3 k4 k5 v1 v2 v3 v4"),
+      (7L, "u1 u2 u3")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L) === ((15, 12, "x1 x2 x3")), "both disjoint spans cut, middle kept")
+    assert(rows(4L) === ((10, 10, "")), "fully-covered doc scrubs to empty")
+    assert(rows(7L) === ((3, 0, "u1 u2 u3")), "sub-n docs pass through verbatim")
+    // removal count equals the merge profile's covered-token count, and
+    // the surviving token count is exactly n_tok - n_removed, per doc
+    val dupTok = Dedup.dupSpanMergeOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, (nTok, nRem, clean)) =>
+      assert(nRem.toLong === dupTok(id), s"doc $id removed = dup_tok")
+      assert(clean.split(" ").count(_.nonEmpty) === nTok - nRem, s"doc $id survivors")
+    }
+  }
+
   test("line dedup: cross-doc boilerplate removed everywhere, within-doc repeats kept") {
     val docs = Seq(
       // "cookie banner" shared by docs 1-3 (df=3) -> removed from ALL;

@@ -753,6 +753,36 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach { case (_, oldS, newS, _) => assert(oldS !== newS, "every move changes split") }
   }
 
+  test("converged split repair: component-min split, zero leakage after applying it") {
+    val out = TextAnalysis.splitRepairConverged(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val split = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = graft.operators.Dedup.materializedPairs(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b"))))
+    assert(pairs.nonEmpty, "fixture must have near-dup pairs for the test to bite")
+    // driver-side union-find ground truth, root = component minimum
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map(d => (d, split(d), split(find(d)), find(d)))
+      .filter { case (_, o, n, _) => o != n }.sortBy(_._1)
+    assert(out.toSeq === expect.toSeq, "moves = component-min split for every member")
+    // the defining property: applying the moves leaves NO cross-split
+    // near-dup pair (what iterating the one-pass splitRepair converges to)
+    val repaired = split ++ out.map(m => m._1 -> m._3).toMap
+    pairs.foreach { case (a, b) =>
+      assert(repaired(a) === repaired(b), s"pair ($a,$b) still leaks after repair")
+    }
+  }
+
   test("mixed language: per-line disagreement replays the profile argmax") {
     val out = TextAnalysis.mixedLanguage(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
