@@ -170,6 +170,7 @@ object SparkEntry {
     "embedding_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
+    "ann_topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "corpus_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "parts_left_revenue" -> (Relational.partsLeftRevenue _),
     "customer_activity_transition" -> (Relational.customerActivityTransition _),
@@ -1695,6 +1696,7 @@ object SparkEntry {
     // every subspace-ordered double sum is list_sum(list(x ORDER BY m))
     "ann_topk_pq_adc" -> pqAdcOracle(2, 10),
     "ann_topk_pq" -> pqRerankOracle(2, 50, 10),
+    "ann_topk_ivfpq" -> ivfPqOracle(2, 10),
     // cluster-balanced sample: replay IVF training+assignment, then the
     // same seeded-md5 draw as corpus_sample_per_group, per cell
     "corpus_cluster_sample" -> clusterSampleOracle(2, 20),
@@ -2648,6 +2650,36 @@ object SparkEntry {
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM rer)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** IVF+PQ (IVFADC) oracle: the full-corpus ADC scores from
+    * [[pqAdcPrefix]] restricted to the coarse quantizer's probed cells —
+    * coarse training/assignment/probing replayed with the same CTEs as
+    * ann_topk_ivf (the pq/ivf CTE name families don't collide). */
+  private def ivfPqOracle(iters: Int, k: Int): String = {
+    // coarse CTEs renamed ivc*/iva* — the pq prefix already owns c2
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"iva$t", s"ivc$t")},\n${ivfMeanCte(s"ivc${t + 1}", s"iva$t")}"
+    }.mkString(",\n")
+    val cFinal = s"ivc$iters"
+    s"""${pqAdcPrefix(iters)},
+       |ivc0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |probes AS (SELECT query_id, cluster FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfCsim("q.embedding", "q.nrm")} DESC, c.cent_id ASC) AS prn
+       |    FROM n q, $cFinal c WHERE q.vec_id < 20)
+       |  WHERE prn <= 8)
+       |SELECT query_id, neighbor_id, approx_cos, rank FROM (
+       |  SELECT s.query_id, s.neighbor_id, s.approx_cos,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |                            ORDER BY s.approx_cos DESC, s.neighbor_id ASC) AS INT) AS rank
+       |  FROM scored s
+       |    JOIN assigned a ON a.vec_id = s.neighbor_id
+       |    JOIN probes p ON p.query_id = s.query_id AND p.cluster = a.cluster)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Cluster-balanced-sample oracle: replay IVF training + assignment,
     * then k-per-cell by the seeded md5 key (ties by vec_id). */

@@ -537,9 +537,36 @@ object Similarity {
   def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10,
       numQueries: Int = 20, trainIters: Int = 2): DataFrame = {
     val emb = normalizedEmbeddings(spark, sfDir)
+    val luts = queryLuts(spark, sfDir, numQueries, trainIters)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("nrm").as("n_q"))
+      .join(luts, Seq("query_id"))
+    val codes = pqCodesIndex(spark, sfDir, trainIters)
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("nrm_hat"))
+    val w = Window.partitionBy("query_id").orderBy(desc("approx_cos"), asc("neighbor_id"))
+    broadcast(q).join(codes, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rd(aggregate(zip_with(col("codes"), col("lut"),
+              (code, mp) => element_at(mp, code)),
+            lit(0.0), (acc, v) => acc + v) / (col("n_q") * col("nrm_hat")), 4)
+          .as("approx_cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-query ADC lookup tables against the stored PQ codebook:
+    * (query_id, lut) where lut is an 8-entry array (subspace order) of
+    * map(cent_id -> subvector·sub-centroid dot). Shared by [[pqTopK]]
+    * and [[ivfPqTopK]]. Lookups are maps keyed by cent_id (not
+    * position-indexed arrays) so a sub-cluster that loses all members
+    * in training cannot shift the indexing. */
+  private def queryLuts(spark: SparkSession, sfDir: String,
+      numQueries: Int, trainIters: Int): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
     val cb = pqCodebookIndex(spark, sfDir, trainIters)
-    // per-query LUT: array over m of map(cent_id -> subvector dot)
-    val luts = subVectors(emb.filter(col("vec_id") < numQueries))
+    subVectors(emb.filter(col("vec_id") < numQueries))
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cent_id"),
         dot(col("sv"), col("cvec")).as("pdot"))
@@ -553,13 +580,54 @@ object Similarity {
           (a, b) => when(a.getField("m") < b.getField("m"), -1)
             .when(a.getField("m") > b.getField("m"), 1).otherwise(0)),
         s => s.getField("mp")).as("lut"))
+  }
+
+  /** IVF + PQ — the FAISS "IVFADC" architecture, composed from the two
+    * stored indexes the suite already maintains: the coarse quantizer
+    * restricts each query's corpus pass to its `nprobe` probed cells
+    * ([[ivfTopK]]'s device), and vectors inside those cells are scored
+    * by PQ asymmetric-distance table lookups over the stored code index
+    * ([[pqTopK]]'s device) — so query time touches neither the full
+    * corpus nor any float vector. This is the shape production ANN
+    * serves billion-vector corpora with: per query, C centroid dots +
+    * (nprobe/C of the corpus) × 8 one-byte-code lookups, versus
+    * [[pqTopK]]'s full-corpus code scan and [[ivfTopK]]'s float-vector
+    * reads inside cells. Recall multiplies the two stages' losses
+    * (probe misses × quantization distortion) — the spec pins it
+    * against brute force, and consistency with [[pqTopK]] is exact on
+    * the probed cells because both read the same codes and LUTs.
+    * Everything query-sized broadcasts; the only corpus-sized input is
+    * the (codes ⋈ cell) table, streamed once, no shuffle. Output schema
+    * = [[pqTopK]] (approx_cos; rank ties to lower neighbor id). */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      numQueries: Int = 20, numCentroids: Int = 16, nprobe: Int = 8,
+      trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+    // probe list: nprobe nearest coarse centroids per query, same
+    // deterministic rule as ivfTopK (rounded cosine, ties to lower id)
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cent_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cluster"))
     val q = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("nrm").as("n_q"))
-      .join(luts, Seq("query_id"))
+      .join(queryLuts(spark, sfDir, numQueries, trainIters), Seq("query_id"))
+      .join(probes, Seq("query_id")) // nprobe rows per query, still tiny
     val codes = pqCodesIndex(spark, sfDir, trainIters)
-      .select(col("vec_id").as("neighbor_id"), col("codes"), col("nrm_hat"))
+      .join(assignmentIndex(spark, sfDir, numCentroids, trainIters), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        col("nrm_hat"), col("cluster"))
     val w = Window.partitionBy("query_id").orderBy(desc("approx_cos"), asc("neighbor_id"))
-    broadcast(q).join(codes, col("query_id") =!= col("neighbor_id"))
+    // each corpus vector lives in exactly one cell, so the cluster join
+    // yields each (query, neighbor) at most once — no dedup needed
+    broadcast(q).join(codes, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         rd(aggregate(zip_with(col("codes"), col("lut"),
               (code, mp) => element_at(mp, code)),

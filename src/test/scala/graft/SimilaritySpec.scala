@@ -173,6 +173,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ top-k: neighbors confined to probed cells, ADC scores agree with pure PQ") {
+    val ivfpq = Similarity.ivfPqTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivfpq.map(_._1).distinct.length === 20)
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 10).toSeq, s"query $q ranks")
+      assert(!rows.exists(_._2 == q), "self excluded")
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q approx_cos must be non-increasing")
+    }
+    // ADC consistency: scoring reads the same codes + LUTs as pqTopK, so
+    // for any (query, neighbor) pair both queries return, values match
+    val pq = Similarity.pqTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.foreach { case (q, n, cos, _) =>
+      pq.get((q, n)).foreach(pc => assert(pc === cos, s"($q,$n) ADC mismatch"))
+    }
+    // probe containment: recompute each query's nprobe=8 cells on the
+    // driver from the stored centroid index (same rounded-cosine rule,
+    // ties to lower cent_id); every neighbor must sit in a probed cell
+    val cents = Similarity.centroidIndex(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Double](r.fieldIndex("e_cent")).toArray,
+        r.getDouble(r.fieldIndex("n_cent"))))
+    val embById = graft.sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 20).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val cellOf = Similarity.assignmentIndex(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getLong(r.fieldIndex("cluster"))).toMap
+    def rd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val probesOf = embById.map { case (qid, e) =>
+      val nq = math.sqrt(e.map(x => x * x).sum)
+      qid -> cents.map { case (cid, ce, cn) =>
+        val dp = e.indices.map(i => e(i) * ce(i)).sum
+        (cid, rd6(dp / (nq * cn)))
+      }.sortBy { case (cid, cs) => (-cs, cid) }.take(8).map(_._1).toSet
+    }
+    ivfpq.foreach { case (q, n, _, _) =>
+      assert(probesOf(q).contains(cellOf(n)), s"neighbor $n of query $q outside probed cells")
+    }
+    // recall vs brute force: probe misses × quantization distortion — a
+    // floor below pure PQ's 0.3 reflects the nprobe=8/16 coarse stage
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivfpq.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    info(s"IVFPQ recall@10 = $recall")
+    assert(recall >= 0.2, s"IVFPQ recall collapsed: $recall")
+  }
+
   test("cluster-balanced sample: at most k per cell, deterministic, membership honest") {
     val k = 5
     val rows = Similarity.clusterBalancedSample(spark, sf, k = k).collect()
