@@ -132,6 +132,7 @@ object SparkEntry {
     "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
     "stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
     "stream_static_enrich" -> (graft.streaming.EventStream.staticEnrichViaStream _),
+    "stream_doc_dedup" -> (graft.streaming.EventStream.docDedupViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "quantity_percentiles" -> (Events.quantityPercentiles _),
     "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "curation_gated" -> ((s, d) => TextAnalysis.curationGated(s, d)),
+    "curation_scrubbed" -> ((s, d) => TextAnalysis.curationScrubbed(s, d)),
     "events_range_join" -> ((s, d) => Events.nearbyEventPairs(s, d)),
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> (Events.stratifiedSample _),
@@ -230,6 +232,45 @@ object SparkEntry {
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
       |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8)""".stripMargin
+
+  /** Dup-span machinery as DuckDB CTEs (n=5 grams over the `w` words
+    * CTE the caller provides): duplicated positional grams → merged
+    * maximal spans → covered-position expansion → cleaned text. Shared
+    * by text_scrub_dup_spans and curation_scrubbed. */
+  private val scrubSpanCtes: String =
+    """g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+      |      FROM (SELECT doc_id,
+      |              unnest([{'pos': i - 1,
+      |                       'gram': words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]}
+      |                      for i in range(1, greatest(len(words) - 3, 1))]) AS u
+      |            FROM w)),
+      |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      |           GROUP BY gram HAVING count(*) > 1),
+      |dupg AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+      |         FROM g JOIN shared ON g.gram = shared.gram),
+      |marked AS (SELECT doc_id, pos, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |         THEN 1 ELSE 0 END AS new_span
+      |  FROM dupg),
+      |numbered AS (SELECT doc_id, pos, e,
+      |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM marked),
+      |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS ee
+      |          FROM numbered GROUP BY doc_id, span_id),
+      |perdoc AS (SELECT doc_id, sum(ee - s + 1) AS dup_tok
+      |           FROM spans GROUP BY doc_id),
+      |cov AS (SELECT doc_id, unnest(range(s, ee + 1)) AS p FROM spans),
+      |posn AS (SELECT doc_id, unnest(range(0, len(words))) AS p FROM w),
+      |kept AS (SELECT posn.doc_id, posn.p FROM posn
+      |         LEFT JOIN cov ON posn.doc_id = cov.doc_id AND posn.p = cov.p
+      |         WHERE cov.p IS NULL),
+      |clean AS (SELECT k.doc_id,
+      |            string_agg(w.words[k.p + 1], ' ' ORDER BY k.p) AS clean_text
+      |          FROM kept k JOIN w ON w.doc_id = k.doc_id GROUP BY k.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1898,48 +1939,34 @@ object SparkEntry {
     // survivors re-join on single spaces; Spark's row-local filter HOF
     // must reproduce the position-set subtraction exactly
     "text_scrub_dup_spans" ->
-      """WITH w AS (SELECT doc_id,
+      ("""WITH w AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
         |           FROM documents),
-        |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
-        |      FROM (SELECT doc_id,
-        |              unnest([{'pos': i - 1,
-        |                       'gram': words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]}
-        |                      for i in range(1, greatest(len(words) - 3, 1))]) AS u
-        |            FROM w)),
-        |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-        |           GROUP BY gram HAVING count(*) > 1),
-        |dupg AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
-        |         FROM g JOIN shared ON g.gram = shared.gram),
-        |marked AS (SELECT doc_id, pos, e,
-        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-        |           OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-        |         THEN 1 ELSE 0 END AS new_span
-        |  FROM dupg),
-        |numbered AS (SELECT doc_id, pos, e,
-        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-        |  FROM marked),
-        |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS ee
-        |          FROM numbered GROUP BY doc_id, span_id),
-        |perdoc AS (SELECT doc_id, sum(ee - s + 1) AS dup_tok
-        |           FROM spans GROUP BY doc_id),
-        |cov AS (SELECT doc_id, unnest(range(s, ee + 1)) AS p FROM spans),
-        |posn AS (SELECT doc_id, unnest(range(0, len(words))) AS p FROM w),
-        |kept AS (SELECT posn.doc_id, posn.p FROM posn
-        |         LEFT JOIN cov ON posn.doc_id = cov.doc_id AND posn.p = cov.p
-        |         WHERE cov.p IS NULL),
-        |clean AS (SELECT k.doc_id,
-        |            string_agg(w.words[k.p + 1], ' ' ORDER BY k.p) AS clean_text
-        |          FROM kept k JOIN w ON w.doc_id = k.doc_id GROUP BY k.doc_id)
-        |SELECT w.doc_id, CAST(len(w.words) AS INT) AS n_tok,
+        |""".stripMargin + scrubSpanCtes + "\n" +
+       """SELECT w.doc_id, CAST(len(w.words) AS INT) AS n_tok,
         |  CAST(coalesce(p.dup_tok, 0) AS INT) AS n_removed,
         |  coalesce(c.clean_text, '') AS clean_text
         |FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
         |  LEFT JOIN clean c ON w.doc_id = c.doc_id
-        |ORDER BY w.doc_id""".stripMargin,
+        |ORDER BY w.doc_id""".stripMargin),
+    // curationScrubbed: the pipeline's keep set (quality + langid +
+    // dup-loser anti-join CTEs) intersected with the scrub CTEs — both
+    // families read the same w words CTE, so the statement shares it
+    "curation_scrubbed" ->
+      (curationCtes + ",\n" + scrubSpanCtes + "\n" +
+       """SELECT d.doc_id, q.quality,
+        |  CAST(coalesce(p.dup_tok, 0) AS INT) AS n_removed,
+        |  CAST(len(wd.words) - coalesce(p.dup_tok, 0) AS INT) AS clean_tokens,
+        |  coalesce(c.clean_text, '') AS clean_text
+        |FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN l ON l.doc_id = d.doc_id
+        |  JOIN w wd ON wd.doc_id = d.doc_id
+        |  LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        |  LEFT JOIN clean c ON c.doc_id = d.doc_id
+        |WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
+        |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     // repetitionSignals(n=5): Spark computes every signal row-locally
     // with sorted-array HOFs; the oracle replays each as the equivalent
     // unnest + GROUP BY multiplicity query (top-token multiplicity = the
@@ -2230,6 +2257,20 @@ object SparkEntry {
         |  floor((CAST(sum(CAST(floor((e.value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS sum_value
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-static doc dedup is STATELESS by design: each arriving odd
+    // doc is scored only against the even-id prior index, so the oracle
+    // is the plain probe (within-batch resolution is dedup_incremental's
+    // batch concern, deliberately excluded)
+    "stream_doc_dedup" ->
+      """WITH prior AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |                      min(doc_id) AS dup_of
+        |               FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |batch AS (SELECT doc_id,
+        |            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |          FROM documents WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, b.fingerprint, p.dup_of, p.dup_of IS NULL AS is_new
+        |FROM batch b LEFT JOIN prior p USING (fingerprint)
+        |ORDER BY b.doc_id""".stripMargin,
     // streaming dedup emits each distinct key once on first arrival —
     // the key SET equals the batch DISTINCT, independent of arrival order
     "stream_dedup" ->

@@ -628,6 +628,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[curationPipeline]] survivors with their SCRUBBED text — the
+    * full Lee-et-al-style output a training run actually ingests:
+    * whole-document near-dups drop (the pipeline's anti-join against
+    * the stored pair table), then cross-doc duplicated SPANS are cut
+    * out of the survivors ([[graft.operators.Dedup.dupSpanScrubOf]]),
+    * so boilerplate shared with dropped docs disappears too. Emits the
+    * post-scrub token count next to the quality score — the number
+    * token-budget planning should use. Plan shape: the pipeline's
+    * joins plus ONE more doc_id-keyed join to the scrub output;
+    * span machinery cost is [[graft.operators.Dedup.dupSpansOf]]'s
+    * O(total tokens), nothing new. */
+  def curationScrubbed(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.4): DataFrame = {
+    val kept = curationPipeline(spark, sfDir, minQuality)
+      .select("doc_id", "quality")
+    kept.join(Dedup.dupSpanScrub(spark, sfDir), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("n_removed"),
+        (col("n_tok") - col("n_removed")).as("clean_tokens"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** [[curationPipeline]] plus the Gopher/C4 repetition gates from
     * [[repetitionSignalsOf]]: drop documents dominated by repeated
     * 2-grams (`dup_gram_frac`), by one token (`top_token_frac`, C4's

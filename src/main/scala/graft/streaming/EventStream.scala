@@ -288,6 +288,46 @@ object EventStream {
       .orderBy("event_type", "band")
   }
 
+  /** Sixth driver-contract streaming entry: CONTINUOUS-INGEST document
+    * dedup — an arriving documents stream probes the PRIOR corpus's
+    * exact-fingerprint index (the
+    * [[graft.operators.Dedup.incrementalDedupOf]] posture, streamified)
+    * via a STREAM-STATIC join: the index is a batch frame broadcast
+    * against every micro-batch, and the stream keeps NO state at all
+    * (append mode, no watermark — each arrival's verdict depends only
+    * on itself and the index). Odd doc_ids arrive against the even-id
+    * prior, the same deterministic split as `dedup_incremental`.
+    * Deliberately UNLIKE the batch operator, each arrival is scored
+    * independently — within-batch duplicate resolution is stateful
+    * (`dropDuplicates` state, [[dedupViaStream]]'s device) and is left
+    * out so this query demonstrates the stateless class; the oracle is
+    * therefore the plain index probe. At 100 TB/day the index is a
+    * catalog artifact refreshed out-of-band (ids + 16-byte hashes);
+    * document text never enters join state. */
+  def docDedupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis.normText
+    val path = s"$sfDir/documents.parquet"
+    val priorIdx = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint").agg(min("doc_id").as("dup_of"))
+    // same glob + basePath device as corpusEventsSource: the table is a
+    // bare parquet file, and the streaming file source wants a listing
+    val arrivals = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("basePath", sfDir)
+      .parquet(path + "*")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+    val verdicts = arrivals
+      .join(broadcast(priorIdx), Seq("fingerprint"), "left_outer")
+      .select(col("doc_id"), col("fingerprint"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+    runToCompletion(spark, verdicts, "graft_stream_doc_dedup",
+      OutputMode.Append(), partitions = drainPartitions(sfDir))
+      .orderBy("doc_id")
+  }
+
   /** foreachBatch escape hatch: arbitrary batch-side logic per
     * micro-batch (upserts, multi-sink fanout) with the batchId for
     * idempotence. */

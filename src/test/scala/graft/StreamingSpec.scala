@@ -418,4 +418,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("file-source stream-static doc dedup equals the batch index probe, statelessly") {
+    import graft.operators.TextAnalysis.normText
+    val streamed = EventStream.docDedupViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint").agg(min("doc_id").as("dup_of"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+      .join(prior, Seq("fingerprint"), "left_outer")
+      .select(col("doc_id"), col("fingerprint"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // every odd doc gets exactly one verdict — nothing dropped, nothing
+    // duplicated by micro-batching (the query holds no state to get wrong)
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(streamed.size.toLong === nOdd)
+  }
 }

@@ -753,6 +753,22 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach { case (_, oldS, newS, _) => assert(oldS !== newS, "every move changes split") }
   }
 
+  test("curation scrubbed: pipeline survivors carry their scrubbed text and counts") {
+    val out = TextAnalysis.curationScrubbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val kept = TextAnalysis.curationPipeline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet === kept, "rows = pipeline survivors exactly")
+    val scrub = graft.operators.Dedup.dupSpanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    out.foreach { case (id, _, nRem, cleanTok, text) =>
+      val (nTok, sRem, sText) = scrub(id)
+      assert(nRem === sRem, s"doc $id n_removed")
+      assert(cleanTok === nTok - sRem, s"doc $id clean_tokens")
+      assert(text === sText, s"doc $id clean_text")
+      assert(text.split(" ").count(_.nonEmpty) === cleanTok, s"doc $id token recount")
+    }
+  }
+
   test("converged split repair: component-min split, zero leakage after applying it") {
     val out = TextAnalysis.splitRepairConverged(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
