@@ -618,10 +618,17 @@ object Dedup {
     * `is_new` (the batch-min doc_id); its within-batch copies point at
     * it via `dup_of` — on a continuous-ingest pipeline each fingerprint
     * enters the index exactly once. */
-  def incrementalDedupOf(batch: DataFrame, prior: DataFrame): DataFrame = {
-    val priorIdx = prior
-      .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
+  /** Exact-fingerprint index over a document set: one row per distinct
+    * normalized-text fingerprint with its minimum (canonical) doc_id.
+    * The stored-artifact currency both [[incrementalDedupOf]] and the
+    * streaming twin (`EventStream.docDedupViaStream`) probe — shared so
+    * the two can never diverge on normalization or canonical choice. */
+  def fingerprintIndexOf(docs: DataFrame): DataFrame =
+    docs.select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
       .groupBy("fingerprint").agg(min("doc_id").as("dup_of"))
+
+  def incrementalDedupOf(batch: DataFrame, prior: DataFrame): DataFrame = {
+    val priorIdx = fingerprintIndexOf(prior)
     val batchFp = batch
       .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
     val batchMin = batchFp.groupBy("fingerprint")
@@ -773,14 +780,23 @@ object Dedup {
     * filter HOF (each token tests membership against its own doc's
     * spans — per-doc work, never corpus-wide). Span lists are tiny
     * (merged, disjoint); text crosses the shuffle once, as the token
-    * array of the docs being cleaned. */
-  def dupSpanScrubOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    * array of the docs being cleaned.
+    *
+    * `onlyDocs`: restrict the expensive RECONSTRUCTION (token filter +
+    * text rebuild) to these doc_ids — span DETECTION stays corpus-wide
+    * regardless, since a span is duplicated against ANY doc. Consumers
+    * that keep only a subset (curation) pass their keep set so the
+    * rebuild cost tracks survivors, not the corpus. */
+  def dupSpanScrubOf(docs: DataFrame, n: Int = 5,
+      onlyDocs: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextAnalysis.wsTokens(col("text")).as("w"))
     val spanArr = mergedDupSpans(toks, n)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("ee"))).as("sp"))
-    toks.join(spanArr, Seq("doc_id"), "left_outer")
+    val outToks = onlyDocs.fold(toks)(keep =>
+      toks.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"))
+    outToks.join(spanArr, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), size(col("w")).as("n_tok"),
         expr("""CASE WHEN sp IS NULL THEN w ELSE
                   filter(transform(w, (t, i) ->

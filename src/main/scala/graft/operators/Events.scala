@@ -127,7 +127,7 @@ object Events {
     val gapUs = gapMinutes * 60L * 1000000L
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
+        unix_micros(col("ts")).as("us"))
       .withColumn("bucket", expr(s"us div ${gapUs}L"))
     val a = ev.select(col("user_id"), col("event_id").as("event_a"),
       col("us").as("us_a"), col("bucket"))
@@ -357,7 +357,7 @@ object Events {
   def interarrivalStats(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val gaps = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag("us", 1).over(w))
       .filter(col("prev_us").isNotNull)
       .select((col("us") - col("prev_us")).as("gap_us"))

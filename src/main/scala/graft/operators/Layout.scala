@@ -83,27 +83,28 @@ object Layout {
     val prefix = s"graft_bkt_${name}_b${buckets}_"
     val tbl = s"$prefix$fp"
     if (!spark.catalog.tableExists(tbl)) {
-      // stale fingerprints of the same (name, buckets) are garbage
-      spark.catalog.listTables().collect()
-        .map(_.name).filter(t => t.startsWith(prefix) && t != tbl)
+      // stale fingerprints of the same (name, buckets) are garbage.
+      // Sweep the FILESYSTEM, not the catalog: the in-memory catalog
+      // dies with the JVM while the backing dirs persist in tmpdir, so
+      // a catalog scan would never see a previous run's leftovers.
+      // Exact-match the suffix (8 hex chars) so a sibling table whose
+      // NAME merely extends this prefix can never be swept.
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-bucketed").toFile
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.getName != tbl &&
+          d.getName.matches(java.util.regex.Pattern.quote(prefix) + "[0-9a-f]{8}"))
         .foreach { stale =>
-          spark.sql(s"DROP TABLE IF EXISTS $stale")
-          deleteRecursively(java.nio.file.Paths.get(
-            sys.props("java.io.tmpdir"), "graft-bucketed", stale).toFile)
+          spark.sql(s"DROP TABLE IF EXISTS ${stale.getName}")
+          ArtifactCache.deleteRecursively(stale)
         }
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-bucketed", tbl).toString
+      val path = java.nio.file.Paths.get(base.toString, tbl).toString
       df.repartition(buckets, col(key))
         .write.mode("overwrite").option("path", path)
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(tbl)
     }
     spark.table(tbl)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Revenue per order priority THROUGH the bucketed layout: orders and

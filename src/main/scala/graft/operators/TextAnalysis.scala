@@ -636,14 +636,18 @@ object TextAnalysis {
     * so boilerplate shared with dropped docs disappears too. Emits the
     * post-scrub token count next to the quality score — the number
     * token-budget planning should use. Plan shape: the pipeline's
-    * joins plus ONE more doc_id-keyed join to the scrub output;
-    * span machinery cost is [[graft.operators.Dedup.dupSpansOf]]'s
-    * O(total tokens), nothing new. */
+    * joins plus ONE more doc_id-keyed join to the scrub output; span
+    * DETECTION is corpus-wide (a span is duplicated against any doc,
+    * kept or dropped) but the expensive text RECONSTRUCTION runs only
+    * on the keep set (`onlyDocs`), so the rebuild cost tracks
+    * survivors, not the corpus. */
   def curationScrubbed(spark: SparkSession, sfDir: String,
       minQuality: Double = 0.4): DataFrame = {
     val kept = curationPipeline(spark, sfDir, minQuality)
       .select("doc_id", "quality")
-    kept.join(Dedup.dupSpanScrub(spark, sfDir), Seq("doc_id"))
+    val scrub = Dedup.dupSpanScrubOf(
+      Tables.documents(spark, sfDir), onlyDocs = Some(kept))
+    kept.join(scrub, Seq("doc_id"))
       .select(col("doc_id"), col("quality"), col("n_removed"),
         (col("n_tok") - col("n_removed")).as("clean_tokens"),
         col("clean_text"))

@@ -90,26 +90,32 @@ object EventStream {
     * derives basePath from a non-glob path and then requires it to be
     * a directory, so give it a GLOB (which matches only events.parquet)
     * plus the parent dir as explicit basePath. In production both are
-    * the events directory and [[readEvents]] alone is the wiring. `ts`
-    * is timestamp[ns] in the corpus parquet — same nanosAsLong + micros
-    * conversion the batch reader (graft.sources.Tables.events) applies,
-    * so both paths see identical timestamps. */
+    * the events directory and [[readEvents]] alone is the wiring.
+    * `events.ts` has shipped in several physical forms across data
+    * refreshes (TIMESTAMP(NANOS), naive micros/NTZ, LTZ) — probe the
+    * footer and apply the SAME normalization the batch reader
+    * (graft.sources.Tables.events) applies for that form, so both
+    * paths see identical LTZ timestamps by construction (not merely
+    * because the session zone is UTC). */
   private def corpusEventsSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    // rewritten copies (e.g. ScaleUp output) already store ts as a real
-    // TIMESTAMP — probe the footer schema and only apply the nanos
-    // conversion when the column is the raw INT64 form, mirroring the
-    // batch reader's dynamic handling
-    val tsIsLong = spark.read.parquet(path).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val tsDecl = tsType match {
+      case LongType => "BIGINT"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case _ => "TIMESTAMP"
+    }
     val base = spark.readStream
-      .schema("event_id BIGINT, ts " + (if (tsIsLong) "BIGINT" else "TIMESTAMP") +
-        ", user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema(s"event_id BIGINT, ts $tsDecl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("basePath", sfDir)
       .parquet(path + "*")
-    if (tsIsLong) base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else base
+    tsType match {
+      case LongType => base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => base.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => base
+    }
   }
 
   /** Drain a finite streaming frame to completion and hand back the
@@ -307,10 +313,9 @@ object EventStream {
   def docDedupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextAnalysis.normText
     val path = s"$sfDir/documents.parquet"
-    val priorIdx = graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 2 === 0)
-      .select(md5(normText(col("text"))).as("fingerprint"), col("doc_id"))
-      .groupBy("fingerprint").agg(min("doc_id").as("dup_of"))
+    val priorIdx = graft.operators.Dedup.fingerprintIndexOf(
+      graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 0))
     // same glob + basePath device as corpusEventsSource: the table is a
     // bare parquet file, and the streaming file source wants a listing
     val arrivals = spark.readStream

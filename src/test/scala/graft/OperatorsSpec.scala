@@ -8,7 +8,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("range join: bucketed formulation equals naive quadratic join") {
     val ev = graft.sources.Tables.events(spark, sf)
-      .select($"user_id", $"event_id", unix_micros($"ts".cast("timestamp")).as("us"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
     val a = ev.select($"user_id", $"event_id".as("ea"), $"us".as("ua"))
     val b = ev.select($"user_id", $"event_id".as("eb"), $"us".as("ub"))
     val naive = a.join(b, Seq("user_id"))
@@ -59,7 +59,7 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq("view", "click", "purchase"))
     // brute-force replay on the raw rows
     val ev = graft.sources.Tables.events(spark, sf)
-      .select($"user_id", $"event_type", unix_micros($"ts".cast("timestamp")).as("us"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
       .as[(Long, String, Long)].collect().groupBy(_._1)
     val hourUs = 3600L * 1000000L
     var (s1, s2, s3) = (0L, 0L, 0L)
@@ -170,7 +170,7 @@ class OperatorsSpec extends SparkSpec {
   test("interarrival stats: percentiles replay the brute-force gap distribution") {
     val Seq(row) = Events.interarrivalStats(spark, sf).collect().toSeq
     val ev = graft.sources.Tables.events(spark, sf)
-      .select($"user_id", $"event_id", unix_micros($"ts".cast("timestamp")).as("us"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
       .as[(Long, Long, Long)].collect()
     val gaps = ev.groupBy(_._1).values.flatMap { rs =>
       val sorted = rs.sortBy(r => (r._3, r._2)).map(_._3)
