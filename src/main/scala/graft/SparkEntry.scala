@@ -173,6 +173,7 @@ object SparkEntry {
     "ann_topk_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "ann_topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ann_topk_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerankTopK(s, d)),
     "corpus_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "parts_left_revenue" -> (Relational.partsLeftRevenue _),
     "customer_activity_transition" -> (Relational.customerActivityTransition _),
@@ -1738,6 +1739,7 @@ object SparkEntry {
     "ann_topk_pq_adc" -> pqAdcOracle(2, 10),
     "ann_topk_pq" -> pqRerankOracle(2, 50, 10),
     "ann_topk_ivfpq" -> ivfPqOracle(2, 10),
+    "ann_topk_ivfpq_rerank" -> ivfPqRerankOracle(2, 50, 10),
     // cluster-balanced sample: replay IVF training+assignment, then the
     // same seeded-md5 draw as corpus_sample_per_group, per cell
     "corpus_cluster_sample" -> clusterSampleOracle(2, 20),
@@ -2692,12 +2694,12 @@ object SparkEntry {
        |  FROM rer)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** IVF+PQ (IVFADC) oracle: the full-corpus ADC scores from
-    * [[pqAdcPrefix]] restricted to the coarse quantizer's probed cells —
-    * coarse training/assignment/probing replayed with the same CTEs as
-    * ann_topk_ivf (the pq/ivf CTE name families don't collide). */
-  private def ivfPqOracle(iters: Int, k: Int): String = {
-    // coarse CTEs renamed ivc*/iva* — the pq prefix already owns c2
+  /** IVF+PQ (IVFADC) shared prefix: the full-corpus ADC scores from
+    * [[pqAdcPrefix]] restricted to the coarse quantizer's probed cells
+    * (`ivfscored`) — coarse training/assignment/probing replayed with
+    * the same CTEs as ann_topk_ivf, renamed to the ivc/iva families
+    * because the pq prefix already owns c2. */
+  private def ivfPqPrefix(iters: Int): String = {
     val training = (0 until iters).map { t =>
       s"${ivfAssignCte(s"iva$t", s"ivc$t")},\n${ivfMeanCte(s"ivc${t + 1}", s"iva$t")}"
     }.mkString(",\n")
@@ -2711,16 +2713,43 @@ object SparkEntry {
        |    SELECT q.vec_id AS query_id, c.cent_id AS cluster,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfCsim("q.embedding", "q.nrm")} DESC, c.cent_id ASC) AS prn
        |    FROM n q, $cFinal c WHERE q.vec_id < 20)
-       |  WHERE prn <= 8)
-       |SELECT query_id, neighbor_id, approx_cos, rank FROM (
-       |  SELECT s.query_id, s.neighbor_id, s.approx_cos,
-       |    CAST(row_number() OVER (PARTITION BY s.query_id
-       |                            ORDER BY s.approx_cos DESC, s.neighbor_id ASC) AS INT) AS rank
+       |  WHERE prn <= 8),
+       |ivfscored AS (SELECT s.query_id, s.neighbor_id, s.approx_cos
        |  FROM scored s
        |    JOIN assigned a ON a.vec_id = s.neighbor_id
-       |    JOIN probes p ON p.query_id = s.query_id AND p.cluster = a.cluster)
-       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |    JOIN probes p ON p.query_id = s.query_id AND p.cluster = a.cluster)""".stripMargin
   }
+
+  /** Pure IVFADC top-k oracle. */
+  private def ivfPqOracle(iters: Int, k: Int): String =
+    s"""${ivfPqPrefix(iters)}
+       |SELECT query_id, neighbor_id, approx_cos, rank FROM (
+       |  SELECT query_id, neighbor_id, approx_cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY approx_cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM ivfscored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** IVFADC-shortlist + exact-rerank oracle. */
+  private def ivfPqRerankOracle(iters: Int, shortlist: Int, k: Int): String =
+    s"""${ivfPqPrefix(iters)},
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY approx_cos DESC, neighbor_id ASC) AS srn
+       |    FROM ivfscored)
+       |  WHERE srn <= $shortlist),
+       |rer AS (SELECT s.query_id, s.neighbor_id,
+       |          floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |        FROM short s
+       |          JOIN n q ON q.vec_id = s.query_id
+       |          JOIN n v ON v.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM rer)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Cluster-balanced-sample oracle: replay IVF training + assignment,
     * then k-per-cell by the seeded md5 key (ties by vec_id). */

@@ -63,6 +63,41 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** WRITE-side Z-order layout: the physical materialization
+    * [[zorderLayout]]'s summary models. Each key is first min/max
+    * NORMALIZED onto the full [0, 2^bits) range — raw interleaving is
+    * the classic Morton pitfall: a key whose values use fewer high
+    * bits than the other contributes nothing to the top interleaved
+    * bits, and the "z-order" silently degenerates to a 1-D sort on the
+    * wider key (measured on lineitem: partkey ≤20k vs orderkey ≤600k
+    * left per-file partkey ranges at 99% of full width). Production
+    * writers do the same normalization from column stats. Then: Morton
+    * key, range-partition into `files` files, sort within each, drop
+    * the key, write parquet. One stats agg + one range shuffle — and
+    * every subsequent selective scan on EITHER key prunes most files
+    * from parquet footer min/max alone (each file is a tight rectangle
+    * in both dimensions). Verified in BucketedJoinSpec by reading the
+    * written files' actual per-file ranges against a 1-D-sorted
+    * baseline. */
+  def writeZOrdered(df: DataFrame, outDir: String, xCol: String,
+      yCol: String, files: Int = 16, bits: Int = 16): Unit = {
+    val mm = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    val scale = (1L << bits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      // route through double: range-relative position, exact enough for
+      // layout (and overflow-safe for keys anywhere in the long range)
+      else ((c - lit(lo)).cast("double") / lit((hi - lo).toDouble) * scale)
+        .cast("long")
+    df.withColumn("zval", zValue(
+        norm(col(xCol), mm.getLong(0), mm.getLong(1)),
+        norm(col(yCol), mm.getLong(2), mm.getLong(3)), bits))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Register `df` as a bucketed + per-bucket-sorted catalog table on
     * `key` — Spark's durable answer to "co-locate this join once, reuse
     * forever". The write pays ONE hash shuffle; every later equi-join

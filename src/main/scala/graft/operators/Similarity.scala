@@ -639,6 +639,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF+PQ with exact rerank — the COMPLETE production serving path
+    * (FAISS "IVFADC + refine"): [[ivfPqTopK]] proposes a `shortlist`
+    * per query from probed-cell code scans, then ONLY those candidates'
+    * float vectors are fetched by id and reranked on exact cosine.
+    * Same two-stage recall argument as [[pqRerankTopK]] but with the
+    * corpus pass further cut to nprobe/C — per query, the float-vector
+    * working set is `shortlist` rows and the code working set is the
+    * probed fraction; nothing else is touched. Output carries EXACT
+    * cosines (same schema as [[bruteForceTopK]]). */
+  def ivfPqRerankTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      shortlist: Int = 50, numQueries: Int = 20, numCentroids: Int = 16,
+      nprobe: Int = 8, trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cand = ivfPqTopK(spark, sfDir, shortlist, numQueries,
+      numCentroids, nprobe, trainIters)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = emb.select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** PQ ANN with exact rerank — the production two-stage shape: ADC
     * over the compressed corpus proposes a `shortlist` of candidates
     * per query (cheap, codes-only), then ONLY those candidates' float

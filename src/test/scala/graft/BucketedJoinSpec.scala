@@ -116,6 +116,49 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write: per-file rectangles tight in BOTH dims, unlike a 1-D sort") {
+    import graft.operators.Layout
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zw").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    try {
+      Layout.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", files = 16)
+      // baseline: same file count, 1-D range sort on the first key only
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(sDir)
+      // measured skipping power = mean fractional width of each file's
+      // [min, max] on a key (what footer-stats pruning sees)
+      def meanWidth(dir: String, key: String): Double = {
+        val perFile = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(key).as("lo"), max(key).as("hi"))
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val glo = perFile.map(_._1).min.toDouble
+        val ghi = perFile.map(_._2).max.toDouble
+        perFile.map { case (lo, hi) => (hi - lo).toDouble / (ghi - glo) }
+          .sum / perFile.length
+      }
+      val zOrder = meanWidth(zDir, "l_orderkey")
+      val zPart = meanWidth(zDir, "l_partkey")
+      val sOrder = meanWidth(sDir, "l_orderkey")
+      val sPart = meanWidth(sDir, "l_partkey")
+      info(f"z-order widths: orderkey $zOrder%.3f partkey $zPart%.3f; " +
+        f"1-D sort: orderkey $sOrder%.3f partkey $sPart%.3f")
+      // the 1-D sort is tight on its own key and full-width on the other
+      assert(sOrder < 0.2, "1-D sort should be tight on its sort key")
+      assert(sPart > 0.8, "1-D sort has no partkey locality")
+      // z-order: BOTH dims materially tighter than the 1-D sort's
+      // unsorted dim — that asymmetry is the data-skipping win
+      assert(zPart < 0.6 * sPart, s"z-order partkey width $zPart not tight")
+      assert(zOrder < 0.6, s"z-order orderkey width $zOrder degenerated")
+    } finally {
+      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(zDir))
+      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(sDir))
+    }
+  }
+
   test("compaction plan: integer ceil invariants hold per source") {
     val target = 2L << 20
     val rows = graft.operators.Layout.compactionPlan(spark, sf).collect()

@@ -31,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
     "embedding_decontamination", "ann_incremental_assign",
-    "ann_index_health", "ann_recall_curve", "ann_topk_ivfpq")
+    "ann_index_health", "ann_recall_curve", "ann_topk_ivfpq",
+    "ann_topk_ivfpq_rerank")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

@@ -225,6 +225,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVFPQ recall collapsed: $recall")
   }
 
+  test("IVFPQ rerank: exact cosines, recall between pure IVFPQ and full-corpus rerank") {
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rr = Similarity.ivfPqRerankTopK(spark, sf, k = 10, shortlist = 50, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bruteKeys = brute.map(t => (t._1, t._2)).toSet
+    val recall = bruteKeys.intersect(rr.map(t => (t._1, t._2)).toSet).size.toDouble / bruteKeys.size
+    info(s"IVFPQ rerank recall@10 = $recall")
+    // reranking a 50-deep IVFADC shortlist must beat raw IVFPQ@10
+    // (0.355 measured) and can't beat its own probe stage's ceiling
+    assert(recall >= 0.4, s"IVFPQ rerank recall below target: $recall")
+    // reranked cosines are EXACT: any pair also in the brute top-10
+    // must carry the identical rounded cosine
+    val bruteCos = brute.map(t => (t._1, t._2) -> t._3).toMap
+    rr.foreach { case (q, n, cos) =>
+      bruteCos.get((q, n)).foreach(bc => assert(bc === cos, s"($q,$n) cosine mismatch"))
+    }
+    // the shortlist really is IVFPQ's: every reranked neighbor appears
+    // in the ADC shortlist for its query
+    val short = Similarity.ivfPqTopK(spark, sf, k = 50, numQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rr.foreach { case (q, n, _) =>
+      assert(short.contains((q, n)), s"($q,$n) not in the IVFPQ shortlist")
+    }
+  }
+
   test("cluster-balanced sample: at most k per cell, deterministic, membership honest") {
     val k = 5
     val rows = Similarity.clusterBalancedSample(spark, sf, k = k).collect()
