@@ -177,6 +177,29 @@ object Layout {
     * matches the bench corpus, production dials to 128 MiB+). All
     * integer arithmetic (`ceil` as `(a + b - 1) div b`), so the oracle
     * replays it exactly; one bounded per-source agg. */
+  /** EXECUTE a [[compactionPlan]]: rewrite the documents table under
+    * `outDir/source=…` with exactly the planned file count per source.
+    * The driver loop is over the BOUNDED partition dimension (sources),
+    * which is exactly how lakehouse compaction runs in production — one
+    * rewrite job per table partition, each job a distributed
+    * `repartition(n_files)` round-robin write (guaranteed file count,
+    * balanced file sizes). The plan rows collected to the driver are
+    * partition-count-sized, never data-sized. Asserted in
+    * BucketedJoinSpec: per-source file counts equal the plan, row
+    * counts survive. */
+  def compactTo(spark: SparkSession, sfDir: String, outDir: String,
+      targetBytes: Long = 2L << 20): Unit = {
+    val plan = compactionPlan(spark, sfDir, targetBytes)
+      .select("source", "n_files").collect()
+    val docs = Tables.documents(spark, sfDir)
+    plan.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1).toInt)
+      docs.filter(col("source") === src)
+        .repartition(n)
+        .write.mode("overwrite").parquet(s"$outDir/source=$src")
+    }
+  }
+
   def compactionPlan(spark: SparkSession, sfDir: String,
       targetBytes: Long = 2L << 20): DataFrame =
     Tables.documents(spark, sfDir)

@@ -159,6 +159,25 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("compaction execute: per-source file counts equal the plan, rows survive") {
+    import graft.operators.Layout
+    val outDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      Layout.compactTo(spark, sf, outDir)
+      val plan = Layout.compactionPlan(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      plan.foreach { case (src, (nDocs, nFiles)) =>
+        val files = new java.io.File(s"$outDir/source=$src").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        assert(files.length.toLong === nFiles, s"$src file count")
+        val rows = spark.read.parquet(s"$outDir/source=$src").count()
+        assert(rows === nDocs, s"$src row count")
+      }
+    } finally {
+      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(outDir))
+    }
+  }
+
   test("compaction plan: integer ceil invariants hold per source") {
     val target = 2L << 20
     val rows = graft.operators.Layout.compactionPlan(spark, sf).collect()
