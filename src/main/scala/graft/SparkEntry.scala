@@ -2673,14 +2673,17 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** PQ-shortlist + exact-rerank oracle. */
-  private def pqRerankOracle(iters: Int, shortlist: Int, k: Int): String =
-    s"""${pqAdcPrefix(iters)},
+  /** Shared shortlist + exact-rerank oracle tail, parameterized by the
+    * approx-scored CTE it shortlists from — ONE definition so the PQ
+    * and IVFPQ rerank oracles can never diverge on the rerank SQL,
+    * mirroring the Scala side's shared `exactRerank`. */
+  private def rerankOracleTail(scoredCte: String, shortlist: Int, k: Int): String =
+    s""",
        |short AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY approx_cos DESC, neighbor_id ASC) AS srn
-       |    FROM scored)
+       |    FROM $scoredCte)
        |  WHERE srn <= $shortlist),
        |rer AS (SELECT s.query_id, s.neighbor_id,
        |          floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
@@ -2693,6 +2696,10 @@ object SparkEntry {
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM rer)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** PQ-shortlist + exact-rerank oracle. */
+  private def pqRerankOracle(iters: Int, shortlist: Int, k: Int): String =
+    pqAdcPrefix(iters) + rerankOracleTail("scored", shortlist, k)
 
   /** IVF+PQ (IVFADC) shared prefix: the full-corpus ADC scores from
     * [[pqAdcPrefix]] restricted to the coarse quantizer's probed cells
@@ -2732,24 +2739,7 @@ object SparkEntry {
 
   /** IVFADC-shortlist + exact-rerank oracle. */
   private def ivfPqRerankOracle(iters: Int, shortlist: Int, k: Int): String =
-    s"""${ivfPqPrefix(iters)},
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |                         ORDER BY approx_cos DESC, neighbor_id ASC) AS srn
-       |    FROM ivfscored)
-       |  WHERE srn <= $shortlist),
-       |rer AS (SELECT s.query_id, s.neighbor_id,
-       |          floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
-       |        FROM short s
-       |          JOIN n q ON q.vec_id = s.query_id
-       |          JOIN n v ON v.vec_id = s.neighbor_id)
-       |SELECT query_id, neighbor_id, cosine, rank FROM (
-       |  SELECT query_id, neighbor_id, cosine,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
-       |  FROM rer)
-       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    ivfPqPrefix(iters) + rerankOracleTail("ivfscored", shortlist, k)
 
   /** Cluster-balanced-sample oracle: replay IVF training + assignment,
     * then k-per-cell by the seeded md5 key (ties by vec_id). */

@@ -81,17 +81,20 @@ object Layout {
     * baseline. */
   def writeZOrdered(df: DataFrame, outDir: String, xCol: String,
       yCol: String, files: Int = 16, bits: Int = 16): Unit = {
-    val mm = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    // stats and normalization run entirely in double: works for any
+    // numeric key type (an int column would make Row.getLong throw) and
+    // never overflows — a Long-typed `hi - lo` wraps when keys span
+    // more than half the long range
+    val mm = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
     val scale = (1L << bits) - 1
-    def norm(c: Column, lo: Long, hi: Long): Column =
+    def norm(c: Column, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
-      // route through double: range-relative position, exact enough for
-      // layout (and overflow-safe for keys anywhere in the long range)
-      else ((c - lit(lo)).cast("double") / lit((hi - lo).toDouble) * scale)
-        .cast("long")
+      else ((c.cast("double") - lit(lo)) / lit(hi - lo) * scale).cast("long")
     df.withColumn("zval", zValue(
-        norm(col(xCol), mm.getLong(0), mm.getLong(1)),
-        norm(col(yCol), mm.getLong(2), mm.getLong(3)), bits))
+        norm(col(xCol), mm.getDouble(0), mm.getDouble(1)),
+        norm(col(yCol), mm.getDouble(2), mm.getDouble(3)), bits))
       .repartitionByRange(files, col("zval"))
       .sortWithinPartitions("zval")
       .drop("zval")
@@ -177,29 +180,6 @@ object Layout {
     * matches the bench corpus, production dials to 128 MiB+). All
     * integer arithmetic (`ceil` as `(a + b - 1) div b`), so the oracle
     * replays it exactly; one bounded per-source agg. */
-  /** EXECUTE a [[compactionPlan]]: rewrite the documents table under
-    * `outDir/source=…` with exactly the planned file count per source.
-    * The driver loop is over the BOUNDED partition dimension (sources),
-    * which is exactly how lakehouse compaction runs in production — one
-    * rewrite job per table partition, each job a distributed
-    * `repartition(n_files)` round-robin write (guaranteed file count,
-    * balanced file sizes). The plan rows collected to the driver are
-    * partition-count-sized, never data-sized. Asserted in
-    * BucketedJoinSpec: per-source file counts equal the plan, row
-    * counts survive. */
-  def compactTo(spark: SparkSession, sfDir: String, outDir: String,
-      targetBytes: Long = 2L << 20): Unit = {
-    val plan = compactionPlan(spark, sfDir, targetBytes)
-      .select("source", "n_files").collect()
-    val docs = Tables.documents(spark, sfDir)
-    plan.foreach { r =>
-      val (src, n) = (r.getString(0), r.getLong(1).toInt)
-      docs.filter(col("source") === src)
-        .repartition(n)
-        .write.mode("overwrite").parquet(s"$outDir/source=$src")
-    }
-  }
-
   def compactionPlan(spark: SparkSession, sfDir: String,
       targetBytes: Long = 2L << 20): DataFrame =
     Tables.documents(spark, sfDir)
@@ -213,4 +193,34 @@ object Layout {
       .withColumn("rows_per_file",
         expr("(n_docs + n_files - 1) div n_files"))
       .orderBy("source")
+
+  /** EXECUTE a [[compactionPlan]]: rewrite the documents table under
+    * `outDir/source=…` with min(planned files, row count) files per
+    * source — the clamp matters when single rows exceed the target
+    * size (a 10 MiB doc plans 5 files but can only fill one;
+    * `repartition(n)` leaves empty partitions fileless). The driver
+    * loop is over the BOUNDED partition dimension (sources), which is
+    * exactly how lakehouse compaction runs in production — one rewrite
+    * job per table partition, each job a distributed `repartition(n)`
+    * round-robin write (guaranteed file count, balanced file sizes).
+    * The table is persisted across the loop so S sources cost one
+    * scan, not S; the plan rows collected to the driver are
+    * partition-count-sized, never data-sized. Asserted in
+    * BucketedJoinSpec: per-source file counts equal the clamped plan,
+    * row counts survive. */
+  def compactTo(spark: SparkSession, sfDir: String, outDir: String,
+      targetBytes: Long = 2L << 20): Unit = {
+    val plan = compactionPlan(spark, sfDir, targetBytes)
+      .select("source", "n_docs", "n_files").collect()
+    val docs = Tables.documents(spark, sfDir).persist()
+    try {
+      plan.foreach { r =>
+        val src = r.getString(0)
+        val n = math.min(r.getLong(1), r.getLong(2)).toInt
+        docs.filter(col("source") === src)
+          .repartition(n)
+          .write.mode("overwrite").parquet(s"$outDir/source=$src")
+      }
+    } finally { docs.unpersist(): Unit }
+  }
 }

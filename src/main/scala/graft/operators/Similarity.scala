@@ -650,15 +650,22 @@ object Similarity {
     * cosines (same schema as [[bruteForceTopK]]). */
   def ivfPqRerankTopK(spark: SparkSession, sfDir: String, k: Int = 10,
       shortlist: Int = 50, numQueries: Int = 20, numCentroids: Int = 16,
-      nprobe: Int = 8, trainIters: Int = 2): DataFrame = {
-    val emb = normalizedEmbeddings(spark, sfDir)
-    val cand = ivfPqTopK(spark, sfDir, shortlist, numQueries,
-      numCentroids, nprobe, trainIters)
-      .select(col("query_id"), col("neighbor_id"))
+      nprobe: Int = 8, trainIters: Int = 2): DataFrame =
+    exactRerank(normalizedEmbeddings(spark, sfDir),
+      ivfPqTopK(spark, sfDir, shortlist, numQueries,
+        numCentroids, nprobe, trainIters), k)
+
+  /** Shared exact-rerank tail for the two-stage queries: fetch each
+    * (query, candidate) pair's float vectors by id, score exact rounded
+    * cosine, keep top-k per query (ties to the lower neighbor id). ONE
+    * definition so [[pqRerankTopK]] and [[ivfPqRerankTopK]] can never
+    * diverge on rounding, tie-break, or schema. */
+  private def exactRerank(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = emb.select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"))
+      .join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -678,21 +685,9 @@ object Similarity {
     * `shortlist` rows instead of the corpus. Output carries EXACT
     * cosines (same schema as [[bruteForceTopK]]). */
   def pqRerankTopK(spark: SparkSession, sfDir: String, k: Int = 10,
-      shortlist: Int = 50, numQueries: Int = 20, trainIters: Int = 2): DataFrame = {
-    val emb = normalizedEmbeddings(spark, sfDir)
-    val cand = pqTopK(spark, sfDir, shortlist, numQueries, trainIters)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = emb.select(col("vec_id").as("query_id"), col("e").as("e_q"), col("nrm").as("n_q"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-      .orderBy("query_id", "rank")
-  }
+      shortlist: Int = 50, numQueries: Int = 20, trainIters: Int = 2): DataFrame =
+    exactRerank(normalizedEmbeddings(spark, sfDir),
+      pqTopK(spark, sfDir, shortlist, numQueries, trainIters), k)
 
   /** ANN top-k via LSH banding: 16 bands × 4 bits; pairs sharing any band
     * are candidates; exact cosine ranks candidates only. Same output

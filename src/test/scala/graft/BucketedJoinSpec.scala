@@ -169,7 +169,8 @@ class BucketedJoinSpec extends SparkSpec {
       plan.foreach { case (src, (nDocs, nFiles)) =>
         val files = new java.io.File(s"$outDir/source=$src").listFiles()
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-        assert(files.length.toLong === nFiles, s"$src file count")
+        // clamped contract: a source can't fill more files than rows
+        assert(files.length.toLong === math.min(nDocs, nFiles), s"$src file count")
         val rows = spark.read.parquet(s"$outDir/source=$src").count()
         assert(rows === nDocs, s"$src row count")
       }
