@@ -152,6 +152,8 @@ object SparkEntry {
     "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
     "events_pivot" -> (Events.userTypePivot _),
     "quantity_percentiles" -> (Events.quantityPercentiles _),
+    "stats_lineitem_columns" -> ((s, d) => Stats.lineitemColumnStats(s, d)),
+    "stats_equidepth_histogram" -> ((s, d) => Stats.orderValueEquidepth(s, d)),
     "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "curation_gated" -> ((s, d) => TextAnalysis.curationGated(s, d)),
     "curation_scrubbed" -> ((s, d) => TextAnalysis.curationScrubbed(s, d)),
@@ -1465,6 +1467,42 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS p75_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // ANALYZE-style per-column stats: one UNION branch per lineitem
+    // column; numeric min/max rounded 4 dp like the engine, non-numeric
+    // min/max NULL; distinct counts are exact (NULLs excluded by both
+    // engines' count(DISTINCT ...))
+    "stats_lineitem_columns" -> {
+      val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val other = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val branches =
+        numeric.map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+             |  floor(CAST(min($c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS min_num,
+             |  floor(CAST(max($c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS max_num
+             |FROM lineitem""".stripMargin
+        } ++ other.map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+             |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+             |FROM lineitem""".stripMargin
+        }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // equi-depth histogram: 4-dp-rounded quantile_cont boundaries (the
+    // same percentile<->quantile_cont equivalence quantity_percentiles
+    // relies on), bucket = number of boundaries strictly below the value
+    "stats_equidepth_histogram" ->
+      """WITH b AS (SELECT list_transform(
+        |    quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    q -> floor(q * 1e4 + 0.5) / 1e4) AS bs FROM orders),
+        |a AS (SELECT o_totalprice AS v,
+        |        len(list_filter(bs, x -> x < o_totalprice)) AS bucket
+        |      FROM orders, b)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_orders,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
     "curation_pipeline" ->
       (curationCtes + "\n" +
        """SELECT d.doc_id, q.quality, t.n_tokens

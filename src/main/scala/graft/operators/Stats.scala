@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.rd
+import graft.sources.Tables
+
+/** Optimizer-statistics surface: the ANALYZE-class structures every
+  * engine maintains so its planner can estimate selectivity and pick
+  * join sides — per-column statistics and equi-depth histograms. The
+  * reference has no optimizer at all (SURVEY §4.1: its one pipeline is
+  * hard-coded), so this family is pure north-star extension; Spark's
+  * own `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` is the native
+  * analog, re-expressed here as plain queries so the driver's DuckDB
+  * oracle can replay every number exactly. */
+object Stats {
+
+  /** Per-column statistics for the lineitem fact: row count, null
+    * count, EXACT distinct count, and rounded numeric min/max. Two
+    * passes, both scale-shaped: (1) one wide single-row aggregate for
+    * counts and min/max — no distinct here, because multi-column
+    * distinct in one aggregate plans an Expand blowup (one input-row
+    * copy per column); (2) the distinct counts go through an explicit
+    * (column, value) explode — the same ×C amplification Expand would
+    * do, but as the transparent word-count shape: pairs partially
+    * aggregate map-side and only (column, value-hash) currency
+    * shuffles. At 100 TB production swaps pass 2's exact distinct for
+    * per-column HLL sketches (one pass, mergeable) — the exact form
+    * here is what lets the oracle replay it. The tiny per-column rows
+    * are assembled on the driver (11 rows — stats are driver-sized by
+    * definition). */
+  def lineitemColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val fields = li.schema.fields
+    val aggExprs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"nn_${f.name}")) ++ (f.dataType match {
+        case _: NumericType => Seq(
+          rd(min(c).cast("double"), 4).as(s"mn_${f.name}"),
+          rd(max(c).cast("double"), 4).as(s"mx_${f.name}"))
+        case _ => Seq.empty
+      })
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggExprs.toSeq: _*).head()
+    val nRows = wide.getAs[Long]("n_rows")
+    val distincts = li
+      .select(explode(array(fields.map(f =>
+        struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .groupBy("c").agg(count_distinct(col("v")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = fields.toSeq.map { f =>
+      def num(prefix: String): Option[Double] = f.dataType match {
+        case _: NumericType =>
+          Option(wide.getAs[java.lang.Double](s"${prefix}_${f.name}")).map(_.doubleValue)
+        case _ => None
+      }
+      (f.name, nRows, nRows - wide.getAs[Long](s"nn_${f.name}"),
+        distincts(f.name), num("mn"), num("mx"))
+    }
+    rows.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num")
+      .orderBy("col_name")
+  }
+
+  /** Equi-depth histogram over order values — the other stats structure
+    * planners keep (equi-WIDTH is `order_value_histogram`). The
+    * scale-honest formulation: bucket BOUNDARIES come from one
+    * distributed percentile aggregate (a 1-row result), broadcast back,
+    * and every row finds its bucket with a row-local fold over the
+    * 9-entry boundary list — no global sort, no single-partition ntile
+    * window (the naive formulation Spark itself warns about).
+    * Boundaries are rounded to 4 dp BEFORE bucketing on both engines so
+    * the strict comparison can never split on a final-ulp
+    * disagreement. Counts are ~N/buckets up to boundary ties (equal
+    * values always land together — deterministic). */
+  def orderValueEquidepth(spark: SparkSession, sfDir: String,
+      buckets: Int = 10): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(expr(s"percentile(o_totalprice, array($qs))").as("raw"))
+      .select(transform(col("raw"), b => rd(b, 4)).as("bs"))
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+      .crossJoin(broadcast(bounds))
+      .select(col("o_totalprice"),
+        aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("o_totalprice") > b, 1).otherwise(0))
+          .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
+}

@@ -27,12 +27,14 @@ class PlanLintSpec extends SparkSpec {
   // ann_topk_ivfpq's product is ONLY its probe stage: |Q| broadcast
   // queries × the 16-row centroid artifact (ivf_topk's exact device);
   // the corpus-sized code scan below it is an equi-join on cluster.
+  // stats_equidepth_histogram broadcasts a ONE-row boundary list onto
+  // the scan — the bucketing fold is row-local; nothing quadratic.
   private val byDesignQuadratic = Set(
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
     "embedding_decontamination", "ann_incremental_assign",
     "ann_index_health", "ann_recall_curve", "ann_topk_ivfpq",
-    "ann_topk_ivfpq_rerank")
+    "ann_topk_ivfpq_rerank", "stats_equidepth_histogram")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

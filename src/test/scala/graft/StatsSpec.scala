@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Stats
+
+/** The optimizer-statistics surface: ANALYZE-style column stats and the
+  * equi-depth histogram. */
+class StatsSpec extends SparkSpec {
+
+  test("lineitem column stats: one row per column, counts consistent, numeric ranges sane") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val out = Stats.lineitemColumnStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet === li.schema.fieldNames.toSet, "one row per column")
+    val n = li.count()
+    out.foreach { case (c, (nRows, nNulls, nDistinct, mn, mx)) =>
+      assert(nRows === n, s"$c n_rows")
+      assert(nNulls >= 0 && nNulls <= n, s"$c n_nulls")
+      assert(nDistinct >= 1 && nDistinct <= n - nNulls, s"$c n_distinct")
+      assert(mn.isDefined === mx.isDefined, s"$c min/max parity")
+      mn.zip(mx).foreach { case (lo, hi) => assert(lo <= hi, s"$c min<=max") }
+    }
+    // spot-check against directly computed values
+    assert(out("l_linenumber")._3 ===
+      li.select("l_linenumber").distinct().count(), "linenumber distinct")
+    assert(out("l_returnflag")._4.isEmpty, "string column has no numeric min")
+    assert(out("l_quantity")._4.get === 1.0, "quantity min")
+  }
+
+  test("equi-depth histogram: contiguous buckets, balanced counts, ordered ranges") {
+    val rows = Stats.orderValueEquidepth(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === (0 until 10), "buckets 0..9, all present")
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum === n, "every order in exactly one bucket")
+    // equi-DEPTH: each bucket within 2x of the ideal share (ties can
+    // skew, but a continuous price column should stay near N/10)
+    rows.foreach { case (b, cnt, _, _) =>
+      assert(cnt > n / 20 && cnt < n / 5, s"bucket $b count $cnt vs ideal ${n / 10}")
+    }
+    // ranges are ordered and non-overlapping across buckets
+    rows.sliding(2).foreach { case Array((_, _, _, hi), (b2, _, lo2, _)) =>
+      assert(hi <= lo2, s"bucket ${b2 - 1} hi $hi overlaps bucket $b2 lo $lo2")
+    }
+    rows.foreach { case (b, _, lo, hi) => assert(lo <= hi, s"bucket $b lo<=hi") }
+  }
+}
