@@ -159,7 +159,7 @@ object SparkEntry {
     "curation_scrubbed" -> ((s, d) => TextAnalysis.curationScrubbed(s, d)),
     "events_range_join" -> ((s, d) => Events.nearbyEventPairs(s, d)),
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
-    "stratified_sample" -> (Events.stratifiedSample _),
+    "stratified_sample" -> ((s, d) => Events.stratifiedSample(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
@@ -1653,7 +1653,22 @@ object SparkEntry {
         |SELECT l_returnflag, 'total_qty' AS metric, sum(l_quantity) AS value
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag, metric""".stripMargin,
-    // stratified_sample: engine-specific RNG -> rows-only check
+    // stratifiedSample(seed=ss0): the seeded-md5 uniform (digit fold,
+    // exact in a double) against each stratum's fraction * 2^32 — the
+    // qualitySample device, so membership replays exactly
+    "stratified_sample" ->
+      """WITH u AS (SELECT event_id, list_sum(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef',
+        |                substr(md5('ss0|' || CAST(event_id AS VARCHAR)), i, 1)) - 1)
+        |             * pow(16, 8 - i))) AS uval
+        |      FROM events)
+        |SELECT e.event_id, e.event_type, e.user_id
+        |FROM events e JOIN u USING (event_id)
+        |WHERE u.uval < (CASE e.event_type
+        |                  WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.25
+        |                  WHEN 'purchase' THEN 1.0 WHEN 'error' THEN 0.1
+        |                  ELSE 0.0 END) * 4294967296.0
+        |ORDER BY e.event_id""".stripMargin,
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "ann_incremental_assign" -> ivfIncrementalOracle(2),
     "ann_index_health" -> indexHealthOracle(2),
@@ -2257,7 +2272,50 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))) * 1e4 + 0.5) / 1e4 AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
-    // ann_topk_lsh is approximate by construction -> rows-only check
+    // lshTopK: full replay of the SRP signature path — plane entries
+    // are the seeded-md5 uniform shifted to [-0.5, 0.5) (exact multiples
+    // of 2^-32), each signature bit the sign of the QUANTIZED integer
+    // dot (per-term floor to 1e-9 units, BIGINT sum — order-independent,
+    // so both engines compute identical bits), bands of 4 bits, and
+    // exact cosine ranking over the DISTINCT band-collision candidates.
+    // Approximate vs brute force by construction (recall spec in
+    // SimilaritySpec), but exactly reproducible engine-to-engine.
+    "ann_topk_lsh" ->
+      """WITH pl AS (SELECT pi.plane_id, dj.dim_id,
+        |        list_sum(list_transform(range(1, 9),
+        |          k -> (strpos('0123456789abcdef',
+        |                  substr(md5('srp8|' || CAST(pi.plane_id AS VARCHAR)
+        |                             || '|' || CAST(dj.dim_id AS VARCHAR)), k, 1)) - 1)
+        |               * pow(16, 8 - k))) / 4294967296.0 - 0.5 AS v
+        |      FROM range(0, 64) AS pi(plane_id), range(0, 64) AS dj(dim_id)),
+        |bits AS (SELECT e.vec_id, p.plane_id,
+        |        CASE WHEN sum(CAST(floor(CAST(list_extract(e.embedding, p.dim_id + 1) AS DOUBLE)
+        |                                 * p.v * 1e9 + 0.5) AS BIGINT)) > 0
+        |             THEN 1 ELSE 0 END AS bit
+        |      FROM embeddings e CROSS JOIN pl p
+        |      GROUP BY e.vec_id, p.plane_id),
+        |bands AS (SELECT vec_id, plane_id // 4 AS band,
+        |        CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(plane_id % 4 AS INT))) AS BIGINT) AS band_val
+        |      FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |      FROM bands q JOIN bands c ON q.band = c.band AND q.band_val = c.band_val
+        |      WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |      FROM embeddings),
+        |p AS (SELECT cand.query_id, cand.neighbor_id,
+        |        floor((list_sum(list_transform(range(1, 65),
+        |                i -> CAST(list_extract(q.embedding, i) AS DOUBLE)
+        |                   * CAST(list_extract(c.embedding, i) AS DOUBLE)))
+        |          / (q.nrm * c.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+        |      FROM cand JOIN n q ON cand.query_id = q.vec_id
+        |                JOIN n c ON cand.neighbor_id = c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_topk_brute" ->
       """WITH n AS (SELECT vec_id, embedding,
         |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm

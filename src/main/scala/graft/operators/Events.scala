@@ -158,17 +158,30 @@ object Events {
       .orderBy("l_returnflag", "metric")
   }
 
-  /** Stratified sampling: per-stratum Bernoulli fractions with a fixed
-    * seed (deterministic across runs; RNG is engine-specific so this is
-    * a rows-only driver check — proportions asserted in tests). */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+  /** Stratified sampling: per-stratum Bernoulli fractions drawn from
+    * the seeded-md5 uniform (first 8 hex digits of md5("ss0|event_id")
+    * as an integer in [0, 2³²), kept iff u < fraction·2³²) — the same
+    * device as [[graft.operators.TextAnalysis.qualitySample]], chosen
+    * over `df.stat.sampleBy` because engine RNG is not replayable: the
+    * draw here is a pure per-row function of (seed, event_id), so it
+    * survives re-runs, repartitioning and engine changes, and the
+    * DuckDB oracle reproduces membership exactly. Map-only, no
+    * shuffle; per-stratum proportions asserted in tests. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      seed: String = "ss0"): DataFrame = {
+    val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
+      "error" -> 0.1, "signup" -> 0.0)
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col("event_type") === k, lit(f)).otherwise(acc)
+    }
+    val u = conv(substring(
+      md5(concat(lit(s"$seed|"), col("event_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
     Tables.events(spark, sfDir)
-      .stat.sampleBy("event_type",
-        Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
-            "error" -> 0.1, "signup" -> 0.0),
-        seed = 42L)
+      .filter(u < frac * lit(4294967296.0))
       .select("event_id", "event_type", "user_id")
       .orderBy("event_id")
+  }
 
   /** Hourly anomaly detection per event type: z-score of each hour's
     * count against the type's distribution. Moments are computed from

@@ -24,7 +24,7 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
-  /** Fixed random hyperplanes (seed 42): 64 planes × 64 dims → a 64-bit
+  /** Fixed random hyperplanes: 64 planes × 64 dims → a 64-bit
     * signature banded as 16 bands × 4 bits. Sized for this corpus's
     * worst case: it is near-uniform (top-10 neighbors sit at cosine
     * ≈0.35–0.5, i.e. ~65–70°, where the per-plane agreement probability
@@ -33,15 +33,30 @@ object Similarity {
     * corpus per query here); on clustered real embeddings the same
     * banding yields both high recall and low candidate rate. When the
     * corpus has no similarity structure, IVF (ivfTopK) is the better
-    * cost/recall dial — both are registered. */
+    * cost/recall dial — both are registered.
+    *
+    * Plane entries are DERIVED, not drawn: entry (i,j) is the seeded-md5
+    * uniform (first 8 hex digits of md5("srp8|i|j") as an integer,
+    * divided by 2³²) shifted to [-0.5, 0.5) — every value is an exact
+    * multiple of 2⁻³², so any engine with md5 reproduces the planes
+    * bit-for-bit and the DuckDB oracle can replay the whole signature.
+    * Symmetric iid uniform entries at dim 64 give sign-agreement
+    * probability ≈ 1−θ/π by the CLT (the pair of projections is
+    * near-bivariate-normal), so the Gaussian recall analysis above
+    * carries over; recall vs brute force is asserted in SimilaritySpec
+    * either way. */
   private val NumPlanes = 64
   private val NumBands = 16
   private val BandBits = NumPlanes / NumBands // 4
   private val Dim = 64
-  private lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  private[graft] def planeEntry(i: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp8|$i|$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
   }
+  private lazy val planes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map(i => (0 until Dim).map(j => planeEntry(i, j)))
 
   /** Exact top-k cosine neighbors for each query vector (vec_id <
     * numQueries), excluding self. Deterministic: ranked by rounded
@@ -62,12 +77,23 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** 64-bit sign-random-projection signature per embedding. */
+  /** 64-bit sign-random-projection signature per embedding. Each bit is
+    * the sign of a QUANTIZED integer dot product — every e_j·v_ij term
+    * is floored to 1e-9 units and summed as BIGINT — because a plain
+    * double sum is summation-order-dependent: two engines (or two
+    * partitionings) disagreeing in the last ulp near zero would flip a
+    * bit and change the candidate set. The integer sum is exact and
+    * order-independent, so the signature is a pure cross-engine function
+    * of the bytes. */
   def signatures(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = normalizedEmbeddings(spark, sfDir)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      val qdot = aggregate(
+        zip_with(col("e"), planeCol,
+          (x, v) => floor(x.cast("double") * v * lit(1e9) + lit(0.5))),
+        lit(0L), (acc, t) => acc + t)
+      when(qdot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     emb.withColumn("sig", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
@@ -80,7 +106,7 @@ object Similarity {
     * recomputing 64 hyperplane dot products per vector per query. */
   def signatureIndex(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.ArtifactCache.readOrWrite(spark, "srp-sig",
-      s"$sfDir|$NumPlanes", s"$sfDir/embeddings.parquet")(
+      s"$sfDir|$NumPlanes|md5planes-q9", s"$sfDir/embeddings.parquet")(
       signatures(spark, sfDir).select("vec_id", "sig"))
 
   /** Nearest-centroid assignment: (vec_id, e, nrm, cluster) for every
@@ -691,8 +717,10 @@ object Similarity {
 
   /** ANN top-k via LSH banding: 16 bands × 4 bits; pairs sharing any band
     * are candidates; exact cosine ranks candidates only. Same output
-    * schema as brute force; recall < 1 by construction (≥0.8 asserted
-    * in SimilaritySpec against the brute-force baseline). */
+    * schema as brute force; recall < 1 by construction (≥0.7 asserted
+    * in SimilaritySpec against the brute-force baseline). Fully
+    * deterministic — md5-derived planes + quantized-integer sign bits —
+    * so the DuckDB oracle replays the whole path exactly. */
   def lshTopK(spark: SparkSession, sfDir: String,
       k: Int = 10, numQueries: Int = 20): DataFrame = {
     // read the stored signature index; join vectors back by id
