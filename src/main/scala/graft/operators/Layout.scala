@@ -88,10 +88,19 @@ object Layout {
     val mm = df.agg(
       min(col(xCol).cast("double")), max(col(xCol).cast("double")),
       min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    // empty input (or all-null keys): no stats to normalize against —
+    // write the frame as-is instead of NPE-ing on a null aggregate
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     val scale = (1L << bits) - 1
+    // NULL keys normalize to the range floor (a null zval would land
+    // rows in an arbitrary range partition and break per-file stats)
     def norm(c: Column, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
-      else ((c.cast("double") - lit(lo)) / lit(hi - lo) * scale).cast("long")
+      else ((coalesce(c.cast("double"), lit(lo)) - lit(lo)) / lit(hi - lo) * scale)
+        .cast("long")
     df.withColumn("zval", zValue(
         norm(col(xCol), mm.getDouble(0), mm.getDouble(1)),
         norm(col(yCol), mm.getDouble(2), mm.getDouble(3)), bits))
@@ -114,14 +123,29 @@ object Layout {
     * stale-fingerprint cleanup, so repeated refreshes don't leak.
     * `repartition(buckets, key)` before the write keeps it
     * to ONE file per bucket, which is what lets the reader trust the
-    * sort and skip its own. */
+    * sort and skip its own.
+    *
+    * The table name carries a SOURCE-PATH discriminator as well as the
+    * content fingerprint: the sweep below treats any same-prefix
+    * directory with a different fingerprint as a stale refresh, so the
+    * prefix must be unique per (logical name, source). Without the
+    * discriminator, two sessions bucketing the same logical name from
+    * different source paths (two scale factors, say) would sweep each
+    * other's live backing files. */
+  private[graft] def bucketedTablePrefix(name: String, buckets: Int,
+      srcPath: String): String = {
+    val srcTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcPath.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+    s"graft_bkt_${name}_s${srcTag}_b${buckets}_"
+  }
+
   def bucketedTable(spark: SparkSession, name: String, buckets: Int,
       key: String, srcPath: String)(df: => DataFrame): DataFrame = synchronized {
     val fp = ArtifactCache.fingerprint(spark, srcPath).take(8)
-    val prefix = s"graft_bkt_${name}_b${buckets}_"
+    val prefix = bucketedTablePrefix(name, buckets, srcPath)
     val tbl = s"$prefix$fp"
     if (!spark.catalog.tableExists(tbl)) {
-      // stale fingerprints of the same (name, buckets) are garbage.
+      // stale fingerprints of the same (name, source, buckets) are garbage.
       // Sweep the FILESYSTEM, not the catalog: the in-memory catalog
       // dies with the JVM while the backing dirs persist in tmpdir, so
       // a catalog scan would never see a previous run's leftovers.
@@ -193,6 +217,30 @@ object Layout {
       .withColumn("rows_per_file",
         expr("(n_docs + n_files - 1) div n_files"))
       .orderBy("source")
+
+  /** Compaction that PRESERVES Z-order clustering: [[compactTo]]'s
+    * round-robin `repartition(n)` balances file sizes but destroys any
+    * clustering the table was written with — after it, per-file min/max
+    * rectangles are full-width and footer-stats pruning is dead. For a
+    * z-ordered table the compaction rewrite must itself be a z-order
+    * write: plan the output file count from the ACTUAL on-disk bytes
+    * (what real compaction keys on — small-file overhead is a physical
+    * problem), then re-run [[writeZOrdered]] at that count. Cost is the
+    * same single range shuffle any compaction pays; the clustering
+    * comes along free because the range partitioner keys on the Morton
+    * value. Returns the planned file count. Asserted in
+    * BucketedJoinSpec: post-compaction per-file rectangles stay tight
+    * on BOTH dimensions while a round-robin compaction's do not. */
+  def compactZOrdered(spark: SparkSession, inDir: String, outDir: String,
+      xCol: String, yCol: String, targetBytes: Long = 2L << 20,
+      bits: Int = 16): Int = {
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    writeZOrdered(spark.read.parquet(inDir), outDir, xCol, yCol, files, bits)
+    files
+  }
 
   /** EXECUTE a [[compactionPlan]]: rewrite the documents table under
     * `outDir/source=…` with min(planned files, row count) files per

@@ -90,10 +90,12 @@ class BucketedJoinSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
-  test("bucketedTable drops stale fingerprints of the same (name, buckets)") {
+  test("bucketedTable drops stale fingerprints of the same (name, source, buckets)") {
     import graft.operators.Layout
-    // plant a stale table under the same prefix with a different fingerprint
-    val staleTbl = "graft_bkt_stalecheck_b4_00000000"
+    // plant a stale table under the same (name, source) prefix with a
+    // different fingerprint — only THAT should be swept
+    val src = s"$sf/orders.parquet"
+    val staleTbl = Layout.bucketedTablePrefix("stalecheck", 4, src) + "00000000"
     val stalePath = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-bucketed", staleTbl)
     spark.range(3).toDF("k").write.mode("overwrite")
@@ -101,8 +103,7 @@ class BucketedJoinSpec extends SparkSpec {
       .bucketBy(4, "k").saveAsTable(staleTbl)
     assert(spark.catalog.tableExists(staleTbl))
     try {
-      val fresh = Layout.bucketedTable(spark, "stalecheck", 4, "o_orderkey",
-        s"$sf/orders.parquet") {
+      val fresh = Layout.bucketedTable(spark, "stalecheck", 4, "o_orderkey", src) {
         graft.sources.Tables.orders(spark, sf).select("o_orderkey")
       }
       assert(fresh.count() > 0)
@@ -113,6 +114,55 @@ class BucketedJoinSpec extends SparkSpec {
       spark.catalog.listTables().collect().map(_.name)
         .filter(_.startsWith("graft_bkt_stalecheck_"))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("bucketedTable: a sibling table from a DIFFERENT source survives the sweep") {
+    import graft.operators.Layout
+    // same logical name, two source paths — the path discriminator in
+    // the prefix must keep their sweeps independent (the ADVICE hazard:
+    // a shared tmpdir sweep deleting a live sibling's backing files)
+    val srcA = s"$sf/orders.parquet"
+    val srcB = s"$sf/customer.parquet"
+    try {
+      val a = Layout.bucketedTable(spark, "twosource", 4, "o_orderkey", srcA) {
+        graft.sources.Tables.orders(spark, sf).select("o_orderkey")
+      }
+      val aRows = a.count()
+      val b = Layout.bucketedTable(spark, "twosource", 4, "c_custkey", srcB) {
+        graft.sources.Tables.customer(spark, sf).select("c_custkey")
+      }
+      assert(b.count() > 0)
+      // building B must not have swept A's files: A still reads fine
+      val aAgain = Layout.bucketedTable(spark, "twosource", 4, "o_orderkey", srcA) {
+        fail("source A's table should still be cached"); ???
+      }
+      assert(aAgain.count() === aRows)
+    } finally {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_bkt_twosource_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("writeZOrdered: empty input and NULL keys are handled, not NPE'd") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val outE = java.nio.file.Files.createTempDirectory("graft-zempty").toString
+    val outN = java.nio.file.Files.createTempDirectory("graft-znull").toString
+    try {
+      // empty frame: writes an empty parquet instead of throwing
+      val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+      Layout.writeZOrdered(empty, outE, "x", "y", files = 4)
+      assert(spark.read.parquet(outE).count() === 0)
+      // null keys: rows survive the write (normalized to the range floor)
+      val withNulls = Seq[(java.lang.Long, java.lang.Long)](
+        (1L, 10L), (2L, null), (null, 30L), (4L, 40L)).toDF("x", "y")
+      Layout.writeZOrdered(withNulls, outN, "x", "y", files = 2)
+      assert(spark.read.parquet(outN).count() === 4)
+    } finally {
+      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(outE))
+      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(outN))
     }
   }
 
@@ -156,6 +206,62 @@ class BucketedJoinSpec extends SparkSpec {
     } finally {
       graft.sources.ArtifactCache.deleteRecursively(new java.io.File(zDir))
       graft.sources.ArtifactCache.deleteRecursively(new java.io.File(sDir))
+    }
+  }
+
+  test("z-order-preserving compaction: fewer files, rectangles stay tight") {
+    import graft.operators.Layout
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+    val smallDir = java.nio.file.Files.createTempDirectory("graft-zc-small").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zc-z").toString
+    val rrDir = java.nio.file.Files.createTempDirectory("graft-zc-rr").toString
+    try {
+      // a z-ordered table fragmented into many small files
+      Layout.writeZOrdered(li, smallDir, "l_orderkey", "l_partkey", files = 64)
+      val smallFiles = new java.io.File(smallDir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(smallFiles === 64, "fragmented input")
+      // compact it with clustering preserved vs a plain round-robin rewrite
+      val target = {
+        // aim for ~8 output files whatever the SF's byte size is
+        val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(smallDir))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        math.max(1L, bytes / 8)
+      }
+      val planned = Layout.compactZOrdered(spark, smallDir, zDir,
+        "l_orderkey", "l_partkey", targetBytes = target)
+      spark.read.parquet(smallDir).repartition(planned)
+        .write.mode("overwrite").parquet(rrDir)
+      val zFiles = new java.io.File(zDir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(zFiles === planned, s"planned $planned files, wrote $zFiles")
+      assert(zFiles < smallFiles / 4, "compaction must actually reduce file count")
+      assert(spark.read.parquet(zDir).count() === li.count(), "rows survive")
+      // footer-stats pruning power: mean fractional [min,max] width per file
+      def meanWidth(dir: String, key: String): Double = {
+        val perFile = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(key).as("lo"), max(key).as("hi"))
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val glo = perFile.map(_._1).min.toDouble
+        val ghi = perFile.map(_._2).max.toDouble
+        perFile.map { case (lo, hi) => (hi - lo).toDouble / (ghi - glo) }
+          .sum / perFile.length
+      }
+      val zo = meanWidth(zDir, "l_orderkey"); val zp = meanWidth(zDir, "l_partkey")
+      val ro = meanWidth(rrDir, "l_orderkey"); val rp = meanWidth(rrDir, "l_partkey")
+      info(f"z-compacted widths: orderkey $zo%.3f partkey $zp%.3f; " +
+        f"round-robin: orderkey $ro%.3f partkey $rp%.3f")
+      // round-robin kills clustering (full-width files on both keys);
+      // the z-preserving rewrite keeps both dims materially tight
+      assert(ro > 0.9 && rp > 0.9, "round-robin compaction should be full-width")
+      assert(zo < 0.75 * ro, s"orderkey width $zo did not stay tight")
+      assert(zp < 0.75 * rp, s"partkey width $zp did not stay tight")
+    } finally {
+      Seq(smallDir, zDir, rrDir).foreach(d =>
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
     }
   }
 
