@@ -149,9 +149,11 @@ object EventStream {
     * at the session default of 32, per-partition state-store commits
     * dominate (a stream-stream join keeps FOUR stores per partition:
     * 9.1 s vs 3.0 s for the same 10× join). Production replaces the
-    * local file-size probe with source stats, same sizing rule. */
-  private def drainPartitions(sfDir: String): Int = {
-    val bytes = inputBytes(s"$sfDir/events.parquet")
+    * local file-size probe with source stats, same sizing rule. The
+    * probe is keyed by the table the stream ACTUALLY reads — sizing a
+    * documents drain off events bytes would track the wrong input. */
+  private def drainPartitions(sfDir: String, file: String = "events.parquet"): Int = {
+    val bytes = inputBytes(s"$sfDir/$file")
     math.max(4, math.min(16, (bytes / (2L << 20)).toInt))
   }
 
@@ -211,9 +213,15 @@ object EventStream {
     * merges sessions as events arrive), drained to completion — the
     * incremental twin of `events_sessionize` with the same columns and
     * oracle. Exercises session-merge state, not just keyed windows. */
-  def sessionizeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The watermarked session aggregation shared by
+    * [[sessionizeViaStream]] and the checkpoint-recovery spec: 30-min
+    * gap sessions per user with the quantized value sum. Works on a
+    * batch frame too (session_window is batch-capable), which is what
+    * lets the recovery spec compare stream-after-restart against the
+    * identical batch expression. */
+  def sessionAgg(events: DataFrame): DataFrame = {
     import graft.functions.Deterministic.{qsum, rd}
-    val sessions = corpusEventsSource(spark, sfDir)
+    events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -221,10 +229,13 @@ object EventStream {
         max("ts").as("session_last"),
         rd(qsum(col("value"), 6), 4).as("session_value"))
       .select("user_id", "session_start", "session_last", "n_events", "session_value")
-    runToCompletion(spark, sessions, "graft_stream_sessionize",
+  }
+
+  def sessionizeViaStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sessionAgg(corpusEventsSource(spark, sfDir)),
+      "graft_stream_sessionize",
       partitions = drainPartitions(sfDir))
       .orderBy("user_id", "session_start")
-  }
 
   /** Third driver-contract streaming entry: the stream-stream inner
     * join ([[clickPurchaseJoin]]) over the corpus events, drained to
@@ -329,7 +340,8 @@ object EventStream {
       .select(col("doc_id"), col("fingerprint"), col("dup_of"),
         col("dup_of").isNull.as("is_new"))
     runToCompletion(spark, verdicts, "graft_stream_doc_dedup",
-      OutputMode.Append(), partitions = drainPartitions(sfDir))
+      OutputMode.Append(),
+      partitions = drainPartitions(sfDir, "documents.parquet"))
       .orderBy("doc_id")
   }
 

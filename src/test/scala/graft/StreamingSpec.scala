@@ -144,6 +144,109 @@ class StreamingSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0, "no window duplicated across restarts")
   }
 
+  test("checkpoint recovery: query killed mid-drain resumes and matches the batch result") {
+    // The first thing a real deployment exercises: a stateful query dies
+    // partway through its input and is restarted from the checkpoint.
+    // Session state is the hardest case — sessions SPAN the kill point,
+    // so a resume with lost state would emit split/wrong sessions. The
+    // choreography: events sliced into 3 time-ordered files + a far-
+    // future sentinel (advances the watermark so every real session
+    // closes in append mode), query killed after the first micro-batch,
+    // restarted from the same checkpoint, drained; the parquet output
+    // must equal the batch session aggregation over ALL input.
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rec-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rec-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).collect()
+        .flatMap(r => Array(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      // place the kill-point cut BETWEEN two consecutive same-user
+      // events that are inside one session (<20-min apart), nearest the
+      // middle of the corpus — guaranteeing at least one session spans
+      // the cut, so the resumed run provably needs recovered state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val mid = lo + (hi - lo) / 2
+      val pair = ev.withColumn("prev", lag("ts", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select(unix_timestamp($"prev").as("p"), unix_timestamp($"ts").as("t"))
+        .filter($"t" - $"p" >= 2 && $"t" - $"p" < 1200)
+        .withColumn("d", abs(($"p" + $"t") / 2 * 1000 - mid))
+        .orderBy("d").limit(1).collect()(0)
+      val cut1 = new Timestamp((pair.getLong(0) + pair.getLong(1)) / 2 * 1000)
+      val cut2 = new Timestamp(cut1.getTime + (hi - cut1.getTime) / 2)
+      val sentinelTs = new Timestamp(hi + 2 * 3600 * 1000L)
+      val slices = Seq(
+        ev.filter($"ts" <= lit(cut1)),
+        ev.filter($"ts" > lit(cut1) && $"ts" <= lit(cut2)),
+        ev.filter($"ts" > lit(cut2))
+          .unionByName(Seq((-999L, sentinelTs, -999L, "sentinel", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")))
+      // one file per slice, written in time order so discovery order =
+      // event-time order and the watermark never drops a slice
+      slices.zipWithIndex.foreach { case (s, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-rec-sl$i").toString
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet"))
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      }
+      val schema = spark.read.parquet(inDir).schema
+      def startQuery(availableNow: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val w = EventStream.sessionAgg(src).writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+        (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(3000)))
+          .start()
+      }
+      // phase 1: process the first micro-batch (file 0), then KILL
+      val q1 = startQuery(availableNow = false)
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (q1.recentProgress.forall(_.numInputRows == 0) &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+        assert(q1.recentProgress.exists(_.numInputRows > 0),
+          "first micro-batch never committed")
+      } finally q1.stop()
+      // phase 2: restart from the checkpoint; drain everything left.
+      // (AvailableNow runs the extra no-data batch that flushes state
+      // after the sentinel advances the watermark.)
+      val q2 = startQuery(availableNow = true)
+      q2.awaitTermination()
+      val streamed = spark.read.parquet(outDir)
+        .filter($"user_id" =!= -999L)
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+      val batch = EventStream.sessionAgg(spark.read.parquet(inDir))
+        .filter($"user_id" =!= -999L)
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        "resumed query must reproduce the batch sessions exactly (state recovered, no reprocessing)")
+      // sessions genuinely span the kill point: at least one session's
+      // [start, last] straddles the first slice boundary, so the resumed
+      // run NEEDED recovered state to build it
+      val spanning = spark.read.parquet(outDir)
+        .filter($"user_id" =!= -999L)
+        .filter($"session_start" <= lit(cut1) && $"session_last" > lit(cut1))
+        .count()
+      assert(spanning > 0, "test corpus must produce kill-point-spanning sessions")
+    } finally {
+      Seq(inDir, outDir, ckpt).foreach(d =>
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch receives each micro-batch with its id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
