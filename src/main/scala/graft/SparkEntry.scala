@@ -153,6 +153,7 @@ object SparkEntry {
     "events_pivot" -> (Events.userTypePivot _),
     "quantity_percentiles" -> (Events.quantityPercentiles _),
     "stats_lineitem_columns" -> ((s, d) => Stats.lineitemColumnStats(s, d)),
+    "stats_lineitem_columns_approx" -> ((s, d) => Stats.lineitemColumnStatsApprox(s, d)),
     "stats_equidepth_histogram" -> ((s, d) => Stats.orderValueEquidepth(s, d)),
     "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "curation_gated" -> ((s, d) => TextAnalysis.curationGated(s, d)),
@@ -2572,6 +2573,8 @@ object SparkEntry {
         |      WHEN 'image' THEN 1 ELSE 0 END) AS max_frames
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
     // events_approx_distinct: HLL sketch values differ per engine -> rows-only check
+    // stats_lineitem_columns_approx: same justification — the distinct column is
+    // an HLL++ sketch value; StatsSpec bounds it to <10% of the exact form
     "events_asof_purchase" ->
       """SELECT c.event_id, c.user_id, c.ts AS click_ts,
         |  p.ts AS last_purchase_ts, floor((p.value) * 1e4 + 0.5) / 1e4 AS last_purchase_value
