@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Deterministic.rd
 import graft.sources.Tables
@@ -11,13 +11,32 @@ import graft.sources.Tables
   * typed Dataset — the Spark-side plumbing (schema, encoders, partition
   * batching, feature schema) is real and tested.
   *
-  * The actual codec call is STUBBED (this container ships no image/audio
-  * libraries): [[decodeStub]] derives deterministic pseudo-features from
-  * the bytes. In production the body of decodeStub is the only thing
-  * that changes (JNI/FFmpeg/libjpeg call per element); the dataflow —
-  * `Dataset[MediaBlob].mapPartitions(_.map(decode))` — is exactly how
-  * the real thing runs, with one decoder init per partition, not per
-  * row.
+  * The blob is a REAL byte format — the GRFT container:
+  * {{{
+  *   offset  size  field
+  *   0       4     magic 0x47524654 ("GRFT"), big-endian
+  *   4       1     version (0x01)
+  *   5       1     modality code (0=image, 1=audio, 2=video)
+  *   6       4     width        (big-endian int)
+  *   10      4     height
+  *   14      4     n_frames
+  *   18      4     sample_rate
+  *   22      4     payload length
+  *   26      n     payload bytes
+  *   26+n    16    MD5 of the payload
+  * }}}
+  * [[decode]] parses and VALIDATES the container for real: magic,
+  * version, length accounting, and the payload checksum are all
+  * checked, and the dims come off the header bytes, not a formula. What
+  * stays synthetic is only the payload (document text bytes stand in
+  * for compressed media, since this environment ships no codec
+  * libraries) and the header values, which the encoder derives
+  * deterministically from the payload so the driver's SQL oracle can
+  * replay the expected features end to end. In production the payload
+  * parse becomes the JNI/FFmpeg/libjpeg call; the container walk,
+  * dataflow — `Dataset[MediaBlob].mapPartitions(_.map(decode))` — and
+  * one-decoder-init-per-partition shape are exactly how the real thing
+  * runs.
   *
   * Scale: blobs never shuffle — featurization is a map-only stage; only
   * the small typed feature rows move downstream. At 100 TB of media the
@@ -31,43 +50,123 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int, sample_rate: Int, checksum: String)
 
-  /** Blob table derived from `documents`: the text bytes stand in for
-    * media payloads (modality assigned round-robin). In a real pipeline
-    * this is a parquet table with a true binary column; everything
-    * downstream treats `blob` as opaque bytes either way. */
-  def blobTable(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("modality"),
-        encode(col("text"), "UTF-8").as("blob"))
-      .as[MediaBlob]
-  }
+  /** GRFT container framing constants (layout in the object Scaladoc). */
+  val Magic = 0x47524654 // "GRFT"
+  val Version = 1
+  val HeaderLen = 26
+  val TrailerLen = 16
 
-  /** STUB decode — deterministic pseudo-features from the raw bytes.
-    * Production replaces this body with the real codec; the signature
-    * and everything around it stay. */
-  def decodeStub(b: MediaBlob): MediaFeatures = {
-    val n = b.blob.length
-    val first = b.blob.headOption.map(_ & 0xff).getOrElse(0)
-    val isVisual = b.modality == "image" || b.modality == "video"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val checksum = md.digest(b.blob).map("%02x".format(_)).mkString
-    MediaFeatures(
-      doc_id = b.doc_id,
-      modality = b.modality,
-      n_bytes = n,
-      width = if (isVisual) 64 + ((n * 3 + first) % 1856) else 0,
-      height = if (isVisual) 64 + ((n * 5 + first) % 1016) else 0,
-      n_frames = b.modality match {
+  private val codeOf = Map("image" -> 0, "audio" -> 1, "video" -> 2)
+  private val modalityOf = codeOf.map(_.swap)
+
+  /** Header feature values, derived deterministically from the payload
+    * (this is the synthetic stand-in for what a real encoder would know
+    * about its media): (width, height, n_frames, sample_rate). */
+  private def headerDims(modality: String, payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val n = payload.length
+    val first = payload.headOption.map(_ & 0xff).getOrElse(0)
+    val isVisual = modality == "image" || modality == "video"
+    (if (isVisual) 64 + ((n * 3 + first) % 1856) else 0,
+      if (isVisual) 64 + ((n * 5 + first) % 1016) else 0,
+      modality match {
         case "video" => 1 + (n % 240)
         case "image" => 1
         case _       => 0
       },
-      sample_rate = if (b.modality == "audio") 8000 + (first % 8) * 4000 else 0,
-      checksum = checksum)
+      if (modality == "audio") 8000 + (first % 8) * 4000 else 0)
+  }
+
+  /** JVM-side container encoder — the byte-for-byte twin of the SQL
+    * construction in [[blobTable]] (MultimodalSpec asserts they agree),
+    * and the writer a single-node ingest tool would use. */
+  def packContainer(modality: String, payload: Array[Byte]): Array[Byte] = {
+    val (w, h, f, r) = headerDims(modality, payload)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    java.nio.ByteBuffer.allocate(HeaderLen + payload.length + TrailerLen)
+      .putInt(Magic).put(Version.toByte)
+      .put(codeOf(modality).toByte)
+      .putInt(w).putInt(h).putInt(f).putInt(r)
+      .putInt(payload.length)
+      .put(payload).put(md5)
+      .array()
+  }
+
+  /** Blob table derived from `documents`: each text's bytes are packed
+    * into a GRFT container (modality assigned round-robin). The
+    * container is assembled with pure SQL expressions — header ints as
+    * zero-padded hex, `unhex` to bytes, binary `concat` — so the pack
+    * runs codegen'd inside the scan stage and the driver's oracle can
+    * reproduce every byte. In a real pipeline this is a parquet table
+    * with a true binary column; everything downstream treats `blob` as
+    * opaque bytes either way. */
+  def blobTable(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    def be32(c: Column): Column = lpad(hex(c), 8, "0")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n", length(col("payload")))
+      .withColumn("first", when(col("n") === 0, lit(0))
+        .otherwise(conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int")))
+      .withColumn("visual", col("modality").isin("image", "video"))
+    docs
+      .withColumn("width",
+        when(col("visual"), lit(64) + (col("n") * 3 + col("first")) % 1856).otherwise(0))
+      .withColumn("height",
+        when(col("visual"), lit(64) + (col("n") * 5 + col("first")) % 1016).otherwise(0))
+      .withColumn("n_frames",
+        when(col("modality") === "video", lit(1) + col("n") % 240)
+          .when(col("modality") === "image", lit(1)).otherwise(0))
+      .withColumn("sample_rate",
+        when(col("modality") === "audio", lit(8000) + (col("first") % 8) * 4000)
+          .otherwise(0))
+      .select(col("doc_id"), col("modality"),
+        concat(
+          unhex(concat(
+            lit("%08X".format(Magic)), lit("%02X".format(Version)),
+            when(col("modality") === "image", "00")
+              .when(col("modality") === "audio", "01").otherwise("02"),
+            be32(col("width")), be32(col("height")),
+            be32(col("n_frames")), be32(col("sample_rate")),
+            be32(col("n")))),
+          col("payload"),
+          unhex(md5(col("payload")))).as("blob"))
+      .as[MediaBlob]
+  }
+
+  /** Parse + validate a GRFT container. Every structural invariant is
+    * checked — magic, version, known modality code, agreement with the
+    * metadata column, length accounting, and the payload MD5 against
+    * the trailer — so a corrupted or truncated blob fails loudly here
+    * instead of producing silently wrong features (a real pipeline
+    * routes these to a quarantine sink; MultimodalSpec asserts single-
+    * byte corruption is caught). `n_bytes` is the PAYLOAD length — the
+    * content size, not the container overhead. */
+  def decode(b: MediaBlob): MediaFeatures = {
+    def bad(msg: String) =
+      throw new IllegalArgumentException(s"doc ${b.doc_id}: $msg")
+    if (b.blob.length < HeaderLen + TrailerLen) bad("truncated container")
+    val buf = java.nio.ByteBuffer.wrap(b.blob)
+    if (buf.getInt(0) != Magic) bad(f"bad magic 0x${buf.getInt(0)}%08x")
+    if (buf.get(4) != Version.toByte) bad(s"unsupported version ${buf.get(4)}")
+    val modality = modalityOf.getOrElse(buf.get(5) & 0xff,
+      bad(s"unknown modality code ${buf.get(5)}"))
+    if (modality != b.modality)
+      bad(s"container says $modality, metadata says ${b.modality}")
+    val plen = buf.getInt(22)
+    if (plen != b.blob.length - HeaderLen - TrailerLen)
+      bad(s"payload length $plen vs ${b.blob.length - HeaderLen - TrailerLen} actual")
+    val payload = java.util.Arrays.copyOfRange(b.blob, HeaderLen, HeaderLen + plen)
+    val sum = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    if (!java.util.Arrays.equals(sum,
+        java.util.Arrays.copyOfRange(b.blob, HeaderLen + plen, b.blob.length)))
+      bad("payload checksum mismatch")
+    MediaFeatures(b.doc_id, modality, plen,
+      buf.getInt(6), buf.getInt(10), buf.getInt(14), buf.getInt(18),
+      sum.map("%02x".format(_)).mkString)
   }
 
   /** Feature extraction: one decoder pass per partition over the typed
@@ -76,8 +175,9 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // per-partition init goes here in production (decoder contexts,
-      // native buffers); the stub needs none
-      it.map(decodeStub)
+      // native buffers); MessageDigest in [[decode]] is cheap enough
+      // per element that hoisting it here bought nothing measurable
+      it.map(decode)
     }
   }
 
@@ -117,16 +217,26 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Exact payload dedup over the opaque blob column: content-checksum
-    * groups — the multimodal twin of [[graft.operators.Dedup.exact]]
-    * (same group-per-fingerprint shape), and the first pass of any
-    * media ingestion: identical BYTES are identical content no matter
-    * which modality label they arrived under, so the group also counts
-    * distinct modalities (a >1 value flags mislabeled payloads). Only
-    * the 16-byte checksum shuffles; blob bytes never leave their
+  /** Exact payload dedup over the blob column: content-checksum groups
+    * — the multimodal twin of [[graft.operators.Dedup.exact]] (same
+    * group-per-fingerprint shape), and the first pass of any media
+    * ingestion. CONTENT-addressed, not container-addressed: the
+    * expression below parses the GRFT header for the payload length and
+    * checksums the payload slice, so identical content under different
+    * container wrappers (a re-labeled modality, a re-encoded header)
+    * still dedups together — identical BYTES are identical content no
+    * matter what the wrapper says, so the group also counts distinct
+    * modalities (a >1 value flags mislabeled payloads). The parse is
+    * pure codegen'd expressions (substr + hex/conv), no UDF. Only the
+    * 16-byte checksum shuffles; blob bytes never leave their
     * partition. */
-  def blobDedup(spark: SparkSession, sfDir: String): DataFrame =
-    blobDedupOf(blobTable(spark, sfDir).toDF())
+  def blobDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val blob = col("blob")
+    val plen = conv(hex(blob.substr(lit(HeaderLen - 3), lit(4))), 16, 10).cast("int")
+    val payload = blob.substr(lit(HeaderLen + 1), plen)
+    blobDedupOf(blobTable(spark, sfDir).toDF()
+      .select(col("doc_id"), col("modality"), payload.as("blob")))
+  }
 
   /** [[blobDedup]] over any (doc_id, modality, blob) frame. */
   def blobDedupOf(blobs: DataFrame): DataFrame =

@@ -6,20 +6,71 @@ import graft.operators.Multimodal.{MediaBlob, MediaFeatures}
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decode stub: deterministic, modality-correct feature shapes") {
-    val img = Multimodal.decodeStub(MediaBlob(0, "image", "abcd".getBytes))
-    val aud = Multimodal.decodeStub(MediaBlob(1, "audio", "abcd".getBytes))
-    val vid = Multimodal.decodeStub(MediaBlob(2, "video", "abcd".getBytes))
+  private def pack(m: String, payload: String) =
+    Multimodal.packContainer(m, payload.getBytes("UTF-8"))
+
+  test("container decode: deterministic, modality-correct feature shapes") {
+    val img = Multimodal.decode(MediaBlob(0, "image", pack("image", "abcd")))
+    val aud = Multimodal.decode(MediaBlob(1, "audio", pack("audio", "abcd")))
+    val vid = Multimodal.decode(MediaBlob(2, "video", pack("video", "abcd")))
     assert(img.width > 0 && img.height > 0 && img.n_frames === 1 && img.sample_rate === 0)
     assert(aud.width === 0 && aud.sample_rate >= 8000 && aud.n_frames === 0)
     assert(vid.n_frames > 0 && vid.width > 0)
-    assert(img.checksum === aud.checksum, "checksum depends only on bytes")
-    assert(Multimodal.decodeStub(MediaBlob(0, "image", "abcd".getBytes)) === img)
+    assert(img.n_bytes === 4, "n_bytes is the payload length, not container size")
+    assert(img.checksum === aud.checksum, "checksum depends only on payload bytes")
+    assert(Multimodal.decode(MediaBlob(0, "image", pack("image", "abcd"))) === img)
   }
 
-  test("empty blob does not crash the decoder") {
-    val f = Multimodal.decodeStub(MediaBlob(9, "image", Array.emptyByteArray))
+  test("empty payload does not crash the decoder") {
+    val f = Multimodal.decode(MediaBlob(9, "image", pack("image", "")))
     assert(f.n_bytes === 0 && f.width === 64)
+  }
+
+  test("container validation: corruption and mislabeling are caught, not mis-decoded") {
+    def corrupt(bytes: Array[Byte], at: Int): Array[Byte] = {
+      val c = bytes.clone(); c(at) = (c(at) ^ 0x5a).toByte; c
+    }
+    val good = pack("video", "some payload bytes")
+    // flip one payload byte -> checksum mismatch
+    val badPayload = corrupt(good, Multimodal.HeaderLen + 3)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decode(MediaBlob(1, "video", badPayload)))
+    assert(e1.getMessage.contains("checksum"))
+    // flip a magic byte
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decode(MediaBlob(2, "video", corrupt(good, 0))))
+    assert(e2.getMessage.contains("magic"))
+    // truncated container
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decode(MediaBlob(3, "video", good.take(20))))
+    assert(e3.getMessage.contains("truncated"))
+    // container/metadata modality disagreement
+    val e4 = intercept[IllegalArgumentException](
+      Multimodal.decode(MediaBlob(4, "image", good)))
+    assert(e4.getMessage.contains("metadata"))
+    // payload-length field lies about the actual size
+    val badLen = good.clone()
+    badLen(25) = (badLen(25) ^ 1).toByte
+    val e5 = intercept[IllegalArgumentException](
+      Multimodal.decode(MediaBlob(5, "video", badLen)))
+    assert(e5.getMessage.contains("length"))
+  }
+
+  test("SQL container pack is byte-identical to the JVM encoder") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val blobs = Multimodal.blobTable(spark, sf)
+      .filter(_.doc_id < docs.keys.max + 1)
+      .collect().filter(b => docs.contains(b.doc_id))
+    assert(blobs.nonEmpty)
+    blobs.foreach { b =>
+      val expected = Multimodal.packContainer(b.modality,
+        docs(b.doc_id).getBytes("UTF-8"))
+      assert(java.util.Arrays.equals(b.blob, expected),
+        s"doc ${b.doc_id}: SQL pack differs from JVM pack")
+    }
   }
 
   test("typed pipeline: every document becomes exactly one feature row") {
