@@ -144,6 +144,8 @@ object SparkEntry {
     "multimodal_summary" -> (Multimodal.modalitySummary _),
     "multimodal_frame_plan" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "multimodal_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
+    "multimodal_container_audit" -> ((s, d) => Multimodal.containerAudit(s, d)),
+    "data_quality_report" -> ((s, d) => Stats.dataQualityReport(s, d)),
     "events_cumulative_users" -> ((s, d) => Events.cumulativeUsers(s, d)),
     // --- custom operators ---
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
@@ -2484,6 +2486,57 @@ object SparkEntry {
         |  floor((CAST(a.n_active AS DOUBLE) / s.n_cohort) * 1e4 + 0.5) / 1e4 AS retention
         |FROM act a JOIN sz s USING (cohort_day)
         |ORDER BY a.cohort_day, a.day_offset""".stripMargin,
+    // containerAudit: the Spark side parses payload length and magic from
+    // the GRFT container BYTES; the oracle replays the accounting from the
+    // source text (payload = utf8 bytes, container = payload + 26B header
+    // + 16B md5 trailer, magic always valid by construction)
+    "multimodal_container_audit" ->
+      """WITH b AS (SELECT
+        |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS pbytes
+        |           FROM documents)
+        |SELECT modality, count(*) AS n_blobs,
+        |  CAST(sum(pbytes + 42) AS BIGINT) AS total_container_bytes,
+        |  CAST(sum(pbytes) AS BIGINT) AS total_payload_bytes,
+        |  CAST(count(*) * 42 AS BIGINT) AS total_overhead_bytes,
+        |  count(*) AS n_valid_magic,
+        |  max(pbytes) AS max_payload_bytes
+        |FROM b GROUP BY modality ORDER BY modality""".stripMargin,
+    // dataQualityReport: every constraint is exact arithmetic over the
+    // tables, so the oracle is a UNION ALL of scalar-subquery rows
+    "data_quality_report" ->
+      """WITH c AS (
+        |  SELECT 'enum_lineitem_returnflag' AS check_name, 'lineitem' AS table_name,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    (SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')) AS n_violations
+        |  UNION ALL SELECT 'fk_lineitem_orderkey', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL)
+        |  UNION ALL SELECT 'fk_orders_custkey', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders od LEFT JOIN customer cu ON od.o_custkey = cu.c_custkey
+        |     WHERE cu.c_custkey IS NULL)
+        |  UNION ALL SELECT 'nn_orders_orderdate', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        |  UNION ALL SELECT 'nonneg_lineitem_extendedprice', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0)
+        |  UNION ALL SELECT 'pk_lineitem_orderkey_linenumber', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem) -
+        |      (SELECT count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+        |  UNION ALL SELECT 'pk_orders_orderkey', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders) - (SELECT count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'range_lineitem_quantity', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50))
+        |SELECT check_name, table_name, n_rows, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM c ORDER BY check_name""".stripMargin,
     // blobDedup: checksum groups over the encoded payload; Spark md5 of
     // the UTF-8 blob = DuckDB md5 of the string's bytes
     "multimodal_dedup" ->

@@ -247,6 +247,32 @@ object Multimodal {
         countDistinct(col("modality")).as("n_modalities"))
       .orderBy("canonical_id")
 
+  /** Container-level audit parsed STRAIGHT OFF THE BINARY COLUMN with
+    * SQL expressions — no decode pass, no UDF: per modality, blob
+    * counts, container vs payload byte totals (payload length read from
+    * the header at offset 22, magic verified at offset 0) and the
+    * framing overhead. This is the lake-side "how much of my media
+    * table is wrapper" question, answerable from the bytes alone at
+    * scan speed; a magic-check count doubling as a corpus-wide format
+    * health probe. Map-only until the 3-row modality aggregate. */
+  def containerAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val blob = col("blob")
+    val plen = conv(hex(blob.substr(lit(HeaderLen - 3), lit(4))), 16, 10).cast("long")
+    blobTable(spark, sfDir).toDF()
+      .select(col("modality"),
+        length(blob).cast("long").as("cbytes"),
+        plen.as("pbytes"),
+        (hex(blob.substr(lit(1), lit(4))) === lit("47524654")).as("magic_ok"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum("cbytes").as("total_container_bytes"),
+        sum("pbytes").as("total_payload_bytes"),
+        (sum("cbytes") - sum("pbytes")).as("total_overhead_bytes"),
+        sum(when(col("magic_ok"), 1).otherwise(0)).cast("long").as("n_valid_magic"),
+        max("pbytes").as("max_payload_bytes"))
+      .orderBy("modality")
+  }
+
   /** Rollup over extracted features — the typical "what's in this
     * corpus" audit: per modality, count/bytes/dimension stats. */
   def modalitySummary(spark: SparkSession, sfDir: String): DataFrame =

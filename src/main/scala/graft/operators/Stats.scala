@@ -106,6 +106,58 @@ object Stats {
       .orderBy("col_name")
   }
 
+  /** Data-quality constraint report — the Deequ-class validation pass
+    * every production table runs before data is trusted: primary-key
+    * uniqueness, referential integrity, null contracts, value ranges
+    * and enum membership, one row per constraint with its violation
+    * count. Scale shape: per-table constraints fold into ONE wide
+    * aggregate per table (conditional sums — a single scan covers all
+    * of them, map-side partial); each FK check is one LEFT ANTI join
+    * count (shuffles only the key column; at 100 TB this is the
+    * standard orphan scan, and a broadcast of the dimension side when
+    * it fits). The handful of scalar results is assembled driver-side —
+    * constraint reports are driver-sized by definition. */
+  def dataQualityReport(spark: SparkSession, sfDir: String): DataFrame =
+    dataQualityReportOf(spark, Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.customer(spark, sfDir))
+
+  /** [[dataQualityReport]] over caller-supplied frames (spec injects
+    * violations through this seam). */
+  def dataQualityReportOf(spark: SparkSession, orders: DataFrame,
+      li: DataFrame, cust: DataFrame): DataFrame = {
+    import spark.implicits._
+    // one wide pass per table: every row-local constraint as a conditional sum
+    val o = orders.agg(
+      count(lit(1)), count_distinct(col("o_orderkey")),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).cast("long")).head()
+    val l = li.agg(
+      count(lit(1)),
+      count_distinct(struct(col("l_orderkey"), col("l_linenumber"))),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0)).cast("long"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).cast("long"),
+      sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("long")).head()
+    // referential integrity: orphan keys via anti join (key column only)
+    val liOrphans = li.select("l_orderkey")
+      .join(orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val oOrphans = orders.select("o_custkey")
+      .join(cust.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val nO = o.getLong(0); val nL = l.getLong(0)
+    Seq(
+      ("enum_lineitem_returnflag", "lineitem", nL, l.getLong(3)),
+      ("fk_lineitem_orderkey", "lineitem", nL, liOrphans),
+      ("fk_orders_custkey", "orders", nO, oOrphans),
+      ("nn_orders_orderdate", "orders", nO, o.getLong(2)),
+      ("nonneg_lineitem_extendedprice", "lineitem", nL, l.getLong(4)),
+      ("pk_lineitem_orderkey_linenumber", "lineitem", nL, nL - l.getLong(1)),
+      ("pk_orders_orderkey", "orders", nO, nO - o.getLong(1)),
+      ("range_lineitem_quantity", "lineitem", nL, l.getLong(2)))
+      .toDF("check_name", "table_name", "n_rows", "n_violations")
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
   /** Equi-depth histogram over order values — the other stats structure
     * planners keep (equi-WIDTH is `order_value_histogram`). The
     * scale-honest formulation: bucket BOUNDARIES come from one

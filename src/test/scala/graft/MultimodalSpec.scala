@@ -122,6 +122,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("container audit: byte accounting parsed from the binary column reconciles") {
+    import org.apache.spark.sql.functions._
+    val audit = Multimodal.containerAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(audit.keySet === Set("audio", "image", "video"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("pb"))
+    val expect = docs
+      .withColumn("m", when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      .groupBy("m").agg(count(lit(1)).as("n"), sum("pb").as("pb"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    audit.foreach { case (m, (n, cbytes, pbytes, overhead, validMagic)) =>
+      val (en, epb) = expect(m)
+      assert(n === en, s"$m count")
+      assert(pbytes === epb, s"$m payload bytes parsed from headers")
+      assert(overhead === n * 42, s"$m framing overhead")
+      assert(cbytes === pbytes + overhead, s"$m container accounting")
+      assert(validMagic === n, s"$m every container carries the magic")
+    }
+  }
+
   test("blob dedup: groups byte-identical payloads across modalities") {
     val blobs = Seq(
       (10L, "image", "same bytes"), (11L, "audio", "same bytes"),

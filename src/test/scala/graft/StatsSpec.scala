@@ -52,6 +52,57 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("data quality report: counts match the corpus, including its real pk defect") {
+    import org.apache.spark.sql.functions._
+    val rows = Stats.dataQualityReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length === 8, "one row per constraint")
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq, "deterministic order")
+    // the synthetic generator draws l_linenumber randomly, so the TPC-H
+    // composite pk genuinely does NOT hold in this corpus — the report's
+    // job is to COUNT that truthfully, not to assume cleanliness
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val expectedPkViol = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(expectedPkViol > 0, "corpus carries the pk defect this test documents")
+    rows.foreach { case (c, _, nRows, nViol, pass) =>
+      assert(nRows > 0, s"$c checked rows")
+      assert(pass === (nViol == 0L), s"$c pass flag consistent")
+      if (c == "pk_lineitem_orderkey_linenumber")
+        assert(nViol === expectedPkViol, s"$c must count the real duplicates")
+      else
+        assert(nViol === 0L, s"$c violations on clean data")
+    }
+  }
+
+  test("data quality report: injected violations are counted, not masked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val cust = graft.sources.Tables.customer(spark, sf)
+    // inject: 2 orphan lineitems, 1 bad enum, 1 out-of-range quantity,
+    // 1 duplicated composite pk (via a cloned row)
+    val badLi = li.limit(1)
+      .withColumn("l_orderkey", lit(-1L))     // orphan + new pk
+      .withColumn("l_returnflag", lit("X"))   // bad enum
+      .withColumn("l_quantity", lit(99.0))    // out of range
+    val orphan2 = li.limit(1).withColumn("l_orderkey", lit(-2L))
+    val dupPk = li.limit(1)                    // exact clone: pk duplicate
+    val liBad = li.unionByName(badLi).unionByName(orphan2).unionByName(dupPk)
+    val basePkViol = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    val out = Stats.dataQualityReportOf(spark, orders, liBad, cust).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("fk_lineitem_orderkey") === 2L, "both orphans found")
+    assert(out("enum_lineitem_returnflag") === 1L)
+    assert(out("range_lineitem_quantity") === 1L)
+    assert(out("pk_lineitem_orderkey_linenumber") === basePkViol + 1L,
+      "cloned pk adds exactly one violation on top of the corpus's own")
+    assert(out("pk_orders_orderkey") === 0L, "untouched table still passes")
+  }
+
   test("equi-depth histogram: contiguous buckets, balanced counts, ordered ranges") {
     val rows = Stats.orderValueEquidepth(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
