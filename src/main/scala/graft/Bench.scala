@@ -27,12 +27,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up on the BENCHED dataset (JVM, codegen, parquet footers of
-    // sfDir itself — warming a different SF would bill this SF's footer
-    // reads to the first measured query)
-    SparkEntry.queries("wordcount_topk")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-
     // min of 3 runs per query, unconditionally: host timing noise on
     // single runs measured at ±20% (occasional 10x outliers under
     // contention — BENCH_r02 showed 4-10x swings on untouched sub-second
@@ -65,20 +59,31 @@ object Bench {
     val warmT0 = System.nanoTime()
     selected.foreach { case (name, fn) => timeOnce(name, fn): Unit }
     val warmSec = (System.nanoTime() - warmT0) / 1e9
+    // a warm-only failure (cold artifact-write race, say) is not a
+    // measured failure: report the two phases' failures separately
+    val warmFailed = failed.toList
+    failed.clear()
     // Phase 2 — steady-state: min of 3 timed runs per query
     val results = selected.map { case (name, fn) =>
       name -> Seq.fill(3)(timeOnce(name, fn)).min
     }
     val total = results.map(_._2).sum
+    val warmOnlyFailed = warmFailed.filterNot(failed.contains)
     // a failed query must be visible in the one line the driver reads,
     // not just as a buried stderr message
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // warm-only failures ride along only when present (budget-neutral
+    // in the normal all-green case)
+    val warmFailedJson =
+      if (warmOnlyFailed.isEmpty) ""
+      else warmOnlyFailed.map("\"" + _ + "\"")
+        .mkString(""","warm_failed":[""", ",", "]")
 
     // full precision, every query — for humans and for PERF.md
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$fullQs,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
     // the side file is best-effort: a missing target/ (jar run, clean
     // dir) must not throw AFTER all queries ran and suppress the primary
     // stdout line below — that would lose the whole run's results
@@ -109,7 +114,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + round2(v) }
         .mkString("{", ",", "}")
       val el = if (elided > 0) s""","elided":$elided""" else ""
-      s"""{"metric":"total","value":${round2(total)},"unit":"sec","warm_sec":${round2(warmSec)},"queries":$qs$el,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${round2(total)},"unit":"sec","warm_sec":${round2(warmSec)},"queries":$qs$el,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
     }
     var keep = byCost.length
     while (keep > 0 && lineFor(byCost.take(keep), byCost.length - keep).length > budget)

@@ -150,12 +150,17 @@ object Layout {
       // dies with the JVM while the backing dirs persist in tmpdir, so
       // a catalog scan would never see a previous run's leftovers.
       // Exact-match the suffix (8 hex chars) so a sibling table whose
-      // NAME merely extends this prefix can never be swept.
+      // NAME merely extends this prefix can never be swept. The legacy
+      // (pre-source-discriminator) pattern is swept too — those dirs
+      // predate the rename and would otherwise be orphaned forever.
+      val legacy = java.util.regex.Pattern.quote(
+        s"graft_bkt_${name}_b${buckets}_") + "[0-9a-f]{8}"
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-bucketed").toFile
       Option(base.listFiles()).getOrElse(Array.empty)
         .filter(d => d.getName != tbl &&
-          d.getName.matches(java.util.regex.Pattern.quote(prefix) + "[0-9a-f]{8}"))
+          (d.getName.matches(java.util.regex.Pattern.quote(prefix) + "[0-9a-f]{8}") ||
+            d.getName.matches(legacy)))
         .foreach { stale =>
           spark.sql(s"DROP TABLE IF EXISTS ${stale.getName}")
           ArtifactCache.deleteRecursively(stale)
@@ -228,18 +233,26 @@ object Layout {
     * problem), then re-run [[writeZOrdered]] at that count. Cost is the
     * same single range shuffle any compaction pays; the clustering
     * comes along free because the range partitioner keys on the Morton
-    * value. Returns the planned file count. Asserted in
-    * BucketedJoinSpec: post-compaction per-file rectangles stay tight
-    * on BOTH dimensions while a round-robin compaction's do not. */
+    * value. Returns the file count ACTUALLY written (the plan and the
+    * outcome can differ — writeZOrdered's empty/all-null-key fallback
+    * ignores the file target, and a near-empty input can underfill
+    * range partitions — so the honest return value is a post-write
+    * listing, not the plan). Asserted in BucketedJoinSpec:
+    * post-compaction per-file rectangles stay tight on BOTH dimensions
+    * while a round-robin compaction's do not. */
   def compactZOrdered(spark: SparkSession, inDir: String, outDir: String,
       xCol: String, yCol: String, targetBytes: Long = 2L << 20,
       bits: Int = 16): Int = {
-    val p = new org.apache.hadoop.fs.Path(inDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
+    val fsOf = (d: String) => {
+      val p = new org.apache.hadoop.fs.Path(d)
+      (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    val (in, fs) = fsOf(inDir)
+    val bytes = fs.getContentSummary(in).getLength
     val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     writeZOrdered(spark.read.parquet(inDir), outDir, xCol, yCol, files, bits)
-    files
+    val (out, outFs) = fsOf(outDir)
+    outFs.listStatus(out).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** EXECUTE a [[compactionPlan]]: rewrite the documents table under

@@ -59,6 +59,19 @@ object Multimodal {
   private val codeOf = Map("image" -> 0, "audio" -> 1, "video" -> 2)
   private val modalityOf = codeOf.map(_.swap)
 
+  /** Magic as the 8-hex-char string the SQL pack/parse expressions use
+    * (single source of truth with the int constant). */
+  private val MagicHex = "%08X".format(Magic)
+
+  /** Expression: payload length parsed from a GRFT container column
+    * (4 big-endian bytes at offset 22; substr is 1-based). */
+  private def payloadLenExpr(blob: Column): Column =
+    conv(hex(blob.substr(lit(HeaderLen - 3), lit(4))), 16, 10)
+
+  /** Expression: does the container column open with the GRFT magic? */
+  private def magicOkExpr(blob: Column): Column =
+    hex(blob.substr(lit(1), lit(4))) === lit(MagicHex)
+
   /** Header feature values, derived deterministically from the payload
     * (this is the synthetic stand-in for what a real encoder would know
     * about its media): (width, height, n_frames, sample_rate). */
@@ -126,7 +139,7 @@ object Multimodal {
       .select(col("doc_id"), col("modality"),
         concat(
           unhex(concat(
-            lit("%08X".format(Magic)), lit("%02X".format(Version)),
+            lit(MagicHex), lit("%02X".format(Version)),
             when(col("modality") === "image", "00")
               .when(col("modality") === "audio", "01").otherwise("02"),
             be32(col("width")), be32(col("height")),
@@ -232,8 +245,7 @@ object Multimodal {
     * partition. */
   def blobDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val blob = col("blob")
-    val plen = conv(hex(blob.substr(lit(HeaderLen - 3), lit(4))), 16, 10).cast("int")
-    val payload = blob.substr(lit(HeaderLen + 1), plen)
+    val payload = blob.substr(lit(HeaderLen + 1), payloadLenExpr(blob).cast("int"))
     blobDedupOf(blobTable(spark, sfDir).toDF()
       .select(col("doc_id"), col("modality"), payload.as("blob")))
   }
@@ -257,12 +269,11 @@ object Multimodal {
     * health probe. Map-only until the 3-row modality aggregate. */
   def containerAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val blob = col("blob")
-    val plen = conv(hex(blob.substr(lit(HeaderLen - 3), lit(4))), 16, 10).cast("long")
     blobTable(spark, sfDir).toDF()
       .select(col("modality"),
         length(blob).cast("long").as("cbytes"),
-        plen.as("pbytes"),
-        (hex(blob.substr(lit(1), lit(4))) === lit("47524654")).as("magic_ok"))
+        payloadLenExpr(blob).cast("long").as("pbytes"),
+        magicOkExpr(blob).as("magic_ok"))
       .groupBy("modality")
       .agg(count(lit(1)).as("n_blobs"),
         sum("cbytes").as("total_container_bytes"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Deterministic.rd
 import graft.sources.Tables
@@ -126,16 +126,19 @@ object Stats {
   def dataQualityReportOf(spark: SparkSession, orders: DataFrame,
       li: DataFrame, cust: DataFrame): DataFrame = {
     import spark.implicits._
-    // one wide pass per table: every row-local constraint as a conditional sum
+    // one wide pass per table: every row-local constraint as a conditional
+    // sum. coalesce matters: sum() over an EMPTY table is NULL and an
+    // empty table is a quality state to report, not to NPE on
+    def viol(c: Column): Column = coalesce(sum(when(c, 1).otherwise(0)), lit(0)).cast("long")
     val o = orders.agg(
       count(lit(1)), count_distinct(col("o_orderkey")),
-      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).cast("long")).head()
+      viol(col("o_orderdate").isNull)).head()
     val l = li.agg(
       count(lit(1)),
       count_distinct(struct(col("l_orderkey"), col("l_linenumber"))),
-      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0)).cast("long"),
-      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).cast("long"),
-      sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("long")).head()
+      viol(col("l_quantity") < 1 || col("l_quantity") > 50),
+      viol(!col("l_returnflag").isin("A", "N", "R")),
+      viol(col("l_extendedprice") < 0)).head()
     // referential integrity: orphan keys via anti join (key column only)
     val liOrphans = li.select("l_orderkey")
       .join(orders.select("o_orderkey"),

@@ -208,11 +208,6 @@ object EventStream {
       .orderBy("window_start")
   }
 
-  /** Second driver-contract streaming entry: gap-based sessionization
-    * through the stateful `session_window` streaming operator (state
-    * merges sessions as events arrive), drained to completion — the
-    * incremental twin of `events_sessionize` with the same columns and
-    * oracle. Exercises session-merge state, not just keyed windows. */
   /** The watermarked session aggregation shared by
     * [[sessionizeViaStream]] and the checkpoint-recovery spec: 30-min
     * gap sessions per user with the quantized value sum. Works on a
@@ -231,6 +226,11 @@ object EventStream {
       .select("user_id", "session_start", "session_last", "n_events", "session_value")
   }
 
+  /** Second driver-contract streaming entry: gap-based sessionization
+    * through the stateful `session_window` streaming operator (state
+    * merges sessions as events arrive), drained to completion — the
+    * incremental twin of `events_sessionize` with the same columns and
+    * oracle. Exercises session-merge state, not just keyed windows. */
   def sessionizeViaStream(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark, sessionAgg(corpusEventsSource(spark, sfDir)),
       "graft_stream_sessionize",

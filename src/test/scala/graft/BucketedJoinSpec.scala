@@ -223,20 +223,26 @@ class BucketedJoinSpec extends SparkSpec {
         .count(f => f.getName.endsWith(".parquet"))
       assert(smallFiles === 64, "fragmented input")
       // compact it with clustering preserved vs a plain round-robin rewrite
-      val target = {
-        // aim for ~8 output files whatever the SF's byte size is
-        val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(smallDir))
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        math.max(1L, bytes / 8)
+      // byte size via the SAME Hadoop API the operator plans with
+      // (Files.walk would also count the local FS's hidden .crc files)
+      def hadoopBytes(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
       }
-      val planned = Layout.compactZOrdered(spark, smallDir, zDir,
+      // aim for ~8 output files whatever the SF's byte size is
+      val target = math.max(1L, hadoopBytes(smallDir) / 8)
+      val written = Layout.compactZOrdered(spark, smallDir, zDir,
         "l_orderkey", "l_partkey", targetBytes = target)
-      spark.read.parquet(smallDir).repartition(planned)
+      spark.read.parquet(smallDir).repartition(written)
         .write.mode("overwrite").parquet(rrDir)
       val zFiles = new java.io.File(zDir).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
-      assert(zFiles === planned, s"planned $planned files, wrote $zFiles")
+      assert(zFiles === written, s"returned count must match the listing")
+      // on this non-degenerate input the byte plan is achieved exactly
+      val bytes2 = hadoopBytes(smallDir)
+      assert(written === ((bytes2 + target - 1) / target).toInt,
+        s"plan ceil(bytes/target) not achieved")
       assert(zFiles < smallFiles / 4, "compaction must actually reduce file count")
       assert(spark.read.parquet(zDir).count() === li.count(), "rows survive")
       // footer-stats pruning power: mean fractional [min,max] width per file

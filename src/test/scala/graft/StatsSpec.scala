@@ -29,26 +29,25 @@ class StatsSpec extends SparkSpec {
   }
 
   test("approx column stats: HLL distinct within 10% of exact, rest identical") {
-    val exact = Stats.lineitemColumnStats(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // ONE collect of the exact form (its explode pass is the expensive
+    // bit this twin exists to avoid) serves both comparisons
+    val exactFull = Stats.lineitemColumnStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
     val approx = Stats.lineitemColumnStatsApprox(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         Option(r.get(4)).map(_.asInstanceOf[Double]),
         Option(r.get(5)).map(_.asInstanceOf[Double]))))
-    assert(approx.map(_._1).toSet === exact.keySet, "one row per column")
-    // the non-sketch columns must EQUAL the exact form's (same pass math)
-    val exactFull = Stats.lineitemColumnStats(spark, sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        Option(r.get(4)).map(_.asInstanceOf[Double]),
-        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(approx.map(_._1).toSet === exactFull.keySet, "one row per column")
     approx.foreach { case (c, (nRows, nNulls, ndApprox, mn, mx)) =>
-      val (eRows, eNulls, eMn, eMx) = exactFull(c)
+      val (eRows, eNulls, eDistinct, eMn, eMx) = exactFull(c)
       assert(nRows === eRows && nNulls === eNulls, s"$c counts")
       assert(mn === eMn && mx === eMx, s"$c min/max")
       // HLL++ with default rsd=0.05: allow 10% relative error
-      val e = exact(c).toDouble
+      val e = eDistinct.toDouble
       assert(math.abs(ndApprox - e) <= math.max(1.0, 0.10 * e),
-        s"$c approx $ndApprox vs exact ${exact(c)}")
+        s"$c approx $ndApprox vs exact $eDistinct")
     }
   }
 
