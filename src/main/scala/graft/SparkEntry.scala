@@ -164,6 +164,8 @@ object SparkEntry {
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> ((s, d) => Events.stratifiedSample(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "events_distinct_rollup" -> ((s, d) => Events.distinctUsersViaSketchRollup(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
     "ann_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
@@ -1673,6 +1675,11 @@ object SparkEntry {
         |                  ELSE 0.0 END) * 4294967296.0
         |ORDER BY e.event_id""".stripMargin,
     "ann_topk_ivf" -> ivfTrainedOracle(2),
+    "ann_knn_join" -> knnJoinOracle(2, 3),
+    // events_distinct_rollup: HLL sketch estimates differ per engine ->
+    // rows-only check; AsOfJoinSpec bounds error <5% and asserts the
+    // union-of-daily-sketches estimate equals the direct sketch (the
+    // mergeability contract)
     "ann_incremental_assign" -> ivfIncrementalOracle(2),
     "ann_index_health" -> indexHealthOracle(2),
     "ann_recall_curve" -> recallCurveOracle(2),
@@ -3047,6 +3054,41 @@ object SparkEntry {
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM pairs)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.knnJoin]]: the same
+    * trained quantizer + assignment CTEs as [[ivfTrainedOracle]], then
+    * every vector's nprobe nearest cells and the probe-cell join ranked
+    * per vector on the 4-dp cosine. */
+  private def knnJoinOracle(iters: Int, k: Int, nprobe: Int = 4): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", s"c$iters")},
+       |probes AS (SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfCsim("v.embedding", "v.nrm")} DESC, c.cent_id ASC) AS prn
+       |    FROM n v, c$iters c)
+       |  WHERE prn <= $nprobe),
+       |pairs AS (
+       |  SELECT p.vec_id AS vec_id, a.vec_id AS neighbor_id,
+       |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(va.embedding, i) AS DOUBLE) * CAST(list_extract(vb.embedding, i) AS DOUBLE))) / (va.nrm * vb.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |  FROM probes p
+       |    JOIN assigned a ON a.cluster = p.cluster AND a.vec_id != p.vec_id
+       |    JOIN n va ON va.vec_id = p.vec_id
+       |    JOIN n vb ON vb.vec_id = a.vec_id)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact

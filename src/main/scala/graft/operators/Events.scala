@@ -89,6 +89,35 @@ object Events {
         count_distinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** MERGEABLE-sketch distinct rollup — the incremental-stats
+    * architecture at 100 TB: per-(type, day) HyperLogLog sketches built
+    * once (in production: stored as the day closes, never recomputed),
+    * then UNIONED across days for the corpus-wide distinct — the union
+    * touches only fixed-size sketch blobs, not events. This is what
+    * separates `hll_sketch_agg`/`hll_union_agg` from a plain
+    * `approx_count_distinct`: the daily sketches are reusable artifacts
+    * (any date-range distinct is a union over them), and late data
+    * merges by re-sketching one day, not rescanning history. The exact
+    * count rides along as the accuracy witness; sketch estimates are
+    * engine-specific (rows-only driver check; EventsSpec-side assertions
+    * in AsOfJoinSpec bound error <5% and prove union-vs-direct sketch
+    * equality — the mergeability contract itself). */
+  def distinctUsersViaSketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sketch"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("cast(hll_sketch_estimate(hll_union_agg(sketch)) as bigint)")
+          .as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select("event_type", "n_days", "approx_users", "exact_users")
+      .orderBy("event_type")
+  }
+
   /** Pivot: one column per event type with per-user counts. Explicit
     * pivot values keep the schema static (no extra distinct-values job
     * and a plan that scales like any other agg). */

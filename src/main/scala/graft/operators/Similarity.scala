@@ -338,6 +338,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** All-pairs kNN JOIN over the IVF layout: every vector's k nearest
+    * neighbors among the vectors in its `nprobe` nearest cells — the
+    * FAISS-style kNN-GRAPH construction pass (neighborhood graphs for
+    * community detection, SemDeDup compare sets, pruning-by-
+    * neighborhood). Cost is Σ(nprobe × cell) ≈ nprobe·N²/C — NEVER the
+    * N² all-pairs product; at 100 TB the (probe cell × posting list)
+    * blocks are the unit of parallelism and per-task memory, and
+    * nprobe/C is the recall-vs-cost dial (SimilaritySpec measures
+    * recall against the exact kNN). A vector's own cell is always
+    * probed (its nearest centroid IS its assignment, by the shared
+    * rule). Ranking is on the 4-dp rounded cosine with id tie-break —
+    * the [[ivfTopK]] convention — so the DuckDB oracle replays
+    * training, assignment, probing and the join bit-for-bit. */
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3,
+      nprobe: Int = 4, numCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+    val neighbors = assignmentIndex(spark, sfDir, numCentroids, trainIters)
+      .join(emb, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("e2"),
+        col("nrm").as("n2"), col("cluster"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
+        rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cluster"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    probes.join(neighbors, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        rd(cosine(col("e"), col("nrm"), col("e2"), col("n2")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("vec_id", "rank")
+  }
+
   /** Prototypicality profile (the SSL-prototypes pruning signal,
     * Sorscher et al. 2022 "Beyond neural scaling laws"): each vector's
     * cosine to its OWN cell centroid, plus its rank within the cell.

@@ -89,4 +89,30 @@ class AsOfJoinSpec extends SparkSpec {
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("sketch rollup: union-of-daily HLLs within 5% of exact, equal to the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.distinctUsersViaSketchRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, days, approx, exact) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(days > 1, s"$t must actually merge multiple daily sketches")
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"$t: sketch $approx vs exact $exact")
+    }
+    // the mergeability contract itself: unioning per-day sketches must
+    // give EXACTLY the estimate of sketching the whole stream directly
+    // (HLL registers merge losslessly) — this is what makes the daily
+    // sketches reusable artifacts
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id)) as bigint)")
+        .as("direct_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === direct(r.getString(0)),
+        s"${r.getString(0)}: merged estimate must equal the direct sketch estimate")
+    }
+  }
 }
