@@ -3059,8 +3059,9 @@ object SparkEntry {
   /** DuckDB replay of [[graft.operators.Similarity.knnJoin]]: the same
     * trained quantizer + assignment CTEs as [[ivfTrainedOracle]], then
     * every vector's nprobe nearest cells and the probe-cell join ranked
-    * per vector on the 4-dp cosine. */
-  private def knnJoinOracle(iters: Int, k: Int, nprobe: Int = 4): String = {
+    * per vector on the 4-dp cosine. C = max(16, ceil(√N)) mirrors the
+    * Spark side's FAISS-guideline sizing via a scalar subquery. */
+  private def knnJoinOracle(iters: Int, k: Int, nprobe: Int = 6): String = {
     val training = (0 until iters).map { t =>
       s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
     }.mkString(",\n")
@@ -3068,7 +3069,8 @@ object SparkEntry {
        |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
        |           FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n
+       |       WHERE vec_id < greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
        |$training,
        |${ivfAssignCte("assigned", s"c$iters")},
        |probes AS (SELECT vec_id, cluster FROM (

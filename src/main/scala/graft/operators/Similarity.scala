@@ -350,10 +350,19 @@ object Similarity {
     * probed (its nearest centroid IS its assignment, by the shared
     * rule). Ranking is on the 4-dp rounded cosine with id tie-break —
     * the [[ivfTopK]] convention — so the DuckDB oracle replays
-    * training, assignment, probing and the join bit-for-bit. */
+    * training, assignment, probing and the join bit-for-bit.
+    *
+    * The cell count follows the FAISS guideline C ≈ √N (floored at
+    * 16): at FIXED C the probe join is nprobe·N²/C — quadratic, and
+    * measured so (2.8 s at 2 k vectors → 43 s at 20 k with C=16);
+    * C = √N keeps cell size ≈ √N so BOTH k-means training (N·C per
+    * iter) and the join (nprobe·N·√N) stay at N^1.5. The count that
+    * sizes C is one scalar job; the oracle computes the same C with a
+    * scalar subquery. */
   def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3,
-      nprobe: Int = 4, numCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+      nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
     val emb = normalizedEmbeddings(spark, sfDir)
+    val numCentroids = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
     val neighbors = assignmentIndex(spark, sfDir, numCentroids, trainIters)
       .join(emb, Seq("vec_id"))

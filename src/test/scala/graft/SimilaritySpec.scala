@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("kNN join: structure sound, recall vs exact kNN tracks the nprobe dial") {
-    val knn = Similarity.knnJoin(spark, sf, k = 3, nprobe = 4).collect()
+    val knn = Similarity.knnJoin(spark, sf, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(knn.nonEmpty)
     assert(knn.forall(r => r._1 != r._2), "no self neighbors")
@@ -68,15 +68,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = knn.map(r => (r._1, r._2)).toSet
     val recall = brute.intersect(got).size.toDouble / brute.size
-    info(f"kNN-join recall@3 at nprobe=4/16: $recall%.3f")
-    // near-uniform corpus, probing 4/16 cells: measured ~0.7 on the
-    // seed-42 fixture; gate with margin. The dial claim: more probes
-    // must not lose recall
-    assert(recall >= 0.55, s"recall@3 too low: $recall")
-    val knn8 = Similarity.knnJoin(spark, sf, k = 3, nprobe = 8).collect()
+    info(f"kNN-join recall@3 at default nprobe=6, C=ceil(sqrt(500))=23: $recall%.3f")
+    // near-uniform corpus (recall tracks the probed-cell fraction, the
+    // worst case — clustered real embeddings co-locate true neighbors):
+    // measured ~0.63 at 6/23 on the seed-42 fixture; gate with margin.
+    // The dial claim: more probes must not lose recall
+    assert(recall >= 0.5, s"recall@3 too low: $recall")
+    val knn12 = Similarity.knnJoin(spark, sf, k = 3, nprobe = 12).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall8 = brute.intersect(knn8).size.toDouble / brute.size
-    assert(recall8 >= recall - 1e-9, s"recall must be monotone in nprobe: $recall8 < $recall")
+    val recall12 = brute.intersect(knn12).size.toDouble / brute.size
+    assert(recall12 >= recall - 1e-9, s"recall must be monotone in nprobe: $recall12 < $recall")
   }
 
   test("LSH top-k recall vs brute force is at least 0.7") {
