@@ -44,6 +44,16 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantityRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeVolumeOrders(s, d)),
     "q19_disjunctive_revenue" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q7_nation_trade" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
+    "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(s, d)),
+    "q12_delay_classes" -> (Relational.q12DelayClasses _),
+    "q13_order_distribution" -> (Relational.q13OrderCountDistribution _),
+    "q16_supplier_variety" -> ((s, d) => Relational.q16SupplierVariety(s, d)),
+    "q20_dominant_suppliers" -> ((s, d) => Relational.q20DominantSuppliers(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => Relational.q21WaitingSuppliers(s, d)),
+    "q22_dormant_customers" -> ((s, d) => Relational.q22DormantCustomers(s, d)),
     "corpus_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "events_salted_enrich" -> ((s, d) => SkewTools.saltedUserEnrich(s, d)),
     "set_ops_active_customers" -> (Relational.setOpsActiveCustomers _),
@@ -470,6 +480,149 @@ object SparkEntry {
         |    OR (p.p_brand = 'Brand#23' AND p.p_size <= 10 AND l.l_quantity BETWEEN 10 AND 20)
         |    OR (p.p_brand = 'Brand#34' AND p.p_size <= 15 AND l.l_quantity >= 20))
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    // Q2: per-part min unit price (4-dp-quantized per row, so the
+    // equality join-back is engine-stable), DISTINCT offer rows
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT DISTINCT p.p_partkey, p.p_name, l.l_suppkey,
+        |    floor(l.l_extendedprice / l.l_quantity * 1e4 + 0.5) / 1e4 AS unit_price
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'SMALL' AND p.p_size = 15),
+        |best AS (SELECT p_partkey, min(unit_price) AS min_price
+        |         FROM offers GROUP BY 1)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, o.p_partkey, o.p_name, o.unit_price
+        |FROM offers o
+        |  JOIN best b ON o.p_partkey = b.p_partkey AND o.unit_price = b.min_price
+        |  JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY s.s_acctbal DESC, s.s_name, o.p_partkey""".stripMargin,
+    // Q7: bilateral nation trade by ship year
+    "q7_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  floor((CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_8')
+        |   OR (cn.n_name = 'NATION_8' AND sn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Q9: profit under the documented 0.5×retail cost model; per-row
+    // profit (possibly negative) quantized at 4 dp — floor is
+    // toward -inf in both engines, so negatives round identically
+    "q9_product_profit" ->
+      """SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  floor((CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+        |                              - 0.5 * p.p_retailprice * l.l_quantity) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
+        |        * 1e2 + 0.5) / 1e2 AS sum_profit
+        |FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11: fraction-of-total threshold off the same integer-unit agg
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l.l_partkey,
+        |    sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6 + 0.5) AS BIGINT)) AS units
+        |  FROM lineitem l
+        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(floor((CAST(units AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
+        |      FROM v)
+        |SELECT l_partkey,
+        |  floor((CAST(units AS DOUBLE) / 1e6) * 1e2 + 0.5) / 1e2 AS part_value
+        |FROM v
+        |WHERE CAST(units AS DOUBLE) / 1e6 > (SELECT total FROM t) * 0.002
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    // Q12: delay buckets from exact integer day arithmetic
+    "q12_delay_classes" ->
+      """SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '1_FAST'
+        |            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN '2_MEDIUM'
+        |            ELSE '3_SLOW' END AS delay_class,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q13: zero-including histogram — exclusion predicate lives in the
+    // LEFT JOIN condition, never a WHERE
+    "q13_order_distribution" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q16: NOT IN subquery over negative-balance suppliers
+    "q16_supplier_variety" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20: mean-relative threshold; quantities are integral doubles so
+    // the BIGINT cast is exact
+    "q20_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l.l_suppkey, CAST(sum(l.l_quantity) AS BIGINT) AS red_qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'red %'
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(sum(red_qty) AS DOUBLE) / count(*) AS mean FROM ps)
+        |SELECT s.s_name, n.n_name, ps.red_qty
+        |FROM ps
+        |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE CAST(ps.red_qty AS DOUBLE) > 1.5 * (SELECT mean FROM m)
+        |ORDER BY ps.red_qty DESC, s.s_name""".stripMargin,
+    // Q21: per-order (n_supp, n_late) profile replays EXISTS/NOT EXISTS;
+    // each qualifying (order, supplier) pair counts once
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    date_diff('day', o.o_orderdate, l.l_shipdate) > 60 AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |prof AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM li GROUP BY 1),
+        |w AS (
+        |  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        |  FROM li JOIN prof ON li.l_orderkey = prof.l_orderkey
+        |  WHERE li.late AND prof.n_supp > 1 AND prof.n_late = 1)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // Q22: exact quantized mean threshold + NOT EXISTS on recent orders
+    "q22_dormant_customers" ->
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / (count(c_acctbal) * 1e2) AS t
+        |  FROM customer WHERE c_acctbal > 0),
+        |d AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        |  FROM customer c
+        |  WHERE c.c_acctbal > (SELECT t FROM thr)
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT n.n_name AS nation, count(*) AS numcust,
+        |  floor((CAST(sum(CAST(floor(d.c_acctbal * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
+        |        * 1e2 + 0.5) / 1e2 AS totacctbal
+        |FROM d JOIN nation n ON d.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // vocabGrowth(buckets=10): first-seen decomposition; integer-div
     // buckets from the id range
     "corpus_vocab_growth" ->

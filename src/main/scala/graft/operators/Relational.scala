@@ -549,4 +549,306 @@ object Relational {
         rd(col("nation_volume") / col("total_volume"), 4).as("mkt_share"))
       .orderBy("o_year")
   }
+
+  /** TPC-H Q2-style minimum-cost supplier: for each part in a
+    * size/type slice, the supplier(s) offering the lowest effective
+    * unit price — the classic correlated `= (SELECT min ...)` per
+    * group, decorrelated into a per-part min joined back on equality.
+    * The schema here has no `partsupp`, so the supply relation is
+    * derived from `lineitem` and the offered price is
+    * `l_extendedprice / l_quantity` (per-row IEEE division is
+    * bit-identical across engines; quantized to 4 dp before the min so
+    * the equality join-back is engine-stable). Scale: the part filter
+    * prunes at the scan, so the lineitem join sees a broadcastable part
+    * side; the per-part min shuffles O(|filtered parts × suppliers|)
+    * rows, and the join back reuses the same l_partkey key. */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String,
+      partType: String = "SMALL", partSize: Int = 15): DataFrame = {
+    val p = part(spark, sfDir)
+      .filter(col("p_type") === partType && col("p_size") === partSize)
+      .select("p_partkey", "p_name")
+    val offers = lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        rd(col("l_extendedprice") / col("l_quantity"), 4).as("unit_price"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "p_name", "l_suppkey", "unit_price")
+      .distinct() // one offer row per (part, supplier, price)
+    val best = offers.groupBy(col("p_partkey").as("bp_key"))
+      .agg(min("unit_price").as("min_price"))
+    offers
+      .join(best, col("p_partkey") === col("bp_key") &&
+        col("unit_price") === col("min_price"))
+      .join(supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("unit_price"))
+      .orderBy(desc("s_acctbal"), asc("s_name"), asc("p_partkey"))
+  }
+
+  /** TPC-H Q7-style volume shipping: bilateral trade between two
+    * nations — revenue where the customer sits in one and the supplier
+    * in the other, per ship year. The two nation lookups are separate
+    * broadcast joins against role-aliased copies of the bounded dim;
+    * the fact-side joins shuffle on their natural keys only. The
+    * cross-pair filter (`(c=A ∧ s=B) ∨ (c=B ∧ s=A)`) runs post-join in
+    * one codegen stage. */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_8"): DataFrame = {
+    val natC = nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val natS = nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .filter((col("cust_nation") === nationA && col("supp_nation") === nationB) ||
+              (col("cust_nation") === nationB && col("supp_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(rd(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q9-style product-type profit by nation and year. No
+    * `partsupp` here, so the cost model is defined as
+    * `0.5 × p_retailprice × l_quantity` (half of retail — a fixed,
+    * documented stand-in for `ps_supplycost`); profit is revenue minus
+    * that cost, summed per (supplier nation, order year) for parts
+    * whose name contains the probe substring. Per-row profit is pure
+    * IEEE arithmetic (bit-stable), quantized at 4 dp into the exact
+    * integer sum. The name filter cannot push as a parquet predicate
+    * (substring match) but prunes before the fact join, keeping the
+    * part side broadcastable. */
+  def q9ProductProfit(spark: SparkSession, sfDir: String,
+      nameProbe: String = "widget"): DataFrame = {
+    val p = part(spark, sfDir)
+      .filter(col("p_name").contains(nameProbe))
+      .select("p_partkey", "p_retailprice")
+    val natS = nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name"))
+    lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(rd(qsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity"), 4), 2)
+        .as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q11-style important parts: per-part shipped value through
+    * one nation's suppliers, keeping parts whose value exceeds a fixed
+    * FRACTION of the nation's total — the scalar-subquery-threshold
+    * pattern. Both the per-part values and the grand total are exact
+    * integer-quantized sums, and the threshold multiply is one IEEE op,
+    * so the cut is engine-stable. The fraction (not an absolute) keeps
+    * the query meaningful at any SF. Scale: one shuffle on l_partkey
+    * for the agg; the total is a 1-row scalar anchor off the SAME
+    * aggregated (O(|parts|)-sized) frame — no second corpus pass. */
+  def q11ImportantParts(spark: SparkSession, sfDir: String,
+      nationName: String = "NATION_3", fraction: Double = 0.002): DataFrame = {
+    val supp = supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val nat = nation(spark, sfDir)
+      .filter(col("n_name") === nationName).select("n_nationkey")
+    val perPart = lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("l_partkey")
+      .agg(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("value_raw"))
+    // empty supply slice (possible at tiny SFs): sum aggregates to NULL
+    // — threshold against +inf keeps the frame empty instead of NPE-ing
+    val totalRow = perPart.agg(qsum(col("value_raw"), 6)).head()
+    val cut =
+      if (totalRow.isNullAt(0)) Double.PositiveInfinity
+      else totalRow.getDouble(0) * fraction
+    perPart.filter(col("value_raw") > lit(cut))
+      .select(col("l_partkey"), rd(col("value_raw"), 2).as("part_value"))
+      .orderBy(desc("part_value"), asc("l_partkey"))
+  }
+
+  /** TPC-H Q12-style shipping-delay report: lineitems bucketed by how
+    * long after the order date they shipped, counting high-priority
+    * (1-URGENT / 2-HIGH) vs lower-priority lines per bucket — the
+    * canonical Q12 shape with delay classes standing in for the absent
+    * `l_shipmode`/receipt dates. Day arithmetic is integer (dates are
+    * midnight-aligned), so bucketing is exact in both engines. One
+    * fact-fact join on orderkey, then an O(3)-group agg. */
+  def q12DelayClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+      .join(orders(spark, sfDir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(delay <= 30, "1_FAST")
+          .when(delay <= 90, "2_MEDIUM")
+          .otherwise("3_SLOW").as("delay_class"),
+        col("o_orderpriority"))
+      .groupBy("delay_class")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_class")
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly k qualifying orders, INCLUDING k = 0 —
+    * the left-join-then-histogram pattern (an inner join would silently
+    * drop the zero bucket). The priority exclusion stands in for the
+    * canonical comment filter and rides the JOIN CONDITION, not a WHERE
+    * (a post-join WHERE would also drop the zero-order customers).
+    * Scale: both aggs are key-local; the second one is O(|customers|)
+    * → O(distinct counts). */
+  def q13OrderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = customer(spark, sfDir).select("c_custkey")
+      .join(orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "4-NOT SPECIFIED",
+        "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips nulls
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q16-style supplier variety: distinct suppliers per
+    * (brand, type, size) slice, excluding one brand and suppliers with
+    * negative balance — the NOT-IN-subquery pattern as a left-anti
+    * join (the balance filter stands in for the canonical complaints
+    * LIKE). The supply relation is derived from lineitem (no
+    * partsupp). Scale: the anti join's right side is the bounded
+    * supplier dim → broadcast; distinct-count shuffles (group, supp)
+    * pairs, already collapsed map-side. */
+  def q16SupplierVariety(spark: SparkSession, sfDir: String,
+      excludeBrand: String = "Brand#1",
+      sizes: Seq[Int] = Seq(1, 3, 9, 14, 19, 23, 36, 45)): DataFrame = {
+    val p = part(spark, sfDir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** TPC-H Q20-style over-indexed suppliers: suppliers whose shipped
+    * quantity of one part family ('red …' parts) exceeds 1.5× the
+    * average supplier's — the two-level-agg + scalar-threshold shape.
+    * The canonical availqty threshold is restated RELATIVE to the mean
+    * (an absolute cut would go degenerate as SF grows; a share-of-mean
+    * is SF-invariant). Quantities are integral doubles → the per-
+    * supplier sums are exact; the mean is one IEEE division off two
+    * exact scalars. Scale: per-supplier agg shuffles O(|suppliers|)
+    * rows; the mean anchors off that same tiny frame. */
+  def q20DominantSuppliers(spark: SparkSession, sfDir: String,
+      namePrefix: String = "red ", factor: Double = 1.5): DataFrame = {
+    val p = part(spark, sfDir)
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val perSupp = lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").cast("long").as("red_qty")) // integral: exact
+    val stats = perSupp.agg(sum("red_qty"), count(lit(1))).head()
+    // no supplier shipped this family → NULL sum; +inf cut keeps it empty
+    val mean =
+      if (stats.isNullAt(0)) Double.PositiveInfinity
+      else stats.getLong(0).toDouble / stats.getLong(1)
+    perSupp.filter(col("red_qty") > lit(factor * mean))
+      .join(supplier(spark, sfDir).select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("red_qty"))
+      .orderBy(desc("red_qty"), asc("s_name"))
+  }
+
+  /** TPC-H Q21-style suppliers who kept orders waiting: in finished
+    * multi-supplier orders, the supplier who was the ONLY late shipper
+    * (shipped > 60 days after the order date). The canonical
+    * EXISTS / NOT-EXISTS pair is decorrelated into one per-order
+    * profile — (distinct suppliers, distinct late suppliers) — joined
+    * back to the late lines; `n_supp > 1 ∧ n_late = 1` replays
+    * "another supplier exists, no OTHER supplier was late" exactly.
+    * Each qualifying (order, supplier) pair counts once. Scale: both
+    * the profile agg and the join-back key on l_orderkey — ONE
+    * partitioning reused; the EXISTS pair would have cost two more
+    * fact-fact joins. */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String,
+      lateDays: Int = 60, topK: Int = 20): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders(spark, sfDir)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > lateDays).as("late"))
+    val profile = li.groupBy(col("l_orderkey").as("po_key"))
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    li.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(profile, col("l_orderkey") === col("po_key"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(topK)
+  }
+
+  /** TPC-H Q22-style dormant high-value customers: customers with an
+    * above-average positive balance and NO recent order, rolled up by
+    * nation (standing in for the canonical phone country code). The
+    * scalar average is the exact quantized mean (qavg's integer
+    * device); recency is a left-anti join whose orders side is
+    * date-pruned AT THE SCAN before the shuffle. */
+  def q22DormantCustomers(spark: SparkSession, sfDir: String,
+      sinceDate: String = "2000-01-01"): DataFrame = {
+    val cust = customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val thrRow = cust.filter(col("c_acctbal") > 0)
+      .agg(qavg(col("c_acctbal"), 2)).head()
+    // no positive balances → NULL mean; +inf threshold keeps it empty
+    val thr =
+      if (thrRow.isNullAt(0)) Double.PositiveInfinity
+      else thrRow.getDouble(0)
+    val recent = orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+      .select("o_custkey")
+    cust.filter(col("c_acctbal") > thr)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        rd(qsum(col("c_acctbal"), 2), 2).as("totacctbal"))
+      .orderBy("nation")
+  }
 }

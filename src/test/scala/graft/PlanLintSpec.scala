@@ -29,12 +29,17 @@ class PlanLintSpec extends SparkSpec {
   // the corpus-sized code scan below it is an equi-join on cluster.
   // stats_equidepth_histogram broadcasts a ONE-row boundary list onto
   // the scan — the bucketing fold is row-local; nothing quadratic.
+  // ann_knn_join's product is its probe stage only: the corpus ×
+  // broadcast C≈√N centroid artifact (the nearest-centroid rule, N·√N
+  // rounded cosines, map-only); the neighbor search below it is an
+  // equi-join on cluster.
   private val byDesignQuadratic = Set(
     "ann_topk_brute", "ann_topk_ivf", "ann_range_search",
     "events_dense_hourly", "ann_topk_pq_adc", "ann_topk_pq",
     "embedding_decontamination", "ann_incremental_assign",
     "ann_index_health", "ann_recall_curve", "ann_topk_ivfpq",
-    "ann_topk_ivfpq_rerank", "stats_equidepth_histogram")
+    "ann_topk_ivfpq_rerank", "stats_equidepth_histogram",
+    "ann_knn_join")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

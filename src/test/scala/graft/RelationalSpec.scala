@@ -247,4 +247,187 @@ class RelationalSpec extends SparkSpec {
     out.foreach { case (ok, tq) => assert(tq === expect(ok), s"order $ok") }
     assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq, "ordered by o_orderkey")
   }
+
+  test("q2: winners achieve the per-part minimum unit price, none missed") {
+    val out = Relational.q2MinCostSupplier(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getDouble(5)))
+    val parts = graft.sources.Tables.part(spark, sf)
+      .filter($"p_type" === "SMALL" && $"p_size" === 15)
+      .select("p_partkey").as[Long].collect().toSet
+    val best = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_extendedprice", "l_quantity")
+      .as[(Long, Double, Double)].collect()
+      .filter(r => parts(r._1))
+      .groupBy(_._1).map { case (p, rs) =>
+        p -> rs.map(r => math.floor(r._2 / r._3 * 1e4 + 0.5) / 1e4).min
+      }
+    assert(out.map(_._1).toSet === best.keySet, "every filtered part appears")
+    out.foreach { case (p, price) => assert(price === best(p), s"part $p") }
+  }
+
+  test("q7: both trade directions only, revenue keys disjoint by year") {
+    val rows = Relational.q7VolumeShipping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sn, cn, _, rev) =>
+      assert(Set(("NATION_3", "NATION_8"), ("NATION_8", "NATION_3"))((sn, cn)),
+        s"unexpected pair $sn/$cn")
+      assert(rev > 0.0)
+    }
+    val keys = rows.map(r => (r._1, r._2, r._3))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("q9: profit replays the 0.5x-retail cost model brute force") {
+    val out = Relational.q9ProductProfit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    val pr = graft.sources.Tables.part(spark, sf)
+      .filter($"p_name".contains("widget"))
+      .select("p_partkey", "p_retailprice").as[(Long, Double)].collect().toMap
+    val oy = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", org.apache.spark.sql.functions.year($"o_orderdate"))
+      .as[(Long, Int)].collect().toMap
+    val sn = graft.sources.Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").as[(Long, Long)].collect().toMap
+    val nn = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val expect = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .filter(r => pr.contains(r._2))
+      .groupBy(r => (nn(sn(r._3)), oy(r._1)))
+      .map { case (k, rs) =>
+        val units = rs.map { r =>
+          math.floor((r._5 * (1 - r._6) - 0.5 * pr(r._2) * r._4) * 1e4 + 0.5).toLong
+        }.sum
+        k -> math.floor(units.toDouble / 1e4 * 1e2 + 0.5) / 1e2
+      }
+    assert(out === expect)
+  }
+
+  test("q11: every kept part clears the fraction-of-total threshold") {
+    val rows = Relational.q11ImportantParts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // replay per-part values through NATION_3 suppliers
+    val suppN = graft.sources.Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").as[(Long, Long)].collect().toMap
+    val n3 = graft.sources.Tables.nation(spark, sf)
+      .filter($"n_name" === "NATION_3").select("n_nationkey").as[Long].head()
+    val perPart = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Long, Double, Double)].collect()
+      .filter(r => suppN(r._2) == n3)
+      .groupBy(_._1).map { case (p, rs) =>
+        p -> rs.map(r => math.floor(r._3 * (1 - r._4) * 1e6 + 0.5).toLong).sum
+      }
+    val total = perPart.values.map(u =>
+      math.floor(u.toDouble / 1e6 * 1e6 + 0.5).toLong).sum.toDouble / 1e6
+    val expect = perPart.filter(_._2.toDouble / 1e6 > total * 0.002).keySet
+    assert(rows.map(_._1).toSet === expect)
+    val vals = rows.map(_._2)
+    assert(vals.zip(vals.drop(1)).forall { case (a, b) => a >= b }, "descending")
+  }
+
+  test("q12: high+low line counts partition the lineitem table") {
+    val rows = Relational.q12DelayClasses(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum === total)
+  }
+
+  test("q13: histogram re-totals customers and keeps the zero bucket honest") {
+    val rows = Relational.q13OrderCountDistribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    assert(rows.map(_._2).sum === nCust, "custdist must partition customers")
+    // weighted counts re-total the qualifying orders
+    val nQual = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderpriority" =!= "4-NOT SPECIFIED").count()
+    assert(rows.map(r => r._1 * r._2).sum === nQual)
+  }
+
+  test("q16: negative-balance suppliers are invisible to the variety counts") {
+    val rows = Relational.q16SupplierVariety(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nGood = graft.sources.Tables.supplier(spark, sf)
+      .filter($"s_acctbal" >= 0).count()
+    rows.foreach { case (b, t, s, cnt) =>
+      assert(b != "Brand#1", "excluded brand must not appear")
+      assert(Set(1, 3, 9, 14, 19, 23, 36, 45)(s), s"size $s outside the slice")
+      assert(cnt >= 1 && cnt <= nGood, s"($b,$t,$s) count bounds")
+    }
+  }
+
+  test("q20: kept suppliers exceed 1.5x the mean red-part quantity") {
+    val redParts = graft.sources.Tables.part(spark, sf)
+      .filter($"p_name".startsWith("red "))
+      .select("p_partkey").as[Long].collect().toSet
+    val perSupp = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .as[(Long, Long, Double)].collect()
+      .filter(r => redParts(r._1))
+      .groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum.toLong }
+    val out = Relational.q20DominantSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    if (perSupp.nonEmpty) {
+      val mean = perSupp.values.sum.toDouble / perSupp.size
+      val expect = perSupp.filter(_._2 > 1.5 * mean).values.toSeq.sorted
+      assert(out.map(_._2).sorted.toSeq === expect)
+    } else assert(out.isEmpty)
+  }
+
+  test("q21: aggregation decorrelation replays the canonical EXISTS/NOT EXISTS") {
+    // brute-force the ORIGINAL formulation: supplier s waited order o iff
+    // s was late in o AND ∃ another supplier in o AND ∄ another LATE
+    // supplier in o — a deliberately different shape from the operator's
+    // (n_supp, n_late) profile join
+    val ordDates = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd"))
+      .as[(Long, String)].collect().toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey", date_format($"l_shipdate", "yyyy-MM-dd"))
+      .as[(Long, Long, String)].collect()
+      .filter(r => ordDates.contains(r._1))
+      .map { case (o, s, ship) =>
+        val late = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(ordDates(o)), java.time.LocalDate.parse(ship)) > 60
+        (o, s, late)
+      }
+    val byOrder = li.groupBy(_._1)
+    val expect = li.filter { case (o, s, late) =>
+        val others = byOrder(o).filter(_._2 != s)
+        late && others.nonEmpty && !others.exists(_._3)
+      }
+      .map { case (o, s, _) => (o, s) }.distinct
+      .groupBy(_._2).map { case (s, rs) => s -> rs.length.toLong }
+    val sName = graft.sources.Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+    val expectTop = expect.toSeq.map { case (s, n) => (sName(s), n) }
+      .sortBy { case (n, c) => (-c, n) }.take(20)
+    val out = Relational.q21WaitingSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === expectTop)
+    assert(out.nonEmpty, "fixture must contain lone-late multi-supplier orders")
+  }
+
+  test("q22: no dormant customer has a recent order; all clear the mean") {
+    val rows = Relational.q22DormantCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val bal = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").as[(Long, Double)].collect()
+    val pos = bal.filter(_._2 > 0)
+    val thr = pos.map(r => math.floor(r._2 * 1e2 + 0.5).toLong).sum.toDouble /
+      (pos.length * 1e2)
+    val recent = graft.sources.Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= org.apache.spark.sql.functions.lit("2000-01-01")
+        .cast("timestamp"))
+      .select("o_custkey").as[Long].collect().toSet
+    val expect = bal.filter(r => r._2 > thr && !recent(r._1))
+    assert(rows.map(_._2).sum === expect.length.toLong)
+  }
 }
