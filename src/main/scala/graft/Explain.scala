@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan of one or more registered
   * queries. Usage: runMain graft.Explain <sfDir> <query>[,<query>...]
-  * (or 'all'). */
+  * (or 'all') [tree]. The optional `tree` mode prints the raw
+  * `executedPlan` tree instead of explain("formatted") — the string
+  * PLANS.md snippets and the plan-lint assertions are written against. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val which = if (args.length > 1) args(1) else "all"
+    val tree = args.length > 2 && args(2) == "tree"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,7 +25,9 @@ object Explain {
       else which.split(",").toSeq
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (tree) println(df.queryExecution.executedPlan.toString)
+      else df.explain("formatted")
     }
     spark.stop()
   }

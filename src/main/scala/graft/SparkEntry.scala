@@ -23,6 +23,7 @@ object SparkEntry {
     // --- reference surface (SURVEY.md §2.1, O1-O12) ---
     "wordcount_topk" -> ((s, d) => WordCount.topK(s, d, 100)),
     "wordcount_full" -> ((s, d) => WordCount.full(s, d)),
+    "events_heavy_users" -> ((s, d) => SkewTools.heavyUsers(s, d)),
     "letter_buckets" -> ((s, d) => WordCount.letterBuckets(s, d)),
     // --- relational surface (SURVEY.md §7.2 PR3; absent in reference §2.3) ---
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "events_cumulative_users" -> ((s, d) => Events.cumulativeUsers(s, d)),
     // --- custom operators ---
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
+    "events_asof_purchase_native" -> (AsOfJoin.clickAttributionNative _),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
     "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
     "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
@@ -303,6 +305,16 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(text, '[ \n]')) AS word FROM documents)
         |WHERE regexp_matches(word, '^[a-z]')
         |GROUP BY word ORDER BY word ASC""".stripMargin,
+    // CMS guard is semantics-free (no false negatives + exact re-count),
+    // so the oracle is the PLAIN groupBy+HAVING over the same threshold
+    "events_heavy_users" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT greatest(1, CAST(ceil(
+        |        (1.2 * (SELECT count(*) FROM events))
+        |        / (SELECT count(DISTINCT user_id) FROM events)) AS BIGINT)) AS thr)
+        |SELECT user_id, cnt FROM c
+        |WHERE cnt >= (SELECT thr FROM t)
+        |ORDER BY cnt DESC, user_id ASC""".stripMargin,
     "letter_buckets" ->
       """SELECT substr(word, 1, 1) AS letter, COUNT(*) AS n_words,
         |       COUNT(DISTINCT word) AS n_distinct
@@ -2789,6 +2801,16 @@ object SparkEntry {
     // stats_lineitem_columns_approx: same justification — the distinct column is
     // an HLL++ sketch value; StatsSpec bounds it to <10% of the exact form
     "events_asof_purchase" ->
+      """SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  p.ts AS last_purchase_ts, floor((p.value) * 1e4 + 0.5) / 1e4 AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // native whole-operator as-of join: SAME oracle as the composition
+    // form — the hash compare proves the custom SparkPlan's merge pass
+    // equals DuckDB's ASOF JOIN
+    "events_asof_purchase_native" ->
       """SELECT c.event_id, c.user_id, c.ts AS click_ts,
         |  p.ts AS last_purchase_ts, floor((p.value) * 1e4 + 0.5) / 1e4 AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

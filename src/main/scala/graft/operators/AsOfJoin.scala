@@ -105,4 +105,30 @@ object AsOfJoin {
         col("last_purchase_ts"), rd(col("last_purchase_value"), 4).as("last_purchase_value"))
       .orderBy("event_id")
   }
+
+  /** The same attribution join through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinNative]]: custom LogicalPlan → Strategy →
+    * merge-pass SparkPlan). Same output, same DuckDB oracle as
+    * [[clickAttribution]] — the hash compare proves the custom physical
+    * operator equals both the window formulation and DuckDB's ASOF
+    * JOIN. The plan trades the union+window for one co-partitioned
+    * merge: two key-hash exchanges (one per side), two sorts, O(1)
+    * per-key state. */
+  def clickAttributionNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.plans.AsOfJoinNative.asOf(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("p_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("p_ts").as("last_purchase_ts"),
+        rd(col("p_value"), 4).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
 }

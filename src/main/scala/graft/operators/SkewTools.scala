@@ -56,4 +56,52 @@ object SkewTools {
         count_distinct(when(col("user_events") >= 70, col("user_id"))).as("n_heavy_users"))
       .orderBy("event_type")
   }
+
+  /** Hot-key detector via a Count-Min-Sketch guard — the measurement
+    * half of skew mitigation (find the keys worth salting BEFORE the
+    * join melts a reducer), and the classic two-pass bounded-memory
+    * heavy-hitter. Pass 1 builds ONE fixed-size CMS over the key
+    * column (`df.stat.countMinSketch`: map-side partial sketches merge
+    * into an O(eps⁻¹·depth) counter array — fixed memory regardless of
+    * key cardinality); pass 2 filters the rows through the broadcast
+    * sketch BEFORE the exact groupBy, so the count shuffle carries
+    * only candidate keys, not the full key dictionary.
+    *
+    * CMS never underestimates, so the guard admits a SUPERSET of the
+    * true hot keys and the exact `cnt >= threshold` recount decides:
+    * the output is bit-identical to the ungated groupBy+HAVING — the
+    * Bloom-guarded-decontamination device (a semantics-free
+    * approximate guard, verified exact), which is what lets the plain
+    * SQL oracle hash-verify an operator built on a sketch. The
+    * estimate probe is a Scala UDF because no built-in CMS-probe
+    * expression exists (the Bloom `mightContainLong` justification);
+    * it gates a filter only, never a value.
+    *
+    * The threshold is MEAN-RELATIVE (`factor ×` the average rows per
+    * key) — SF-invariant where an absolute count or a share-of-total
+    * cut degenerates as data or cardinality grows. Sketch build and
+    * exact key count are two scalar-anchor jobs at plan-build time
+    * (q15's device); both scan pruned single columns. */
+  def heavyKeys(df: DataFrame, keyCol: String, factor: Double = 1.2,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val keys = df.select(keyCol)
+    val cms = keys.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val users = keys.agg(count_distinct(col(keyCol))).head().getLong(0)
+    val threshold =
+      if (users == 0L) Long.MaxValue // empty input: nothing is hot
+      else math.max(1L, math.ceil(factor * cms.totalCount / users).toLong)
+    val bc = keys.sparkSession.sparkContext.broadcast(cms)
+    val guard = udf((k: Long) => bc.value.estimateCount(k) >= threshold)
+    keys.filter(guard(col(keyCol)))
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(desc("cnt"), asc(keyCol))
+  }
+
+  /** Driver-contract query: users with ≥1.2× the mean event count —
+    * the hot keys [[saltedUserEnrich]] exists to survive. */
+  def heavyUsers(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    heavyKeys(graft.sources.Tables.events(spark, sfDir), "user_id")
 }

@@ -1,0 +1,212 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{
+  DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Native as-of join — the engine's whole-operator Catalyst extension:
+  * a custom `LogicalPlan` node, a `SparkStrategy` planning it, and a
+  * physical `SparkPlan` executing it (the (c) rung of SURVEY.md §4.3's
+  * escalation ladder, one level past the `Rule[LogicalPlan]` + codegen
+  * `Expression` work in [[GraftExtensions]]).
+  *
+  * Semantics (LEFT OUTER, DuckDB `ASOF LEFT JOIN` convention, the same
+  * contract as the composition form [[graft.operators.AsOfJoin]]): for
+  * each left row, attach the latest right row with an equal key and
+  * `right.time <= left.time`; unmatched left rows keep NULL right
+  * columns. Key equality is null-safe (null keys group together, as in
+  * the window formulation) — callers with nullable keys should filter.
+  *
+  * Physical shape: `EnsureRequirements` sees the declared
+  * `ClusteredDistribution`/ordering requirements and co-partitions +
+  * sorts both sides by (key, time) — exactly one exchange per side,
+  * the same cost envelope as a sort-merge join. `doExecute` then runs
+  * a SINGLE forward merge pass per partition: the right pointer only
+  * advances, the only buffered state is ONE candidate row per key
+  * (`O(1)` memory regardless of key skew — the union-sort window form
+  * carries the same running value but pays for tagging/unioning the
+  * rows and a window operator; this pass is the plan that formulation
+  * simulates). At 100 TB the cost is the two key-hash shuffles and the
+  * per-partition sorts, both on pruned columns.
+  *
+  * Equal (key, time) right rows resolve by the greatest `tiebreak`
+  * (appended to the right sort order, last-consumed-wins) — the
+  * composition form's documented convention, which the shared DuckDB
+  * oracle replays.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Option[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op on every other
+  * node so it composes with the built-in strategies. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Option[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the equi-keys: EnsureRequirements
+  // inserts the (at most) one exchange per side, same as a shuffle join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // per-partition (key..., time) order is what makes the single merge
+  // pass correct; the right side additionally orders equal timestamps
+  // by the tiebreak so "last consumed wins" is deterministic
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ Seq(rightTime) ++ rightTiebreak.toSeq)
+      .map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  // event-time columns surface as long-comparable primitives
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => sys.error(s"unsupported as-of time value: $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val outTypes = output.map(_.dataType).toArray
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeEval = BindReferences.bindReference(leftTime, lOut)
+      val rTimeEval = BindReferences.bindReference(rightTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      // ordinal-based projection: immune to duplicate exprIds across
+      // sides (self-as-of on one source table)
+      val resultProj = UnsafeProjection.create(outTypes)
+
+      new Iterator[InternalRow] {
+        // right lookahead (copied: child iterators reuse row buffers)
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: Long = 0L
+        private var rTimeNull = false
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next().copy()
+            rKey = rKeyProj(rRow).copy()
+            val t = rTimeEval.eval(rRow)
+            rTimeNull = t == null
+            rTime = if (rTimeNull) 0L else asLong(t)
+          } else rRow = null
+        advanceRight()
+
+        // current best match for the key under the cursor
+        private var matchRow: InternalRow = _
+        private var matchKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
+            matchRow = null; matchKey = null
+          }
+          val lt = lTimeEval.eval(l)
+          if (lt != null) {
+            val lTime = asLong(lt)
+            var done = false
+            while (!done && rRow != null) {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) advanceRight() // older key: discard
+              else if (c == 0 && rTimeNull) advanceRight() // never matches
+              else if (c == 0 && rTime <= lTime) {
+                matchRow = rRow; matchKey = rKey // last consumed wins
+                advanceRight()
+              } else done = true // future key, or right time past left
+            }
+          }
+          val m =
+            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0) matchRow
+            else nullRight
+          resultProj(joined(l, m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame front door for the native operator. Arms the strategy on
+  * the session (idempotently, via the public `experimental` hook — the
+  * driver owns session construction, so build-time `withExtensions` is
+  * not assumed), re-aliases the right side so a self-as-of never
+  * carries duplicate attribute ids into one plan, and validates the
+  * time columns are long-comparable. */
+object AsOfJoinNative {
+  private val timeTypes: Set[DataType] =
+    Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+
+  def asOf(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTiebreak: Option[String] = None): DataFrame = {
+    require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+      "as-of join needs matching non-empty key lists")
+    val spark = left.sparkSession
+    GraftExtensions.registerRuntime(spark)
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds for every right column: left and right may share a
+    // source scan (self-as-of), and duplicate ids across join sides
+    // corrupt attribute binding
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        sys.error(s"as-of column '$name' not found in ${out.map(_.name)}"))
+    val rOut: Seq[Attribute] = rPlan.output
+    val lt = attr(lPlan.output, leftTime)
+    val rt = attr(rOut, rightTime)
+    Seq(lt, rt).foreach(a => require(timeTypes(a.dataType),
+      s"as-of time column '${a.name}' must be time/integral, " +
+        s"got ${a.dataType.catalogString}"))
+    GraftColumnBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),
+      lt, rt, rightTiebreak.map(attr(rOut, _))))
+  }
+}

@@ -51,6 +51,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DotProductRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -71,6 +72,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(DotProductRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductRewrite
+    }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", args => DotProduct(args(0), args(1)), "built-in")

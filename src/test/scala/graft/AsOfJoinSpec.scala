@@ -81,6 +81,75 @@ class AsOfJoinSpec extends SparkSpec {
       "as-of must not fall back to a product join")
   }
 
+  test("native as-of exec: plan uses AsOfJoinExec, no window, no product") {
+    val plan = AsOfJoin.clickAttributionNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the "Exec" suffix: the custom operator
+    // prints as "AsOfJoin [leftKeys], [rightKeys], ..."
+    assert(plan.contains("AsOfJoin ["), s"custom exec must plan:\n$plan")
+    assert(!plan.contains("Window"), "the merge pass replaces the window carry")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // two data shuffles (one per side) + at most one top-level ordering
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected 2 key shuffles + final sort, got:\n$plan")
+  }
+
+  test("native as-of equals the composition form on real data") {
+    val a = AsOfJoin.clickAttribution(spark, sf).collect().toSeq
+    val b = AsOfJoin.clickAttributionNative(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("native as-of golden: tie match, tiebreak, no-match nulls, null right time") {
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // matches 09:30 row
+      (2L, 10L, ts("2024-01-01 12:00:00")), // matches 11:00 tie pair -> max pid
+      (3L, 20L, ts("2024-01-01 09:00:00")), // equal-ts right row matches (<=)
+      (4L, 30L, ts("2024-01-01 09:00:00")), // right rows all later -> nulls
+      (5L, 40L, ts("2024-01-01 09:00:00"))  // key absent on right -> nulls
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, Some(ts("2024-01-01 09:30:00")), 101L, 5.0),
+      (10L, Some(ts("2024-01-01 11:00:00")), 102L, 6.0),
+      (10L, Some(ts("2024-01-01 11:00:00")), 103L, 7.0), // tie: higher pid wins
+      (10L, Option.empty[Timestamp], 104L, 8.0),          // null time never matches
+      (20L, Some(ts("2024-01-01 09:00:00")), 105L, 9.0),
+      (30L, Some(ts("2024-01-01 10:00:00")), 106L, 1.0)
+    ).toDF("p_user_id", "p_ts", "pid", "p_value")
+    val got = graft.plans.AsOfJoinNative.asOf(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts", rightTiebreak = Some("pid"))
+      .orderBy("event_id")
+      .select("event_id", "p_ts", "p_value")
+      .collect()
+    assert(got.length === 5)
+    assert(got(0).getTimestamp(1) === ts("2024-01-01 09:30:00") && got(0).getDouble(2) === 5.0)
+    assert(got(1).getTimestamp(1) === ts("2024-01-01 11:00:00") && got(1).getDouble(2) === 7.0,
+      "equal-timestamp rows must resolve to the greatest tiebreak")
+    assert(got(2).getTimestamp(1) === ts("2024-01-01 09:00:00") && got(2).getDouble(2) === 9.0,
+      "equal ts must match (<=)")
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2), "future-only right rows: nulls")
+    assert(got(4).isNullAt(1) && got(4).isNullAt(2), "absent key: nulls")
+  }
+
+  test("native as-of self-join on one source keeps sides distinct") {
+    // both sides derive from the SAME DataFrame — duplicate exprIds
+    // across sides would corrupt binding without the DSL's re-alias
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 10L, ts("2024-01-01 09:00:00"), "purchase", 42.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.plans.AsOfJoinNative.asOf(
+        ev.filter($"event_type" === "click").select("event_id", "user_id", "ts"),
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user_id"), $"ts".as("p_ts"), $"value".as("p_value")),
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts")
+      .select("event_id", "p_value").head()
+    assert(got.getLong(0) === 1L && got.getDouble(1) === 42.0)
+  }
+
   test("approx distinct users within 10% of exact") {
     Events.approxDistinctUsers(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble

@@ -57,6 +57,35 @@ class ScaleToolsSpec extends SparkSpec {
     assert(heap === win)
   }
 
+  test("CMS-guarded hot-key detector equals the ungated exact computation") {
+    val got = SkewTools.heavyUsers(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    // brute force WITHOUT the sketch: same mean-relative threshold rule
+    val counts = graft.sources.Tables.events(spark, sf)
+      .select("user_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val thr = math.max(1L,
+      math.ceil(1.2 * total / counts.size).toLong)
+    val expect = counts.filter(_._2 >= thr).toSeq
+      .sortBy { case (k, c) => (-c, k) }
+    assert(got === expect, "CMS guard must be semantics-free (no false negatives)")
+    assert(got.nonEmpty, "fixture must contain above-mean-activity users")
+    assert(got.size < counts.size,
+      "the cut must actually separate hot keys from the key population")
+  }
+
+  test("heavy-keys guard prunes the count shuffle to candidate keys") {
+    // the plan must carry the UDF filter BELOW the aggregate — that
+    // placement is what shrinks the shuffle to candidates at scale
+    val plan = SkewTools.heavyUsers(spark, sf)
+      .queryExecution.executedPlan.toString
+    val filterIdx = plan.indexOf("Filter")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0 && aggIdx < plan.lastIndexOf("Filter"),
+      s"guard filter must sit under the aggregate:\n$plan")
+  }
+
   test("heap top-k shuffles partial buffers, not the full table") {
     val plan = TopKAggregate.topOrdersPerCustomer(spark, sf)
       .queryExecution.executedPlan.toString
