@@ -310,7 +310,7 @@ object SparkEntry {
     "events_heavy_users" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |t AS (SELECT greatest(1, CAST(ceil(
-        |        (1.2 * (SELECT count(*) FROM events))
+        |        (1.2 * (SELECT count(user_id) FROM events))
         |        / (SELECT count(DISTINCT user_id) FROM events)) AS BIGINT)) AS thr)
         |SELECT user_id, cnt FROM c
         |WHERE cnt >= (SELECT thr FROM t)
@@ -596,7 +596,7 @@ object SparkEntry {
         |FROM ps
         |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |WHERE CAST(ps.red_qty AS DOUBLE) > 1.5 * (SELECT mean FROM m)
+        |WHERE CAST(ps.red_qty AS DOUBLE) > 1.1 * (SELECT mean FROM m)
         |ORDER BY ps.red_qty DESC, s.s_name""".stripMargin,
     // Q21: per-order (n_supp, n_late) profile replays EXISTS/NOT EXISTS;
     // each qualifying (order, supplier) pair counts once

@@ -79,20 +79,44 @@ object SkewTools {
     *
     * The threshold is MEAN-RELATIVE (`factor ×` the average rows per
     * key) — SF-invariant where an absolute count or a share-of-total
-    * cut degenerates as data or cardinality grows. Sketch build and
-    * exact key count are two scalar-anchor jobs at plan-build time
-    * (q15's device); both scan pruned single columns. */
+    * cut degenerates as data or cardinality grows. The sketch, the
+    * total and the distinct-key count all come from ONE scalar-anchor
+    * aggregation job at plan-build time (q15's device, single pruned
+    * column scan), so the whole operator is the canonical TWO passes:
+    * sketch+count, then the guarded recount. NULL keys bypass the
+    * sketch and go straight to the exact recount (the sketch cannot
+    * represent them; passing them through preserves "no false
+    * negatives", and the exact cut still decides). */
   def heavyKeys(df: DataFrame, keyCol: String, factor: Double = 1.2,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val keys = df.select(keyCol)
-    val cms = keys.stat.countMinSketch(keyCol, eps, confidence, seed)
-    val users = keys.agg(count_distinct(col(keyCol))).head().getLong(0)
+    val anchor = keys.agg(
+      expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"),
+      count(col(keyCol)), count_distinct(col(keyCol))).head()
+    val (total, nKeys) = (anchor.getLong(1), anchor.getLong(2))
     val threshold =
-      if (users == 0L) Long.MaxValue // empty input: nothing is hot
-      else math.max(1L, math.ceil(factor * cms.totalCount / users).toLong)
+      if (nKeys == 0L) Long.MaxValue // empty input: nothing is hot
+      else math.max(1L, math.ceil(factor * total / nKeys).toLong)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(anchor.getAs[Array[Byte]](0)))
     val bc = keys.sparkSession.sparkContext.broadcast(cms)
-    val guard = udf((k: Long) => bc.value.estimateCount(k) >= threshold)
+    // probe typed per key column — a single Long-typed UDF would force
+    // an implicit cast that NULLs out string keys and silently drops
+    // every row. Boxed inputs keep NULL keys visible; they always pass.
+    val guard = keys.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        udf((k: java.lang.Long) =>
+          k == null || bc.value.estimateCount(k.longValue()) >= threshold)
+      case org.apache.spark.sql.types.IntegerType =>
+        udf((k: java.lang.Integer) =>
+          k == null || bc.value.estimateCount(k.longValue()) >= threshold)
+      case org.apache.spark.sql.types.StringType =>
+        udf((k: String) =>
+          k == null || bc.value.estimateCount(k) >= threshold)
+      case dt => sys.error(
+        s"heavyKeys supports bigint/int/string keys, got ${dt.catalogString}")
+    }
     keys.filter(guard(col(keyCol)))
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)

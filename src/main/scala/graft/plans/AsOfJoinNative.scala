@@ -204,6 +204,19 @@ object AsOfJoinNative {
     Seq(lt, rt).foreach(a => require(timeTypes(a.dataType),
       s"as-of time column '${a.name}' must be time/integral, " +
         s"got ${a.dataType.catalogString}"))
+    // no analyzer coercion runs on a custom node, so mismatched types
+    // would SILENTLY corrupt the join (different hash partitioning per
+    // side; a Date-vs-Timestamp pair compares day numbers against
+    // microseconds) — reject instead of mis-joining
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share one type, got " +
+        s"${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
+    leftKeys.zip(rightKeys).foreach { case (lName, rName) =>
+      val (la, ra) = (attr(lPlan.output, lName), attr(rOut, rName))
+      require(la.dataType == ra.dataType,
+        s"as-of key '$lName'/'$rName' types differ: " +
+          s"${la.dataType.catalogString} vs ${ra.dataType.catalogString}")
+    }
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),

@@ -362,7 +362,7 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("q20: kept suppliers exceed 1.5x the mean red-part quantity") {
+  test("q20: kept suppliers exceed 1.1x the mean red-part quantity") {
     val redParts = graft.sources.Tables.part(spark, sf)
       .filter($"p_name".startsWith("red "))
       .select("p_partkey").as[Long].collect().toSet
@@ -373,11 +373,12 @@ class RelationalSpec extends SparkSpec {
       .groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum.toLong }
     val out = Relational.q20DominantSuppliers(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2)))
-    if (perSupp.nonEmpty) {
-      val mean = perSupp.values.sum.toDouble / perSupp.size
-      val expect = perSupp.filter(_._2 > 1.5 * mean).values.toSeq.sorted
-      assert(out.map(_._2).sorted.toSeq === expect)
-    } else assert(out.isEmpty)
+    assert(perSupp.nonEmpty, "fixture must contain red-part shipments")
+    val mean = perSupp.values.sum.toDouble / perSupp.size
+    val expect = perSupp.filter(_._2 > 1.1 * mean).values.toSeq.sorted
+    assert(out.map(_._2).sorted.toSeq === expect)
+    assert(out.nonEmpty, "the mean-relative cut must keep some suppliers")
+    assert(out.size < perSupp.size, "…and drop some")
   }
 
   test("q21: aggregation decorrelation replays the canonical EXISTS/NOT EXISTS") {

@@ -76,14 +76,18 @@ class ScaleToolsSpec extends SparkSpec {
   }
 
   test("heavy-keys guard prunes the count shuffle to candidate keys") {
-    // the plan must carry the UDF filter BELOW the aggregate — that
-    // placement is what shrinks the shuffle to candidates at scale
+    // the CMS probe (the plan's only UDF) must sit BELOW the count
+    // exchange — i.e. print AFTER it in the top-down tree — so the
+    // shuffle carries candidate keys only. An index comparison against
+    // a bare "Filter" would match the scan's PushedFilters line and
+    // assert nothing.
     val plan = SkewTools.heavyUsers(spark, sf)
       .queryExecution.executedPlan.toString
-    val filterIdx = plan.indexOf("Filter")
-    val aggIdx = plan.indexOf("HashAggregate")
-    assert(filterIdx >= 0 && aggIdx >= 0 && aggIdx < plan.lastIndexOf("Filter"),
-      s"guard filter must sit under the aggregate:\n$plan")
+    val udfIdx = plan.indexOf("UDF")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(udfIdx >= 0, s"CMS guard UDF missing from plan:\n$plan")
+    assert(exchangeIdx >= 0 && udfIdx > exchangeIdx,
+      s"guard must evaluate below the count shuffle:\n$plan")
   }
 
   test("heap top-k shuffles partial buffers, not the full table") {
