@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeights(s, d)),
     "dedup_cluster_histogram" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "corpus_quality_sample" -> ((s, d) => TextAnalysis.qualitySample(s, d)),
+    "corpus_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "corpus_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "corpus_source_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(s, d)),
     "corpus_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
@@ -169,6 +170,9 @@ object SparkEntry {
     "stats_lineitem_columns" -> ((s, d) => Stats.lineitemColumnStats(s, d)),
     "stats_lineitem_columns_approx" -> ((s, d) => Stats.lineitemColumnStatsApprox(s, d)),
     "stats_equidepth_histogram" -> ((s, d) => Stats.orderValueEquidepth(s, d)),
+    // no oracle: GK-sketch boundaries are engine-specific; StatsSpec
+    // bounds the bucket depths against the exact form
+    "stats_equidepth_histogram_approx" -> ((s, d) => Stats.orderValueEquidepthApprox(s, d)),
     "curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "curation_gated" -> ((s, d) => TextAnalysis.curationGated(s, d)),
     "curation_scrubbed" -> ((s, d) => TextAnalysis.curationScrubbed(s, d)),
@@ -1052,6 +1056,30 @@ object SparkEntry {
         |FROM documents d JOIN q USING (doc_id) JOIN u USING (doc_id)
         |WHERE u.uval < q.quality * 4294967296.0
         |ORDER BY d.doc_id""".stripMargin,
+    // weightedSample(k=300, seed=wks0): Efraimidis–Spirakis replayed —
+    // same quality CTE, same digit-fold uniform (+1 so u > 0), ranked
+    // on the 10-dp rounded ln(u)/max(quality, 0.01) key
+    "corpus_weighted_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+        |      + 0.3 * least(len / 500.0, 1.0)
+        |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+        |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+        |          CAST(length(text) AS DOUBLE) AS len
+        |        FROM documents)),
+        |u AS (SELECT doc_id, list_sum(list_transform(range(1, 9),
+        |        i -> (strpos('0123456789abcdef',
+        |                substr(md5('wks0|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |             * pow(16, 8 - i))) AS uval
+        |      FROM documents)
+        |SELECT q.doc_id, q.quality,
+        |  floor((ln((u.uval + 1.0) / 4294967296.0)
+        |         / greatest(q.quality, 0.01)) * 1e10 + 0.5) / 1e10 AS es_key
+        |FROM q JOIN u USING (doc_id)
+        |ORDER BY es_key DESC, doc_id ASC LIMIT 300""".stripMargin,
     // splitAssign(seed=split0, 90/5/5): same digit-fold uniform, bucket
     // by mod 100
     "corpus_split_assign" ->

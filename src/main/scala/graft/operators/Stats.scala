@@ -190,4 +190,38 @@ object Stats {
         min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
       .orderBy("bucket")
   }
+
+  /** Production twin of [[orderValueEquidepth]]: boundaries from
+    * `approx_percentile` (Greenwald–Khanna sketch) instead of the exact
+    * percentile aggregate — closing the same exact→sketch loop as
+    * `stats_lineitem_columns_approx` (HLL) and
+    * `events_approx_distinct`. At 100 TB this is the form ANALYZE
+    * actually runs: the exact percentile buffers every value per
+    * partition; GK holds O(accuracy·log N) summaries with a hard
+    * ±N/accuracy rank guarantee (accuracy=10k ⇒ boundaries within
+    * 0.01% of true rank — `StatsSpec` asserts the resulting bucket
+    * depths). Sketch values are engine-specific, so the query is
+    * registered WITHOUT a DuckDB oracle (rows-only driver check), the
+    * `events_approx_distinct` justification. Plan shape is identical
+    * to the exact form: 1-row boundary agg broadcast back, row-local
+    * bucketing fold, O(buckets) final agg. */
+  def orderValueEquidepthApprox(spark: SparkSession, sfDir: String,
+      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(expr(s"approx_percentile(o_totalprice, array($qs), $accuracy)")
+        .as("raw"))
+      .select(transform(col("raw"), b => rd(b, 4)).as("bs"))
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+      .crossJoin(broadcast(bounds))
+      .select(col("o_totalprice"),
+        aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("o_totalprice") > b, 1).otherwise(0))
+          .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
 }

@@ -810,6 +810,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size quality-WEIGHTED sample without replacement —
+    * Efraimidis–Spirakis A-ES: each doc draws a seeded uniform
+    * u ∈ (0, 1] and competes on key = ln(u)/w (the monotone log form of
+    * u^{1/w}); the top-K keys are exactly a weight-proportional
+    * without-replacement draw. Complements [[qualitySample]]
+    * (Bernoulli — random SIZE, per-doc keep prob) with the fixed-BUDGET
+    * form a curation pipeline actually ships ("give me the best-biased
+    * 300 docs"), and [[samplePerGroup]] (fixed size per group,
+    * unweighted).
+    *
+    * Determinism: u is the md5-digit fold every sampler here uses (+1
+    * so u > 0 — pure integer → one IEEE divide), weights clamp to
+    * ≥ 0.01 so |key| ≤ ln(2³²)·100 ≈ 2.2e3 and the 10-dp rd stays
+    * inside double's exact-integer range (a 1e-6 clamp would push
+    * floor(x·1e10) past 2^53 and silently break the rounding device);
+    * ranking is on the ROUNDED key with doc_id tiebreak, so the DuckDB
+    * oracle replays the draw bit-for-bit. Scale: map-only key
+    * computation over the stored signal index, then
+    * `TakeOrderedAndProject` — per-partition K-heaps, no global sort,
+    * no shuffle beyond K rows per partition. */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      k: Int = 300, seed: String = "wks0"): DataFrame = {
+    val u = (conv(substring(
+      md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
+    docSignalsIndex(spark, sfDir).select(col("doc_id"), col("quality"))
+      .withColumn("es_key",
+        rd(log(u) / greatest(col("quality"), lit(0.01)), 10))
+      .orderBy(desc("es_key"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic train/val/test split assignment: every doc lands in
     * exactly one split by seeded hash bucket (0–99 → train <90,
     * val <95, test otherwise). A pure per-row function of (seed,

@@ -27,8 +27,9 @@ class PlanLintSpec extends SparkSpec {
   // ann_topk_ivfpq's product is ONLY its probe stage: |Q| broadcast
   // queries × the 16-row centroid artifact (ivf_topk's exact device);
   // the corpus-sized code scan below it is an equi-join on cluster.
-  // stats_equidepth_histogram broadcasts a ONE-row boundary list onto
-  // the scan — the bucketing fold is row-local; nothing quadratic.
+  // stats_equidepth_histogram (and its GK-sketch _approx twin)
+  // broadcasts a ONE-row boundary list onto the scan — the bucketing
+  // fold is row-local; nothing quadratic.
   // ann_knn_join's product is its probe stage only: the corpus ×
   // broadcast C≈√N centroid artifact (the nearest-centroid rule, N·√N
   // rounded cosines, map-only); the neighbor search below it is an
@@ -39,7 +40,7 @@ class PlanLintSpec extends SparkSpec {
     "embedding_decontamination", "ann_incremental_assign",
     "ann_index_health", "ann_recall_curve", "ann_topk_ivfpq",
     "ann_topk_ivfpq_rerank", "stats_equidepth_histogram",
-    "ann_knn_join")
+    "stats_equidepth_histogram_approx", "ann_knn_join")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {

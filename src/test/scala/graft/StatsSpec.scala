@@ -119,4 +119,28 @@ class StatsSpec extends SparkSpec {
     }
     rows.foreach { case (b, _, lo, hi) => assert(lo <= hi, s"bucket $b lo<=hi") }
   }
+
+  test("approx equi-depth: GK boundaries land within the rank guarantee of exact") {
+    val approx = Stats.orderValueEquidepthApprox(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(approx.map(_._1).toSeq === (0 until 10), "buckets 0..9, all present")
+    assert(approx.map(_._2).sum === n, "every order in exactly one bucket")
+    // accuracy=10000 ⇒ each boundary's rank is within n/10000 of true;
+    // a bucket (two boundaries) can drift by at most 2n/10000 from the
+    // ideal depth. Allow 4x that for boundary-tie slack.
+    val tol = math.max(1L, 8L * n / 10000L)
+    approx.foreach { case (b, cnt) =>
+      assert(math.abs(cnt - n / 10) <= tol + (n % 10),
+        s"bucket $b depth $cnt vs ideal ${n / 10} ± $tol")
+    }
+    // and the approx boundaries must replicate the exact form's depths
+    // up to the same slack (the two queries share the bucketing fold)
+    val exact = Stats.orderValueEquidepth(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    approx.foreach { case (b, cnt) =>
+      assert(math.abs(cnt - exact(b)) <= tol,
+        s"bucket $b: approx $cnt vs exact ${exact(b)}")
+    }
+  }
 }

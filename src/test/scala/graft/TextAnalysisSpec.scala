@@ -440,6 +440,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(redrawn !== kept.keySet)
   }
 
+  test("weighted sample: exact A-ES key replay, quality bias, seed redraw") {
+    val k = 100
+    val got = TextAnalysis.weightedSample(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === k)
+    // brute-force the whole draw: key = rd(ln(u)/max(q, .01), 10), top-k
+    val allQ = TextAnalysis.qualityScore(spark, sf).select("doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val keys = allQ.map { case (id, q) =>
+      val u = (seededU("wks0", id) + 1.0) / 4294967296.0
+      val key = math.floor(math.log(u) / math.max(q, 0.01) * 1e10 + 0.5) / 1e10
+      (id, q, key)
+    }
+    val expect = keys.sortBy { case (id, _, key) => (-key, id) }.take(k)
+    assert(got.toSeq === expect.toSeq, "selection must replay exactly")
+    // weighting bias: the sample's mean quality exceeds the corpus mean
+    val meanAll = allQ.map(_._2).sum / allQ.length
+    val meanSample = got.map(_._2).sum / got.length
+    assert(meanSample > meanAll,
+      s"weighted draw must bias toward quality: $meanSample vs $meanAll")
+    // a different seed redraws a different set
+    val redrawn = TextAnalysis.weightedSample(spark, sf, k = k, seed = "wks1")
+      .collect().map(_.getLong(0)).toSet
+    assert(redrawn !== got.map(_._1).toSet)
+  }
+
   test("split assign: exact bucket replay, three-way partition near 90/5/5") {
     val rows = TextAnalysis.splitAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
