@@ -90,6 +90,68 @@ class ScaleToolsSpec extends SparkSpec {
       s"guard must evaluate below the count shuffle:\n$plan")
   }
 
+  test("heavy-keys handles string keys and passes null keys to the exact count") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // 20×"hot", 3×"warm", 1×"cold", 4×null → mean over non-null keys =
+    // 24/3 = 8; threshold ceil(1.2·8) = 10 → only "hot" (and the null
+    // group if it cleared, which at 4 it does not)
+    val rows = (Seq.fill(20)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold") ++
+      Seq.fill(4)(null)).map(Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 3),
+      StructType(Seq(StructField("k", StringType, nullable = true))))
+    val got = SkewTools.heavyKeys(df, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("hot", 20L)),
+      "string keys must not be cast away; null group below threshold drops")
+    // null group CAN surface when it clears the cut (guard passes nulls)
+    val rows2 = (Seq.fill(20)(null: String) ++ Seq("a", "b")).map(Row(_))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2.toSeq, 3),
+      StructType(Seq(StructField("k", StringType, nullable = true))))
+    val got2 = SkewTools.heavyKeys(df2, "k").collect()
+    // mean over non-null = 1 → thr 2; the 20-row null group must appear
+    assert(got2.length === 1 && got2.head.isNullAt(0) && got2.head.getLong(1) === 20L)
+  }
+
+  test("native as-of equals the composition on randomized key/time data") {
+    // differential test for the custom SparkPlan: many keys, duplicate
+    // timestamps, keys missing on either side, unmatched-early lefts
+    val rnd = new scala.util.Random(1234)
+    val clicks = (1 to 400).map { i =>
+      (i.toLong, (rnd.nextInt(30) + 1).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }
+    val purchases = (1 to 300).map { i =>
+      ((rnd.nextInt(40) + 1).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        1000L + i, rnd.nextDouble())
+    }
+    val l = clicks.toDF("event_id", "user_id", "ts")
+    val r = purchases.toDF("p_user_id", "p_ts", "pid", "p_value")
+    val native = graft.plans.AsOfJoinNative.asOf(
+        l, r, Seq("user_id"), Seq("p_user_id"), "ts", "p_ts",
+        rightTiebreak = Some("pid"))
+      .select("event_id", "p_ts", "pid", "p_value")
+      .collect().map(row => (row.getLong(0),
+        Option(row.getTimestamp(1)), if (row.isNullAt(2)) None else Some(row.getLong(2))))
+      .sortBy(_._1).toSeq
+    // composition reference via the window formulation
+    val comp = graft.operators.AsOfJoin.asOf(
+        l, r.select($"p_user_id".as("user_id"), $"p_ts".as("ts"),
+          $"pid", $"p_value", $"p_ts".as("keep_ts")),
+        Seq("user_id"), "ts",
+        Map("keep_ts" -> "m_ts", "pid" -> "m_pid"), tiebreak = Some("pid"))
+      .select("event_id", "m_ts", "m_pid")
+      .collect().map(row => (row.getLong(0),
+        Option(row.getTimestamp(1)), if (row.isNullAt(2)) None else Some(row.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(native === comp)
+    assert(native.exists(_._2.isDefined) && native.exists(_._2.isEmpty),
+      "fixture must exercise both matched and unmatched lefts")
+  }
+
   test("heap top-k shuffles partial buffers, not the full table") {
     val plan = TopKAggregate.topOrdersPerCustomer(spark, sf)
       .queryExecution.executedPlan.toString
