@@ -162,6 +162,7 @@ object SparkEntry {
     // --- custom operators ---
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
     "events_asof_purchase_native" -> (AsOfJoin.clickAttributionNative _),
+    "events_asof_purchase_recent" -> ((s, d) => AsOfJoin.clickAttributionRecent(s, d)),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
     "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
     "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
@@ -2841,6 +2842,19 @@ object SparkEntry {
     "events_asof_purchase_native" ->
       """SELECT c.event_id, c.user_id, c.ts AS click_ts,
         |  p.ts AS last_purchase_ts, floor((p.value) * 1e4 + 0.5) / 1e4 AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // tolerance = pandas semantics: latest match first, THEN the window
+    // test — so the oracle is the plain ASOF with a post-hoc CASE, not a
+    // windowed join condition
+    "events_asof_purchase_recent" ->
+      """SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 6 HOUR
+        |       THEN p.ts END AS last_purchase_ts,
+        |  CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 6 HOUR
+        |       THEN floor((p.value) * 1e4 + 0.5) / 1e4 END AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts

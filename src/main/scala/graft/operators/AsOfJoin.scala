@@ -131,4 +131,32 @@ object AsOfJoin {
         rd(col("p_value"), 4).as("last_purchase_value"))
       .orderBy("event_id")
   }
+
+  /** Bounded-lookback attribution: only a purchase within `window` of
+    * the click counts (pandas `merge_asof(tolerance=...)` semantics —
+    * the form real attribution runs, where last year's purchase should
+    * NOT claim today's click). Exercises the native operator's
+    * tolerance: the latest prior purchase is found first and the window
+    * check applies to IT, so an out-of-window latest yields NULLs even
+    * when an older in-corpus purchase exists — which is what makes the
+    * oracle a plain ASOF JOIN with a post-hoc window CASE. */
+  def clickAttributionRecent(spark: SparkSession, sfDir: String,
+      window: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.plans.AsOfJoinNative.asOf(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("p_event_id"),
+        tolerance = Some(window.toNanos / 1000)) // timestamp units: micros
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("p_ts").as("last_purchase_ts"),
+        rd(col("p_value"), 4).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
 }

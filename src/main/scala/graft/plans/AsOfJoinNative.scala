@@ -47,7 +47,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Option[Expression]) extends BinaryNode {
+    rightTiebreak: Option[Expression],
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,8 +60,8 @@ case class AsOfJoinPlan(
   * node so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +70,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Option[Expression]) extends BinaryExecNode {
+    rightTiebreak: Option[Expression],
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -134,6 +136,7 @@ case class AsOfJoinExec(
         // current best match for the key under the cursor
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
+        private var matchTime: Long = 0L
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -143,21 +146,27 @@ case class AsOfJoinExec(
             matchRow = null; matchKey = null
           }
           val lt = lTimeEval.eval(l)
+          var lTime = 0L
           if (lt != null) {
-            val lTime = asLong(lt)
+            lTime = asLong(lt)
             var done = false
             while (!done && rRow != null) {
               val c = keyOrd.compare(rKey, lKey)
               if (c < 0) advanceRight() // older key: discard
               else if (c == 0 && rTimeNull) advanceRight() // never matches
               else if (c == 0 && rTime <= lTime) {
-                matchRow = rRow; matchKey = rKey // last consumed wins
+                matchRow = rRow; matchKey = rKey; matchTime = rTime // last wins
                 advanceRight()
               } else done = true // future key, or right time past left
             }
           }
+          // tolerance checks the LATEST match only (pandas merge_asof
+          // semantics): older rows are farther away by the sort order,
+          // so if the latest is out of window, every candidate is
           val m =
-            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0) matchRow
+            if (matchRow != null && lt != null &&
+                keyOrd.compare(matchKey, lKey) == 0 &&
+                tolerance.forall(lTime - matchTime <= _)) matchRow
             else nullRight
           resultProj(joined(l, m))
         }
@@ -180,10 +189,17 @@ object AsOfJoinNative {
   private val timeTypes: Set[DataType] =
     Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
 
+  /** @param tolerance optional max allowed `leftTime - rightTime`, in
+    *   the time column's PHYSICAL units (microseconds for timestamps,
+    *   days for dates, raw values for int/long). The latest match is
+    *   found first, then the window check applies — pandas
+    *   `merge_asof(tolerance=...)` semantics: a key whose latest prior
+    *   right row is out of window yields NULLs, never an older row. */
   def asOf(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -217,9 +233,10 @@ object AsOfJoinNative {
         s"as-of key '$lName'/'$rName' types differ: " +
           s"${la.dataType.catalogString} vs ${ra.dataType.catalogString}")
     }
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),
-      lt, rt, rightTiebreak.map(attr(rOut, _))))
+      lt, rt, rightTiebreak.map(attr(rOut, _)), tolerance))
   }
 }

@@ -133,6 +133,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4).isNullAt(1) && got(4).isNullAt(2), "absent key: nulls")
   }
 
+  test("native as-of tolerance: in-window matches attach, stale ones null out") {
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // purchase 30 min prior: in window
+      (2L, 10L, ts("2024-01-01 23:00:00")), // latest purchase 13.5h stale: null
+      (3L, 20L, ts("2024-01-01 09:00:00"))  // exact tie: distance 0, in window
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 5.0),
+      (20L, ts("2024-01-01 09:00:00"), 9.0)
+    ).toDF("p_user_id", "p_ts", "p_value")
+    val got = graft.plans.AsOfJoinNative.asOf(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        tolerance = Some(6L * 3600 * 1000000)) // 6h in micros
+      .orderBy("event_id").select("event_id", "p_ts", "p_value").collect()
+    assert(got(0).getTimestamp(1) === ts("2024-01-01 09:30:00") &&
+      got(0).getDouble(2) === 5.0)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2),
+      "a match outside the window must null out, not fall back")
+    assert(got(2).getTimestamp(1) === ts("2024-01-01 09:00:00"),
+      "zero distance sits inside any window")
+  }
+
   test("native as-of self-join on one source keeps sides distinct") {
     // both sides derive from the SAME DataFrame — duplicate exprIds
     // across sides would corrupt binding without the DSL's re-alias
