@@ -163,6 +163,7 @@ object SparkEntry {
     "events_asof_purchase" -> (AsOfJoin.clickAttribution _),
     "events_asof_purchase_native" -> (AsOfJoin.clickAttributionNative _),
     "events_asof_purchase_recent" -> ((s, d) => AsOfJoin.clickAttributionRecent(s, d)),
+    "events_asof_conversion" -> ((s, d) => AsOfJoin.clickConversion(s, d)),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
     "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
     "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
@@ -2858,6 +2859,18 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // forward as-of: DuckDB flips the ASOF inequality; window CASE as
+    // in the backward form
+    "events_asof_conversion" ->
+      """SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  CASE WHEN p.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 6 HOUR
+        |       THEN p.ts END AS conversion_ts,
+        |  CASE WHEN p.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 6 HOUR
+        |       THEN floor((p.value) * 1e4 + 0.5) / 1e4 END AS conversion_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
         |ORDER BY c.event_id""".stripMargin,
   )
 

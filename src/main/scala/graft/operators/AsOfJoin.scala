@@ -159,4 +159,31 @@ object AsOfJoin {
         rd(col("p_value"), 4).as("last_purchase_value"))
       .orderBy("event_id")
   }
+
+  /** Conversion attribution — the FORWARD as-of: for each click, the
+    * user's NEXT purchase within the conversion window ("did this click
+    * convert, and to what"). The mirror image of [[clickAttributionRecent]]
+    * through the same native operator with `forward = true`; the oracle
+    * is DuckDB's ASOF with the inequality flipped (`p.ts >= c.ts`) and
+    * the same post-hoc window CASE. */
+  def clickConversion(spark: SparkSession, sfDir: String,
+      window: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.plans.AsOfJoinNative.asOf(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("p_event_id"),
+        tolerance = Some(window.toNanos / 1000),
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("p_ts").as("conversion_ts"),
+        rd(col("p_value"), 4).as("conversion_value"))
+      .orderBy("event_id")
+  }
 }

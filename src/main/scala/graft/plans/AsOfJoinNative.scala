@@ -42,13 +42,22 @@ import org.apache.spark.sql.types.{
   * (appended to the right sort order, last-consumed-wins) — the
   * composition form's documented convention, which the shared DuckDB
   * oracle replays.
+  *
+  * `forward = true` flips the direction (pandas `merge_asof`
+  * `direction='forward'`): each left row takes the EARLIEST right row
+  * with `right.time >= left.time` — the conversion-window join ("next
+  * purchase after the click"). Same physical shape, and the merge gets
+  * SIMPLER: the candidate is the right head itself, no buffered match
+  * at all (equal-time ties resolve to the smallest tiebreak — the
+  * first row in sort order).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Option[Expression],
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -60,8 +69,8 @@ case class AsOfJoinPlan(
   * node so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -71,7 +80,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Option[Expression],
-    tolerance: Option[Long]) extends BinaryExecNode {
+    tolerance: Option[Long],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -142,13 +152,23 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          val lt = lTimeEval.eval(l)
+          val lTime = if (lt == null) 0L else asLong(lt)
+          val m = if (forward) nextForward(lKey, lt, lTime)
+                  else nextBackward(lKey, lt, lTime)
+          resultProj(joined(l, m))
+        }
+
+        /** Latest right row at-or-before the left time; tolerance
+          * checks that LATEST match only (pandas semantics — older
+          * rows are farther away by the sort order, so if the latest
+          * is out of window, every candidate is). */
+        private def nextBackward(lKey: UnsafeRow, lt: Any,
+            lTime: Long): InternalRow = {
           if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
             matchRow = null; matchKey = null
           }
-          val lt = lTimeEval.eval(l)
-          var lTime = 0L
           if (lt != null) {
-            lTime = asLong(lt)
             var done = false
             while (!done && rRow != null) {
               val c = keyOrd.compare(rKey, lKey)
@@ -160,15 +180,30 @@ case class AsOfJoinExec(
               } else done = true // future key, or right time past left
             }
           }
-          // tolerance checks the LATEST match only (pandas merge_asof
-          // semantics): older rows are farther away by the sort order,
-          // so if the latest is out of window, every candidate is
-          val m =
-            if (matchRow != null && lt != null &&
-                keyOrd.compare(matchKey, lKey) == 0 &&
-                tolerance.forall(lTime - matchTime <= _)) matchRow
-            else nullRight
-          resultProj(joined(l, m))
+          if (matchRow != null && lt != null &&
+              keyOrd.compare(matchKey, lKey) == 0 &&
+              tolerance.forall(lTime - matchTime <= _)) matchRow
+          else nullRight
+        }
+
+        /** Earliest right row at-or-after the left time: rows strictly
+          * before it (or on older keys, or null-timed — nulls sort
+          * first per key) are discarded, and the remaining HEAD is the
+          * candidate — no buffered match at all. Safe because left
+          * times are non-decreasing within a key: a discarded right row
+          * can never serve a later left row. */
+        private def nextForward(lKey: UnsafeRow, lt: Any,
+            lTime: Long): InternalRow = {
+          if (lt == null) return nullRight // no comparable time: no match
+          var done = false
+          while (!done && rRow != null) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0 || (c == 0 && (rTimeNull || rTime < lTime))) advanceRight()
+            else done = true
+          }
+          if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+              rTime >= lTime && tolerance.forall(rTime - lTime <= _)) rRow
+          else nullRight
         }
       }
     }
@@ -199,7 +234,8 @@ object AsOfJoinNative {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       rightTiebreak: Option[String] = None,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -237,6 +273,6 @@ object AsOfJoinNative {
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),
-      lt, rt, rightTiebreak.map(attr(rOut, _)), tolerance))
+      lt, rt, rightTiebreak.map(attr(rOut, _)), tolerance, forward))
   }
 }

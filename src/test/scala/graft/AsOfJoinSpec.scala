@@ -157,6 +157,37 @@ class AsOfJoinSpec extends SparkSpec {
       "zero distance sits inside any window")
   }
 
+  test("native forward as-of: earliest at-or-after match, window, tie, nulls") {
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // next purchase 10:30: matches
+      (2L, 10L, ts("2024-01-01 12:00:00")), // next is 20:00, 8h away: out of 6h window
+      (3L, 20L, ts("2024-01-01 09:00:00")), // equal-ts pair: min tiebreak wins
+      (4L, 30L, ts("2024-01-01 09:00:00"))  // only EARLIER purchases: null
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 101L, 1.0), // before click 1: ignored (forward)
+      (10L, ts("2024-01-01 10:30:00"), 102L, 2.0),
+      (10L, ts("2024-01-01 20:00:00"), 103L, 3.0),
+      (20L, ts("2024-01-01 09:00:00"), 104L, 4.0),
+      (20L, ts("2024-01-01 09:00:00"), 105L, 5.0),
+      (30L, ts("2024-01-01 08:00:00"), 106L, 6.0)
+    ).toDF("p_user_id", "p_ts", "pid", "p_value")
+    val got = graft.plans.AsOfJoinNative.asOf(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("pid"),
+        tolerance = Some(6L * 3600 * 1000000),
+        forward = true)
+      .orderBy("event_id").select("event_id", "p_ts", "pid", "p_value").collect()
+    assert(got(0).getTimestamp(1) === ts("2024-01-01 10:30:00") &&
+      got(0).getDouble(3) === 2.0, "earliest at-or-after wins, prior rows ignored")
+    assert(got(1).isNullAt(1), "next match beyond the window must null out")
+    assert(got(2).getLong(2) === 104L && got(2).getDouble(3) === 4.0,
+      "equal-time forward ties resolve to the smallest tiebreak")
+    assert(got(3).isNullAt(1), "only-earlier purchases: no forward match")
+  }
+
   test("native as-of self-join on one source keeps sides distinct") {
     // both sides derive from the SAME DataFrame — duplicate exprIds
     // across sides would corrupt binding without the DSL's re-alias
