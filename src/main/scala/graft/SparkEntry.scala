@@ -164,6 +164,7 @@ object SparkEntry {
     "events_asof_purchase_native" -> (AsOfJoin.clickAttributionNative _),
     "events_asof_purchase_recent" -> ((s, d) => AsOfJoin.clickAttributionRecent(s, d)),
     "events_asof_conversion" -> ((s, d) => AsOfJoin.clickConversion(s, d)),
+    "events_asof_nearest" -> (AsOfJoin.clickNearestPurchase _),
     "events_approx_distinct" -> (Events.approxDistinctUsers _),
     "window_top_orders_heap" -> ((s, d) => graft.functions.TopKAggregate.topOrdersPerCustomer(s, d)),
     "text_fingerprint_rolling" -> (TextAnalysis.rollingFingerprint _),
@@ -2871,6 +2872,22 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // nearest = closer of the two directions, ties backward (pandas);
+    // distances compared in exact integer microseconds
+    "events_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  CASE WHEN f.ts IS NULL OR (b.ts IS NOT NULL
+        |            AND epoch_us(c.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(c.ts))
+        |       THEN b.ts ELSE f.ts END AS nearest_ts,
+        |  floor((CASE WHEN f.ts IS NULL OR (b.ts IS NOT NULL
+        |            AND epoch_us(c.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(c.ts))
+        |       THEN b.value ELSE f.value END) * 1e4 + 0.5) / 1e4 AS nearest_value
+        |FROM c
+        |ASOF LEFT JOIN p b ON c.user_id = b.user_id AND b.ts <= c.ts
+        |ASOF LEFT JOIN p f ON c.user_id = f.user_id AND f.ts >= c.ts
         |ORDER BY c.event_id""".stripMargin,
   )
 

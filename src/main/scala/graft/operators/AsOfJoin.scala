@@ -186,4 +186,43 @@ object AsOfJoin {
         rd(col("p_value"), 4).as("conversion_value"))
       .orderBy("event_id")
   }
+
+  /** Nearest-purchase attribution — pandas `merge_asof`
+    * `direction='nearest'`, composed from the native operator's two
+    * directions: run backward and forward joins, keep whichever match
+    * sits closer in time (ties go BACKWARD, the pandas convention).
+    * The composition is itself the scale story: each direction is one
+    * co-partitioned merge, and the pick is a row-local CASE over the
+    * two attached timestamps — no third pass, no window. The second
+    * join keys on the FIRST join's left columns, so the partitioning
+    * carries across (one exchange per input side total, plus the
+    * join-back). */
+  def clickNearestPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    def purchases(pfx: String) = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as(s"${pfx}_user_id"), col("ts").as(s"${pfx}_ts"),
+        col("event_id").as(s"${pfx}_event_id"), col("value").as(s"${pfx}_value"))
+    val back = graft.plans.AsOfJoinNative.asOf(
+      clicks, purchases("b"),
+      leftKeys = Seq("user_id"), rightKeys = Seq("b_user_id"),
+      leftTime = "ts", rightTime = "b_ts",
+      rightTiebreak = Some("b_event_id"))
+    val both = graft.plans.AsOfJoinNative.asOf(
+      back, purchases("f"),
+      leftKeys = Seq("user_id"), rightKeys = Seq("f_user_id"),
+      leftTime = "ts", rightTime = "f_ts",
+      rightTiebreak = Some("f_event_id"), forward = true)
+    // closer match wins; equal distance → backward (pandas convention).
+    // Distances in exact long microseconds, so the pick replays in SQL.
+    val db = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+    val df_ = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+    val useBack = col("f_ts").isNull || (col("b_ts").isNotNull && db <= df_)
+    both.select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        when(useBack, col("b_ts")).otherwise(col("f_ts")).as("nearest_ts"),
+        rd(when(useBack, col("b_value")).otherwise(col("f_value")), 4)
+          .as("nearest_value"))
+      .orderBy("event_id")
+  }
 }

@@ -188,6 +188,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3).isNullAt(1), "only-earlier purchases: no forward match")
   }
 
+  test("nearest as-of composition: closer side wins, ties go backward") {
+    // build an events-shaped frame and drive the operator through a
+    // temp parquet dir so the production entry point is what's tested
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-near").toString
+    val rows = Seq(
+      // user 1: backward 1h away, forward 10min away -> forward wins
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-01 09:00:00"), "purchase", 1.0),
+      (3L, 1L, ts("2024-01-01 10:10:00"), "purchase", 2.0),
+      // user 2: both exactly 1h away -> tie -> backward
+      (4L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (5L, 2L, ts("2024-01-01 09:00:00"), "purchase", 3.0),
+      (6L, 2L, ts("2024-01-01 11:00:00"), "purchase", 4.0),
+      // user 3: only a forward purchase exists
+      (7L, 3L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (8L, 3L, ts("2024-01-01 12:00:00"), "purchase", 5.0),
+      // user 4: no purchases at all
+      (9L, 4L, ts("2024-01-01 10:00:00"), "click", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AsOfJoin.clickNearestPurchase(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === Some(2.0), "closer forward match must win")
+    assert(got(4L) === Some(3.0), "equal distance resolves backward (pandas)")
+    assert(got(7L) === Some(5.0), "forward-only still matches")
+    assert(got(9L) === None, "no purchases: null")
+  }
+
   test("native as-of self-join on one source keeps sides distinct") {
     // both sides derive from the SAME DataFrame — duplicate exprIds
     // across sides would corrupt binding without the DSL's re-alias
