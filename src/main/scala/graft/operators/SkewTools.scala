@@ -79,22 +79,27 @@ object SkewTools {
     *
     * The threshold is MEAN-RELATIVE (`factor ×` the average rows per
     * key) — SF-invariant where an absolute count or a share-of-total
-    * cut degenerates as data or cardinality grows. The sketch, the
-    * total and the distinct-key count all come from ONE scalar-anchor
-    * aggregation job at plan-build time (q15's device, single pruned
-    * column scan), so the whole operator is the canonical TWO passes:
-    * sketch+count, then the guarded recount. NULL keys bypass the
-    * sketch and go straight to the exact recount (the sketch cannot
-    * represent them; passing them through preserves "no false
-    * negatives", and the exact cut still decides). */
+    * cut degenerates as data or cardinality grows. The anchors are TWO
+    * scalar jobs at plan-build time (q15's device, each one pruned
+    * single-column scan): sketch+total in one aggregation, the
+    * distinct-key count in another. They deliberately stay separate —
+    * putting `count_distinct` next to the sketch (a
+    * TypedImperativeAggregate) triggers Catalyst's Expand-based
+    * distinct rewrite, which re-runs the sketch update over the
+    * expanded rows on the sort-agg path: measured 17 s vs 0.9 s for
+    * the two separate jobs at sf0.1. NULL keys bypass the sketch and
+    * go straight to the exact recount (the sketch cannot represent
+    * them; passing them through preserves "no false negatives", and
+    * the exact cut still decides). */
   def heavyKeys(df: DataFrame, keyCol: String, factor: Double = 1.2,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val keys = df.select(keyCol)
     val anchor = keys.agg(
       expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"),
-      count(col(keyCol)), count_distinct(col(keyCol))).head()
-    val (total, nKeys) = (anchor.getLong(1), anchor.getLong(2))
+      count(col(keyCol))).head()
+    val total = anchor.getLong(1)
+    val nKeys = keys.agg(count_distinct(col(keyCol))).head().getLong(0)
     val threshold =
       if (nKeys == 0L) Long.MaxValue // empty input: nothing is hot
       else math.max(1L, math.ceil(factor * total / nKeys).toLong)
