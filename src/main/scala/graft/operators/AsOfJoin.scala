@@ -106,6 +106,39 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Click and (prefixed) purchase projections shared by every
+    * attribution variant — one definition so the query family stays
+    * comparable twins (schema/pruning edits apply everywhere at once).
+    * NOTE the oracle-parity precondition the tiebreak protects:
+    * duplicate (user_id, ts) purchases would leave DuckDB's ASOF tie
+    * pick unspecified while the native operator resolves
+    * deterministically (greatest tiebreak backward, smallest forward)
+    * — `AsOfJoinSpec` asserts the fixture has no such ties, so a data
+    * refresh that introduces them fails loudly instead of hash-red. */
+  private def clicksOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+  private def purchasesOf(ev: DataFrame, pfx: String): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as(s"${pfx}_user_id"), col("ts").as(s"${pfx}_ts"),
+        col("event_id").as(s"${pfx}_event_id"), col("value").as(s"${pfx}_value"))
+
+  /** Shared body of the three single-direction native variants. */
+  private def nativeAttribution(spark: SparkSession, sfDir: String,
+      tolerance: Option[Long], forward: Boolean,
+      tsName: String, valName: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    graft.plans.AsOfJoinNative.asOf(
+        clicksOf(ev), purchasesOf(ev, "p"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("p_event_id"),
+        tolerance = tolerance, forward = forward)
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("p_ts").as(tsName), rd(col("p_value"), 4).as(valName))
+      .orderBy("event_id")
+  }
+
   /** The same attribution join through the NATIVE whole-operator path
     * ([[graft.plans.AsOfJoinNative]]: custom LogicalPlan → Strategy →
     * merge-pass SparkPlan). Same output, same DuckDB oracle as
@@ -114,23 +147,9 @@ object AsOfJoin {
     * JOIN. The plan trades the union+window for one co-partitioned
     * merge: two key-hash exchanges (one per side), two sorts, O(1)
     * per-key state. */
-  def clickAttributionNative(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-        col("event_id").as("p_event_id"), col("value").as("p_value"))
-    graft.plans.AsOfJoinNative.asOf(
-        clicks, purchases,
-        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
-        leftTime = "ts", rightTime = "p_ts",
-        rightTiebreak = Some("p_event_id"))
-      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
-        col("p_ts").as("last_purchase_ts"),
-        rd(col("p_value"), 4).as("last_purchase_value"))
-      .orderBy("event_id")
-  }
+  def clickAttributionNative(spark: SparkSession, sfDir: String): DataFrame =
+    nativeAttribution(spark, sfDir, tolerance = None, forward = false,
+      "last_purchase_ts", "last_purchase_value")
 
   /** Bounded-lookback attribution: only a purchase within `window` of
     * the click counts (pandas `merge_asof(tolerance=...)` semantics —
@@ -141,24 +160,10 @@ object AsOfJoin {
     * when an older in-corpus purchase exists — which is what makes the
     * oracle a plain ASOF JOIN with a post-hoc window CASE. */
   def clickAttributionRecent(spark: SparkSession, sfDir: String,
-      window: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-        col("event_id").as("p_event_id"), col("value").as("p_value"))
-    graft.plans.AsOfJoinNative.asOf(
-        clicks, purchases,
-        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
-        leftTime = "ts", rightTime = "p_ts",
-        rightTiebreak = Some("p_event_id"),
-        tolerance = Some(window.toNanos / 1000)) // timestamp units: micros
-      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
-        col("p_ts").as("last_purchase_ts"),
-        rd(col("p_value"), 4).as("last_purchase_value"))
-      .orderBy("event_id")
-  }
+      window: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame =
+    nativeAttribution(spark, sfDir,
+      tolerance = Some(window.toNanos / 1000), // timestamp units: micros
+      forward = false, "last_purchase_ts", "last_purchase_value")
 
   /** Conversion attribution — the FORWARD as-of: for each click, the
     * user's NEXT purchase within the conversion window ("did this click
@@ -167,25 +172,10 @@ object AsOfJoin {
     * is DuckDB's ASOF with the inequality flipped (`p.ts >= c.ts`) and
     * the same post-hoc window CASE. */
   def clickConversion(spark: SparkSession, sfDir: String,
-      window: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-        col("event_id").as("p_event_id"), col("value").as("p_value"))
-    graft.plans.AsOfJoinNative.asOf(
-        clicks, purchases,
-        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
-        leftTime = "ts", rightTime = "p_ts",
-        rightTiebreak = Some("p_event_id"),
-        tolerance = Some(window.toNanos / 1000),
-        forward = true)
-      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
-        col("p_ts").as("conversion_ts"),
-        rd(col("p_value"), 4).as("conversion_value"))
-      .orderBy("event_id")
-  }
+      window: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame =
+    nativeAttribution(spark, sfDir,
+      tolerance = Some(window.toNanos / 1000),
+      forward = true, "conversion_ts", "conversion_value")
 
   /** Nearest-purchase attribution — pandas `merge_asof`
     * `direction='nearest'`, composed from the native operator's two
@@ -199,11 +189,8 @@ object AsOfJoin {
     * join-back). */
   def clickNearestPurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts")
-    def purchases(pfx: String) = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as(s"${pfx}_user_id"), col("ts").as(s"${pfx}_ts"),
-        col("event_id").as(s"${pfx}_event_id"), col("value").as(s"${pfx}_value"))
+    val clicks = clicksOf(ev)
+    def purchases(pfx: String) = purchasesOf(ev, pfx)
     val back = graft.plans.AsOfJoinNative.asOf(
       clicks, purchases("b"),
       leftKeys = Seq("user_id"), rightKeys = Seq("b_user_id"),

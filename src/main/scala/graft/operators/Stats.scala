@@ -173,10 +173,19 @@ object Stats {
     * disagreement. Counts are ~N/buckets up to boundary ties (equal
     * values always land together — deterministic). */
   def orderValueEquidepth(spark: SparkSession, sfDir: String,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10): DataFrame =
+    equidepthOver(spark, sfDir, buckets,
+      qs => s"percentile(o_totalprice, array($qs))")
+
+  /** Shared body of the exact and GK-sketch equi-depth forms — ONE
+    * bucketing pipeline (boundary rounding, broadcast, row-local fold,
+    * final agg) parameterized only by the boundary aggregate, so the
+    * twins can never drift apart. */
+  private def equidepthOver(spark: SparkSession, sfDir: String,
+      buckets: Int, boundaryAggOf: String => String): DataFrame = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
     val bounds = Tables.orders(spark, sfDir)
-      .agg(expr(s"percentile(o_totalprice, array($qs))").as("raw"))
+      .agg(expr(boundaryAggOf(qs)).as("raw"))
       .select(transform(col("raw"), b => rd(b, 4)).as("bs"))
     Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_totalprice")
@@ -206,22 +215,7 @@ object Stats {
     * to the exact form: 1-row boundary agg broadcast back, row-local
     * bucketing fold, O(buckets) final agg. */
   def orderValueEquidepthApprox(spark: SparkSession, sfDir: String,
-      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
-    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
-    val bounds = Tables.orders(spark, sfDir)
-      .agg(expr(s"approx_percentile(o_totalprice, array($qs), $accuracy)")
-        .as("raw"))
-      .select(transform(col("raw"), b => rd(b, 4)).as("bs"))
-    Tables.orders(spark, sfDir)
-      .select("o_orderkey", "o_totalprice")
-      .crossJoin(broadcast(bounds))
-      .select(col("o_totalprice"),
-        aggregate(col("bs"), lit(0),
-          (acc, b) => acc + when(col("o_totalprice") > b, 1).otherwise(0))
-          .cast("int").as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_orders"),
-        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
-      .orderBy("bucket")
-  }
+      buckets: Int = 10, accuracy: Int = 10000): DataFrame =
+    equidepthOver(spark, sfDir, buckets,
+      qs => s"approx_percentile(o_totalprice, array($qs), $accuracy)")
 }

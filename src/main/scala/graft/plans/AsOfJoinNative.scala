@@ -224,12 +224,18 @@ object AsOfJoinNative {
   private val timeTypes: Set[DataType] =
     Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
 
-  /** @param tolerance optional max allowed `leftTime - rightTime`, in
-    *   the time column's PHYSICAL units (microseconds for timestamps,
-    *   days for dates, raw values for int/long). The latest match is
-    *   found first, then the window check applies — pandas
-    *   `merge_asof(tolerance=...)` semantics: a key whose latest prior
-    *   right row is out of window yields NULLs, never an older row. */
+  /** @param tolerance optional max allowed time DISTANCE between the
+    *   matched rows — `leftTime - rightTime` backward,
+    *   `rightTime - leftTime` when `forward` — in the time column's
+    *   PHYSICAL units (microseconds for timestamps, days for dates,
+    *   raw values for int/long). The nearest candidate in the join
+    *   direction is found first, then the window check applies to IT —
+    *   pandas `merge_asof(tolerance=...)` semantics: a key whose
+    *   nearest candidate is out of window yields NULLs, never a
+    *   farther row.
+    * @param forward false (default) = latest right row at-or-BEFORE
+    *   the left time; true = earliest right row at-or-AFTER it
+    *   (pandas `direction='forward'`). */
   def asOf(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,

@@ -188,10 +188,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3).isNullAt(1), "only-earlier purchases: no forward match")
   }
 
+  test("oracle precondition: the fixture has no duplicate (user, ts) purchases") {
+    // the attribution oracles rely on DuckDB's ASOF tie pick never
+    // being exercised: on equal (user_id, ts) purchases the native
+    // operator resolves deterministically (greatest tiebreak backward,
+    // smallest forward) while DuckDB's choice is unspecified. Assert
+    // the precondition so a future data refresh that introduces ties
+    // fails HERE with a message, not as a silent oracle hash mismatch.
+    val dups = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy("user_id", "ts").count()
+      .filter($"count" > 1).count()
+    assert(dups === 0L,
+      "duplicate (user_id, ts) purchases would make the ASOF oracle's tie pick unspecified")
+  }
+
   test("nearest as-of composition: closer side wins, ties go backward") {
     // build an events-shaped frame and drive the operator through a
     // temp parquet dir so the production entry point is what's tested
-    val dir = java.nio.file.Files.createTempDirectory("graft-asof-near").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-asof-near")
+    val dir = dirPath.toString
     val rows = Seq(
       // user 1: backward 1h away, forward 10min away -> forward wins
       (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
@@ -208,13 +224,19 @@ class AsOfJoinSpec extends SparkSpec {
       (9L, 4L, ts("2024-01-01 10:00:00"), "click", 0.0)
     ).toDF("event_id", "user_id", "ts", "event_type", "value")
     rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = AsOfJoin.clickNearestPurchase(spark, dir).collect()
-      .map(r => r.getLong(0) ->
-        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
-    assert(got(1L) === Some(2.0), "closer forward match must win")
-    assert(got(4L) === Some(3.0), "equal distance resolves backward (pandas)")
-    assert(got(7L) === Some(5.0), "forward-only still matches")
-    assert(got(9L) === None, "no purchases: null")
+    try {
+      val got = AsOfJoin.clickNearestPurchase(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      assert(got(1L) === Some(2.0), "closer forward match must win")
+      assert(got(4L) === Some(3.0), "equal distance resolves backward (pandas)")
+      assert(got(7L) === Some(5.0), "forward-only still matches")
+      assert(got(9L) === None, "no purchases: null")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("native as-of self-join on one source keeps sides distinct") {
