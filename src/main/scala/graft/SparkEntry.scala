@@ -36,6 +36,7 @@ object SparkEntry {
     "window_top_orders" -> (Relational.windowTopOrders _),
     "rollup_lineitem" -> (Relational.rollupLineitem _),
     "cube_orders" -> (Relational.cubeOrders _),
+    "grouping_sets_orders" -> (Relational.groupingSetsOrders _),
     "window_analytics_orders" -> (Relational.windowAnalyticsOrders _),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
@@ -401,6 +402,16 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(floor((o_totalprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    // explicit GROUPING SETS: same bitmask convention as the cube oracle
+    "grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, status, priority""".stripMargin,
     // analytic windows: every function over the same (custkey, date,
     // orderkey) order; the running sum is frame-ordered in both engines

@@ -289,6 +289,26 @@ object Relational {
         col("gid"), col("n"), col("sum_price"))
       .orderBy("gid", "status", "priority")
 
+  /** Explicit GROUPING SETS — the generalization rollup/cube are sugar
+    * for, with NON-hierarchical custom sets: per-status totals,
+    * per-priority totals, and the grand total in ONE pass (no
+    * (status, priority) cross cells — exactly what separates this from
+    * [[cubeOrders]]). Spark plans one Expand (3 replicas) + one
+    * aggregate; at scale that is one scan instead of the three
+    * separate GROUP BYs a dashboard would otherwise union. */
+  def groupingSetsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping_id() AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
   /** Analytic-window bundle over each customer's order history: lag /
     * lead (prev/next order value), ntile quartile, percent_rank and
     * cume_dist, and a frame-bounded running sum — the window classes

@@ -67,6 +67,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("grouping sets: three sets only, each single-dim set re-totals, no cross cells") {
+    val rows = Relational.groupingSetsOrders(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    // gid 1 = per-status set, gid 2 = per-priority set, gid 3 = grand total
+    assert(rows.map(_._3).toSet === Set(1, 2, 3), "exactly the three declared sets")
+    assert(rows.count(_._3 == 3) === 1 && rows.find(_._3 == 3).get._4 === total)
+    Seq(1, 2).foreach { g =>
+      assert(rows.filter(_._3 == g).map(_._4).sum === total, s"set gid=$g re-totals")
+    }
+    // the defining difference vs cube: NO (status, priority) cross cells
+    assert(!rows.exists(r => r._1 != "ALL" && r._2 != "ALL"),
+      "custom sets must not produce cube cross cells")
+  }
+
   test("analytic windows: quartiles bounded, running total ends at the customer sum") {
     val rows = Relational.windowAnalyticsOrders(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
