@@ -1072,7 +1072,13 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // weightedSample(k=300, seed=wks0): Efraimidis–Spirakis replayed —
     // same quality CTE, same digit-fold uniform (+1 so u > 0), ranked
-    // on the 10-dp rounded ln(u)/max(quality, 0.01) key
+    // on the 10-dp rounded ln(u)/max(quality, 0.01) key.
+    // ULP CAVEAT (see weightedSample's scaladoc): this is the one
+    // hash-compared query containing a transcendental (ln is not
+    // IEEE-correctly-rounded; JVM Math.log vs DuckDB libm could differ
+    // by 1 ulp exactly on a 10-dp boundary of es_key). A red hash here
+    // after a data refresh means "find the boundary doc_id and compare
+    // unrounded ln values", not "the operator broke".
     "corpus_weighted_sample" ->
       """WITH q AS (SELECT doc_id,
         |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))

@@ -682,8 +682,13 @@ object Relational {
     * for the agg; the aggregated O(|parts|) frame is PERSISTED before
     * the 1-row total anchor, so the anchor job materializes it once and
     * the final filter reads the cache — the fact scan happens exactly
-    * once (Spark's CacheManager dedupes repeat constructions of the
-    * same plan, so the entry is shared, not re-built). */
+    * once. The filtered result collects to the driver inside the
+    * try/finally so the cache entry is RELEASED before returning (a
+    * long-lived session running the whole registry would otherwise
+    * accumulate one leaked cache entry per call); the collect is safe
+    * by pigeonhole — at most ⌈1/fraction⌉ parts can each exceed
+    * `fraction` of the total, so the result is ≤ 500 rows at ANY scale
+    * factor. */
   def q11ImportantParts(spark: SparkSession, sfDir: String,
       nationName: String = "NATION_3", fraction: Double = 0.002): DataFrame = {
     val supp = supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
@@ -697,15 +702,19 @@ object Relational {
       .agg(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
         .as("value_raw"))
       .persist()
-    // empty supply slice (possible at tiny SFs): sum aggregates to NULL
-    // — threshold against +inf keeps the frame empty instead of NPE-ing
-    val totalRow = perPart.agg(qsum(col("value_raw"), 6)).head()
-    val cut =
-      if (totalRow.isNullAt(0)) Double.PositiveInfinity
-      else totalRow.getDouble(0) * fraction
-    perPart.filter(col("value_raw") > lit(cut))
-      .select(col("l_partkey"), rd(col("value_raw"), 2).as("part_value"))
-      .orderBy(desc("part_value"), asc("l_partkey"))
+    try {
+      // empty supply slice (possible at tiny SFs): sum aggregates to NULL
+      // — threshold against +inf keeps the frame empty instead of NPE-ing
+      val totalRow = perPart.agg(qsum(col("value_raw"), 6)).head()
+      val cut =
+        if (totalRow.isNullAt(0)) Double.PositiveInfinity
+        else totalRow.getDouble(0) * fraction
+      val result = perPart.filter(col("value_raw") > lit(cut))
+        .select(col("l_partkey"), rd(col("value_raw"), 2).as("part_value"))
+        .orderBy(desc("part_value"), asc("l_partkey"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally perPart.unpersist(): Unit
   }
 
   /** TPC-H Q12-style shipping-delay report: lineitems bucketed by how
@@ -787,7 +796,15 @@ object Relational {
     * is SF-invariant). Quantities are integral doubles → the per-
     * supplier sums are exact; the mean is one IEEE division off two
     * exact scalars. Scale: per-supplier agg shuffles O(|suppliers|)
-    * rows; the mean anchors off that same tiny frame. */
+    * rows; the mean anchors off that same tiny frame, which is
+    * persisted so the fact scan runs once and RELEASED in the finally
+    * — the over-indexed keys collect to the driver (bounded: a
+    * supplier above `factor ×` the mean exists at most
+    * |suppliers|/factor times by the mean's definition, and the thin
+    * upper tail this report exists to surface is far smaller in any
+    * non-degenerate quantity distribution), and the dim join-back runs
+    * lazily off the local relation (which Spark then broadcasts — the
+    * plan the filtered frame earned anyway). */
   def q20DominantSuppliers(spark: SparkSession, sfDir: String,
       namePrefix: String = "red ", factor: Double = 1.1): DataFrame = {
     val p = part(spark, sfDir)
@@ -798,12 +815,18 @@ object Relational {
       .groupBy("l_suppkey")
       .agg(sum("l_quantity").cast("long").as("red_qty")) // integral: exact
       .persist() // O(|suppliers|): anchor job fills it, final read hits cache
-    val stats = perSupp.agg(sum("red_qty"), count(lit(1))).head()
-    // no supplier shipped this family → NULL sum; +inf cut keeps it empty
-    val mean =
-      if (stats.isNullAt(0)) Double.PositiveInfinity
-      else stats.getLong(0).toDouble / stats.getLong(1)
-    perSupp.filter(col("red_qty") > lit(factor * mean))
+    val dominant =
+      try {
+        val stats = perSupp.agg(sum("red_qty"), count(lit(1))).head()
+        // no supplier shipped this family → NULL sum; +inf cut keeps it empty
+        val mean =
+          if (stats.isNullAt(0)) Double.PositiveInfinity
+          else stats.getLong(0).toDouble / stats.getLong(1)
+        val hits = perSupp.filter(col("red_qty") > lit(factor * mean))
+        spark.createDataFrame(
+          java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+      } finally perSupp.unpersist(): Unit
+    dominant
       .join(supplier(spark, sfDir).select("s_suppkey", "s_name", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),

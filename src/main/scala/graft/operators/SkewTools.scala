@@ -90,13 +90,36 @@ object SkewTools {
     * the two separate jobs at sf0.1. NULL keys bypass the sketch and
     * go straight to the exact recount (the sketch cannot represent
     * them; passing them through preserves "no false negatives", and
-    * the exact cut still decides). */
+    * the exact cut still decides).
+    *
+    * The hot-key report materializes eagerly (the exact recount after
+    * the `cnt >= threshold` cut is report-sized by purpose — it feeds
+    * a `saltedJoin` configuration, and keys above `factor ×` the mean
+    * number at most |keys|/factor, in practice a handful) so the CMS
+    * broadcast can be DESTROYED before returning instead of leaking
+    * one broadcast per call across a long-lived session. */
   def heavyKeys(df: DataFrame, keyCol: String, factor: Double = 1.2,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
+    val (report, bc) = heavyKeysLazy(df, keyCol, factor, eps, confidence, seed)
+    try report.sparkSession.createDataFrame(
+      java.util.Arrays.asList(report.collect(): _*), report.schema)
+    finally bc.destroy()
+  }
+
+  /** The un-materialized guarded plan + its CMS broadcast — split out
+    * so the plan-shape spec can assert the guard sits below the count
+    * exchange; callers must destroy the broadcast when done (the
+    * public [[heavyKeys]] does). */
+  private[graft] def heavyKeysLazy(df: DataFrame, keyCol: String,
+      factor: Double = 1.2, eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): (DataFrame,
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch]) = {
     val keys = df.select(keyCol)
+    // Column-API aggregate (not an expr() string): immune to key names
+    // that would need backtick-quoting in SQL text (dots, spaces)
     val anchor = keys.agg(
-      expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"),
+      count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)),
       count(col(keyCol))).head()
     val total = anchor.getLong(1)
     val nKeys = keys.agg(count_distinct(col(keyCol))).head().getLong(0)
@@ -122,10 +145,10 @@ object SkewTools {
       case dt => sys.error(
         s"heavyKeys supports bigint/int/string keys, got ${dt.catalogString}")
     }
-    keys.filter(guard(col(keyCol)))
+    (keys.filter(guard(col(keyCol)))
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
-      .orderBy(desc("cnt"), asc(keyCol))
+      .orderBy(desc("cnt"), asc(keyCol)), bc)
   }
 
   /** Driver-contract query: users with ≥1.2× the mean event count —

@@ -826,10 +826,27 @@ object TextAnalysis {
     * inside double's exact-integer range (a 1e-6 clamp would push
     * floor(x·1e10) past 2^53 and silently break the rounding device);
     * ranking is on the ROUNDED key with doc_id tiebreak, so the DuckDB
-    * oracle replays the draw bit-for-bit. Scale: map-only key
-    * computation over the stored signal index, then
-    * `TakeOrderedAndProject` — per-partition K-heaps, no global sort,
-    * no shuffle beyond K rows per partition. */
+    * oracle replays the draw bit-for-bit.
+    *
+    * KNOWN ULP ASSUMPTION (unique in the repo): the key contains a
+    * natural log, and IEEE 754 does NOT require correctly-rounded
+    * transcendentals — JVM `Math.log` (guaranteed ≤ 1 ulp, and in
+    * practice correctly rounded via fdlibm/StrictMath tables) and
+    * DuckDB's libm `ln` could in principle differ by 1 ulp on some
+    * input, and IF that input lands exactly on a 10-dp rounding
+    * boundary of es_key the rounded keys diverge and the hash oracle
+    * goes red. No transcendental-free monotone equivalent exists:
+    * ranking u^(1/w) ACROSS different weights w inherently needs
+    * log/pow (unlike [[qualitySample]], whose per-row Bernoulli test
+    * compares u against the weight directly and so avoids the issue).
+    * The exposure is ~1 in 2^40 per row (P[1-ulp disagreement] ×
+    * P[boundary landing]); if this oracle ever mismatches on a data
+    * refresh, suspect THIS before the operator — diagnose by comparing
+    * unrounded ln values for the boundary doc_id.
+    *
+    * Scale: map-only key computation over the stored signal index,
+    * then `TakeOrderedAndProject` — per-partition K-heaps, no global
+    * sort, no shuffle beyond K rows per partition. */
   def weightedSample(spark: SparkSession, sfDir: String,
       k: Int = 300, seed: String = "wks0"): DataFrame = {
     val u = (conv(substring(

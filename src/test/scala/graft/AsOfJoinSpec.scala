@@ -203,6 +203,21 @@ class AsOfJoinSpec extends SparkSpec {
       "duplicate (user_id, ts) purchases would make the ASOF oracle's tie pick unspecified")
   }
 
+  test("oracle precondition: the fixture has no NULL as-of keys or times") {
+    // the native operator's key equality is deliberately null-safe
+    // (null keys group together, matching the window formulation)
+    // while DuckDB's ASOF equi-condition REJECTS null keys — the two
+    // agree only while the fixture carries none. Assert it here so a
+    // data refresh introducing null user_id/ts fails with a message
+    // instead of an opaque oracle hash mismatch.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+    assert(ev.filter($"user_id".isNull).count() === 0L,
+      "null user_id would match null-safely in the native as-of but not in DuckDB ASOF")
+    assert(ev.filter($"ts".isNull).count() === 0L,
+      "null ts rows never match in the native as-of; DuckDB would drop them differently")
+  }
+
   test("nearest as-of composition: closer side wins, ties go backward") {
     // build an events-shaped frame and drive the operator through a
     // temp parquet dir so the production entry point is what's tested

@@ -446,4 +446,17 @@ class RelationalSpec extends SparkSpec {
     val expect = bal.filter(r => r._2 > thr && !recent(r._1))
     assert(rows.map(_._2).sum === expect.length.toLong)
   }
+
+  test("anchor-device queries leak no cache entries (q11/q20/heavyKeys hygiene)") {
+    // q11/q20 persist their anchored frames and heavyKeys broadcasts a
+    // CMS; all three must release those resources before returning, or
+    // a long-lived session running the 177-query registry accumulates
+    // one leaked entry per call (round-8 verdict item). The returned
+    // frames stay fully consumable after the release.
+    assert(Relational.q11ImportantParts(spark, sf).collect().nonEmpty)
+    assert(Relational.q20DominantSuppliers(spark, sf).collect().nonEmpty)
+    assert(graft.operators.SkewTools.heavyUsers(spark, sf).collect().nonEmpty)
+    assert(org.apache.spark.sql.GraftColumnBridge.cacheIsEmpty(spark),
+      "anchor-device persists must be unpersisted before the query returns")
+  }
 }

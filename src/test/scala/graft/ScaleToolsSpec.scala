@@ -81,13 +81,18 @@ class ScaleToolsSpec extends SparkSpec {
     // shuffle carries candidate keys only. An index comparison against
     // a bare "Filter" would match the scan's PushedFilters line and
     // assert nothing.
-    val plan = SkewTools.heavyUsers(spark, sf)
-      .queryExecution.executedPlan.toString
-    val udfIdx = plan.indexOf("UDF")
-    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
-    assert(udfIdx >= 0, s"CMS guard UDF missing from plan:\n$plan")
-    assert(exchangeIdx >= 0 && udfIdx > exchangeIdx,
-      s"guard must evaluate below the count shuffle:\n$plan")
+    // the public heavyKeys materializes eagerly (so it can destroy its
+    // broadcast); the plan shape lives on the internal lazy form
+    val (report, bc) = SkewTools.heavyKeysLazy(
+      graft.sources.Tables.events(spark, sf), "user_id")
+    try {
+      val plan = report.queryExecution.executedPlan.toString
+      val udfIdx = plan.indexOf("UDF")
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+      assert(udfIdx >= 0, s"CMS guard UDF missing from plan:\n$plan")
+      assert(exchangeIdx >= 0 && udfIdx > exchangeIdx,
+        s"guard must evaluate below the count shuffle:\n$plan")
+    } finally bc.destroy()
   }
 
   test("heavy-keys handles string keys and passes null keys to the exact count") {
