@@ -178,16 +178,32 @@ object AsOfJoin {
       forward = true, "conversion_ts", "conversion_value")
 
   /** Nearest-purchase attribution — pandas `merge_asof`
-    * `direction='nearest'`, composed from the native operator's two
-    * directions: run backward and forward joins, keep whichever match
-    * sits closer in time (ties go BACKWARD, the pandas convention).
-    * The composition is itself the scale story: each direction is one
-    * co-partitioned merge, and the pick is a row-local CASE over the
-    * two attached timestamps — no third pass, no window. The second
-    * join keys on the FIRST join's left columns, so the partitioning
-    * carries across (one exchange per input side total, plus the
-    * join-back). */
+    * `direction='nearest'` through the native operator's SINGLE-pass
+    * nearest mode: one co-partitioned merge where the forward
+    * candidate is the un-consumed right head of the backward pass
+    * (see [[graft.plans.AsOfJoinPlan]]), so the plan carries ONE
+    * exchange+sort pair per side. Replaces the round-8 composition of
+    * separate backward+forward joins, which was correct but planned
+    * two full exchange+sort pairs over the purchases side — 2× the
+    * shuffle I/O for the same rows (the composed form survives as
+    * [[clickNearestPurchaseComposed]], the differential-spec twin). */
   def clickNearestPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    graft.plans.AsOfJoinNative.asOf(
+        clicksOf(ev), purchasesOf(ev, "p"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("p_event_id"), nearest = true)
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("p_ts").as("nearest_ts"), rd(col("p_value"), 4).as("nearest_value"))
+      .orderBy("event_id")
+  }
+
+  /** The round-8 two-pass composition of nearest (backward join, then
+    * forward join, then a row-local distance CASE) — kept as the
+    * independent implementation the randomized differential spec
+    * checks [[clickNearestPurchase]] against. */
+  def clickNearestPurchaseComposed(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val clicks = clicksOf(ev)
     def purchases(pfx: String) = purchasesOf(ev, pfx)

@@ -50,6 +50,21 @@ import org.apache.spark.sql.types.{
   * SIMPLER: the candidate is the right head itself, no buffered match
   * at all (equal-time ties resolve to the smallest tiebreak — the
   * first row in sort order).
+  *
+  * `nearest = true` (pandas `direction='nearest'`) picks whichever of
+  * the two directional candidates sits closer in time, equal distance
+  * resolving BACKWARD (the pandas convention). The insight that keeps
+  * this a SINGLE pass: in the backward merge the at-or-after candidate
+  * is always sitting un-consumed at the right head (rows `<= lTime`
+  * were folded into the buffered match; the head is the earliest later
+  * row of the key, smallest tiebreak first) — so nearest is the
+  * backward pass plus ONE head peek and a distance compare, one
+  * exchange+sort pair per side instead of the two full backward+forward
+  * joins the round-8 composition paid (2× the I/O for the same
+  * answer). With a tolerance, each direction's candidate is
+  * window-checked independently before the pick — exactly pandas,
+  * since any farther row in a direction is out of window whenever that
+  * direction's nearest candidate is.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -57,7 +72,8 @@ case class AsOfJoinPlan(
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Option[Expression],
     tolerance: Option[Long],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    nearest: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -69,8 +85,8 @@ case class AsOfJoinPlan(
   * node so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol, fwd, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol, fwd, near) :: Nil
     case _ => Nil
   }
 }
@@ -81,7 +97,8 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Option[Expression],
     tolerance: Option[Long],
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean,
+    nearest: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -154,7 +171,8 @@ case class AsOfJoinExec(
           val lKey = lKeyProj(l)
           val lt = lTimeEval.eval(l)
           val lTime = if (lt == null) 0L else asLong(lt)
-          val m = if (forward) nextForward(lKey, lt, lTime)
+          val m = if (nearest) nextNearest(lKey, lt, lTime)
+                  else if (forward) nextForward(lKey, lt, lTime)
                   else nextBackward(lKey, lt, lTime)
           resultProj(joined(l, m))
         }
@@ -205,6 +223,44 @@ case class AsOfJoinExec(
               rTime >= lTime && tolerance.forall(rTime - lTime <= _)) rRow
           else nullRight
         }
+
+        /** Closer of the two directional candidates, ties backward
+          * (pandas `direction='nearest'`). The backward consumption
+          * loop runs unchanged — and once it stops, the right HEAD is
+          * exactly the forward candidate (first row of this key with
+          * time > lTime, smallest tiebreak), un-consumed and free to
+          * become a later left row's backward match. Each direction
+          * window-checks independently: a direction whose nearest
+          * candidate is out of tolerance contributes nothing (every
+          * farther row in that direction is farther out). */
+        private def nextNearest(lKey: UnsafeRow, lt: Any,
+            lTime: Long): InternalRow = {
+          if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
+            matchRow = null; matchKey = null
+          }
+          if (lt == null) return nullRight
+          var done = false
+          while (!done && rRow != null) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) advanceRight()
+            else if (c == 0 && rTimeNull) advanceRight()
+            else if (c == 0 && rTime <= lTime) {
+              matchRow = rRow; matchKey = rKey; matchTime = rTime
+              advanceRight()
+            } else done = true
+          }
+          val haveBack = matchRow != null &&
+            keyOrd.compare(matchKey, lKey) == 0 &&
+            tolerance.forall(lTime - matchTime <= _)
+          // head time is strictly > lTime here (<= rows were consumed)
+          val haveFwd = rRow != null && !rTimeNull &&
+            keyOrd.compare(rKey, lKey) == 0 &&
+            tolerance.forall(rTime - lTime <= _)
+          if (haveBack && (!haveFwd || lTime - matchTime <= rTime - lTime))
+            matchRow
+          else if (haveFwd) rRow
+          else nullRight
+        }
       }
     }
   }
@@ -235,15 +291,22 @@ object AsOfJoinNative {
     *   farther row.
     * @param forward false (default) = latest right row at-or-BEFORE
     *   the left time; true = earliest right row at-or-AFTER it
-    *   (pandas `direction='forward'`). */
+    *   (pandas `direction='forward'`).
+    * @param nearest true = closer of the two directional candidates,
+    *   equal distance resolving backward (pandas
+    *   `direction='nearest'`); mutually exclusive with `forward`.
+    *   Still ONE merge pass — see [[AsOfJoinPlan]]'s scaladoc. */
   def asOf(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       rightTiebreak: Option[String] = None,
       tolerance: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
       "as-of join needs matching non-empty key lists")
+    require(!(forward && nearest),
+      "forward and nearest directions are mutually exclusive")
     val spark = left.sparkSession
     GraftExtensions.registerRuntime(spark)
     val lPlan = left.queryExecution.analyzed
@@ -279,6 +342,6 @@ object AsOfJoinNative {
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),
-      lt, rt, rightTiebreak.map(attr(rOut, _)), tolerance, forward))
+      lt, rt, rightTiebreak.map(attr(rOut, _)), tolerance, forward, nearest))
   }
 }

@@ -218,9 +218,90 @@ class AsOfJoinSpec extends SparkSpec {
       "null ts rows never match in the native as-of; DuckDB would drop them differently")
   }
 
-  test("nearest as-of composition: closer side wins, ties go backward") {
-    // build an events-shaped frame and drive the operator through a
-    // temp parquet dir so the production entry point is what's tested
+  test("native nearest as-of: one merge pass, per-direction tolerance, ties backward") {
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 1h, fwd 10min -> fwd
+      (2L, 20L, ts("2024-01-01 10:00:00")), // both 1h away -> tie -> back
+      (3L, 30L, ts("2024-01-01 10:00:00")), // back 7h (out of 6h tol), fwd 5h -> fwd
+      (4L, 40L, ts("2024-01-01 10:00:00")), // both out of window -> null
+      (5L, 50L, ts("2024-01-01 10:00:00"))  // no purchases -> null
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 101L, 1.0),
+      (10L, ts("2024-01-01 10:10:00"), 102L, 2.0),
+      (20L, ts("2024-01-01 09:00:00"), 103L, 3.0),
+      (20L, ts("2024-01-01 11:00:00"), 104L, 4.0),
+      (30L, ts("2024-01-01 03:00:00"), 105L, 5.0),
+      (30L, ts("2024-01-01 15:00:00"), 106L, 6.0),
+      (40L, ts("2024-01-01 01:00:00"), 107L, 7.0),
+      (40L, ts("2024-01-01 23:00:00"), 108L, 8.0)
+    ).toDF("p_user_id", "p_ts", "pid", "p_value")
+    val joined = graft.plans.AsOfJoinNative.asOf(
+      clicks, purchases,
+      leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+      leftTime = "ts", rightTime = "p_ts",
+      rightTiebreak = Some("pid"),
+      tolerance = Some(6L * 3600 * 1000000),
+      nearest = true)
+    // single-pass contract: exactly ONE AsOfJoinExec in the plan (the
+    // composed form planned two)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert("AsOfJoin \\[".r.findAllIn(plan).length === 1,
+      s"nearest must plan one merge pass, not a composition:\n$plan")
+    val got = joined.orderBy("event_id")
+      .select("event_id", "pid", "p_value").collect()
+    assert(got(0).getLong(1) === 102L, "closer forward candidate wins")
+    assert(got(1).getLong(1) === 103L, "equal distance resolves backward")
+    assert(got(2).getLong(1) === 106L,
+      "out-of-window backward must not block an in-window forward")
+    assert(got(3).isNullAt(1), "both directions out of window: null")
+    assert(got(4).isNullAt(1), "no purchases: null")
+  }
+
+  test("native nearest equals a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(4321)
+    val clicks = (1 to 400).map { i =>
+      (i.toLong, (rnd.nextInt(30) + 1).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }
+    val purchases = (1 to 300).map { i =>
+      ((rnd.nextInt(40) + 1).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        1000L + i, rnd.nextDouble())
+    }
+    val got = graft.plans.AsOfJoinNative.asOf(
+        clicks.toDF("event_id", "user_id", "ts"),
+        purchases.toDF("p_user_id", "p_ts", "pid", "p_value"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+        leftTime = "ts", rightTime = "p_ts",
+        rightTiebreak = Some("pid"), nearest = true)
+      .select("event_id", "pid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val byUser = purchases.groupBy(_._1)
+    clicks.foreach { case (eid, uid, cts) =>
+      val ps = byUser.getOrElse(uid, Seq.empty)
+      // backward: latest at-or-before, greatest pid on ties; forward:
+      // earliest at-or-after, smallest pid; closer wins, ties backward
+      val back = ps.filter(_._2.getTime <= cts.getTime)
+        .sortBy(p => (p._2.getTime, p._3)).lastOption
+      val fwd = ps.filter(_._2.getTime >= cts.getTime)
+        .sortBy(p => (p._2.getTime, p._3)).headOption
+      val expect = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (cts.getTime - b._2.getTime <= f._2.getTime - cts.getTime) Some(b._3)
+          else Some(f._3)
+        case (Some(b), None) => Some(b._3)
+        case (None, Some(f)) => Some(f._3)
+        case _ => None
+      }
+      assert(got(eid) === expect, s"event $eid (user $uid at $cts)")
+    }
+  }
+
+  test("nearest drivers: native and composed forms agree on the golden cases") {
+    // build an events-shaped frame and drive the operators through a
+    // temp parquet dir so the production entry points are what's tested
     val dirPath = java.nio.file.Files.createTempDirectory("graft-asof-near")
     val dir = dirPath.toString
     val rows = Seq(
@@ -240,13 +321,16 @@ class AsOfJoinSpec extends SparkSpec {
     ).toDF("event_id", "user_id", "ts", "event_type", "value")
     rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
     try {
-      val got = AsOfJoin.clickNearestPurchase(spark, dir).collect()
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => r.getLong(0) ->
           (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      val got = run(AsOfJoin.clickNearestPurchase(spark, dir))
       assert(got(1L) === Some(2.0), "closer forward match must win")
       assert(got(4L) === Some(3.0), "equal distance resolves backward (pandas)")
       assert(got(7L) === Some(5.0), "forward-only still matches")
       assert(got(9L) === None, "no purchases: null")
+      assert(run(AsOfJoin.clickNearestPurchaseComposed(spark, dir)) === got,
+        "single-pass native and two-pass composed nearest must agree")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
