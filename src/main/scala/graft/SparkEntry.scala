@@ -156,6 +156,7 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.features _),
     "multimodal_summary" -> (Multimodal.modalitySummary _),
     "multimodal_frame_plan" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
+    "multimodal_frame_exec" -> ((s, d) => Multimodal.frameSampleExec(s, d)),
     "multimodal_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
     "multimodal_container_audit" -> ((s, d) => Multimodal.containerAudit(s, d)),
     "data_quality_report" -> ((s, d) => Stats.dataQualityReport(s, d)),
@@ -2828,6 +2829,46 @@ object SparkEntry {
         |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
         |       WHEN width >= height THEN (height * 224) // width
         |       ELSE 224 END AS INT) AS out_h
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // frameSampleExec: the Spark side slices actual GRFT payload BYTES
+    // (dynamic substr over the binary column) and md5s each frame; the
+    // oracle replays the same slices over the source VARCHAR. The two
+    // agree because every fixture text is pure ASCII (byte slice ==
+    // char slice; MultimodalSpec asserts the precondition) — DuckDB
+    // 1.0 has no BLOB substring, so the VARCHAR replay is the only
+    // oracle form available. Frame k of n owns payload bytes
+    // [k*plen/n, (k+1)*plen/n) — exact integer tiling, no gaps.
+    "multimodal_frame_exec" ->
+      """WITH b AS (SELECT doc_id, text,
+        |             CAST(octet_length(encode(text)) AS INT) AS plen,
+        |             ord(substr(text, 1, 1)) AS first
+        |           FROM documents
+        |           WHERE CAST(doc_id % 3 AS INT) = 2),
+        |v AS (SELECT doc_id, text, plen,
+        |        CAST(1 + (plen % 240) AS INT) AS n_frames,
+        |        CAST(64 + ((plen * 3 + first) % 1856) AS INT) AS width,
+        |        CAST(64 + ((plen * 5 + first) % 1016) AS INT) AS height
+        |      FROM b),
+        |s AS (SELECT doc_id, text, plen, n_frames, width, height,
+        |        least(8, n_frames) AS ns FROM v),
+        |f AS (SELECT doc_id, text, plen, n_frames, width, height,
+        |        unnest([(k * n_frames) // ns for k in range(0, ns)]) AS frame_idx
+        |      FROM s)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST((frame_idx * 1000) // 24 AS INT) AS ts_ms,
+        |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+        |       WHEN width >= height THEN 224
+        |       ELSE (width * 224) // height END AS INT) AS out_w,
+        |  CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+        |       WHEN width >= height THEN (height * 224) // width
+        |       ELSE 224 END AS INT) AS out_h,
+        |  CAST((frame_idx * plen) // n_frames AS BIGINT) AS frame_offset,
+        |  CAST(((frame_idx + 1) * plen) // n_frames
+        |       - (frame_idx * plen) // n_frames AS BIGINT) AS frame_bytes,
+        |  md5(substring(text,
+        |      CAST((frame_idx * plen) // n_frames + 1 AS BIGINT),
+        |      CAST(((frame_idx + 1) * plen) // n_frames
+        |           - (frame_idx * plen) // n_frames AS BIGINT))) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_summary" ->
       """WITH f AS (SELECT doc_id,

@@ -72,6 +72,23 @@ object Multimodal {
   private def magicOkExpr(blob: Column): Column =
     hex(blob.substr(lit(1), lit(4))) === lit(MagicHex)
 
+  /** Expression: big-endian int parsed from 4 container bytes at the
+    * given 0-based offset (substr is 1-based). */
+  private def beIntExpr(blob: Column, offset: Int): Column =
+    conv(hex(blob.substr(lit(offset + 1), lit(4))), 16, 10)
+
+  /** Aspect-preserving resize target (long side capped at `maxDim`,
+    * other side by exact integer division) as (out_w, out_h) SQL
+    * expressions over `width`/`height` columns — shared by the frame
+    * PLAN and its EXEC so the two can never disagree. */
+  private def resizeExprs(maxDim: Int): (Column, Column) = (
+    expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN width
+             WHEN width >= height THEN $maxDim
+             ELSE (width * $maxDim) div height END AS INT)"""),
+    expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN height
+             WHEN width >= height THEN (height * $maxDim) div width
+             ELSE $maxDim END AS INT)"""))
+
   /** Header feature values, derived deterministically from the payload
     * (this is the synthetic stand-in for what a real encoder would know
     * about its media): (width, height, n_frames, sample_rate). */
@@ -215,18 +232,65 @@ object Multimodal {
     val vids = extractFeatures(blobTable(spark, sfDir)).toDF()
       .filter(col("modality") === "video")
       .withColumn("ns", least(lit(targetFrames), col("n_frames")))
+    val (outW, outH) = resizeExprs(maxDim)
     vids
       .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
         explode(expr("transform(sequence(0, ns - 1), k -> (k * n_frames) div ns)"))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
         expr(s"CAST((frame_idx * 1000) div $fps AS INT)").as("ts_ms"),
-        expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN width
-                 WHEN width >= height THEN $maxDim
-                 ELSE (width * $maxDim) div height END AS INT)""").as("out_w"),
-        expr(s"""CAST(CASE WHEN width <= $maxDim AND height <= $maxDim THEN height
-                 WHEN width >= height THEN (height * $maxDim) div width
-                 ELSE $maxDim END AS INT)""").as("out_h"))
+        outW.as("out_w"), outH.as("out_h"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** EXECUTE the frame-sample manifest: slice each video's GRFT payload
+    * into the per-frame blobs [[frameSamplePlan]] planned. Frame `k` of
+    * an `n_frames`-frame payload owns the byte range
+    * `[k·plen div n_frames, (k+1)·plen div n_frames)` — the same exact
+    * integer arithmetic family as the plan, so the ranges tile the
+    * payload with no gaps or overlaps, and concatenating all `n_frames`
+    * slices reconstructs it byte-for-byte (MultimodalSpec asserts both,
+    * plus agreement with the manifest row-for-row).
+    *
+    * This is the write half of the media path the plan deferred: where
+    * the manifest never touches payload bytes, the exec reads them —
+    * but ONLY as a map-only stage. Everything is codegen'd SQL
+    * expressions over the binary column (header ints via substr+hex,
+    * the slice via dynamic substr, md5 of the slice): no UDF, no join
+    * back to the manifest (the frame indices are re-derived in the same
+    * stage, so payload bytes are never replicated through a shuffle),
+    * and the only thing that leaves the scan stage is the derived frame
+    * rows themselves. In production the md5 column is where the real
+    * frame transcode lands; the slicing, offsets, and batch shape are
+    * the real thing. Emits (doc_id, frame_idx, ts_ms, out_w, out_h,
+    * frame_offset, frame_bytes, frame_md5). */
+  def frameSampleExec(spark: SparkSession, sfDir: String,
+      targetFrames: Int = 8, maxDim: Int = 224, fps: Int = 24): DataFrame = {
+    val blob = col("blob")
+    val (outW, outH) = resizeExprs(maxDim)
+    blobTable(spark, sfDir).toDF()
+      .filter(col("modality") === "video")
+      .select(col("doc_id"),
+        beIntExpr(blob, 6).cast("int").as("width"),
+        beIntExpr(blob, 10).cast("int").as("height"),
+        beIntExpr(blob, 14).cast("int").as("n_frames"),
+        payloadLenExpr(blob).cast("int").as("plen"),
+        blob.substr(lit(HeaderLen + 1), payloadLenExpr(blob).cast("int")).as("payload"))
+      .withColumn("ns", least(lit(targetFrames), col("n_frames")))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("plen"), col("payload"),
+        explode(expr("transform(sequence(0, ns - 1), k -> (k * n_frames) div ns)"))
+          .as("frame_idx"))
+      .withColumn("fstart", expr("(frame_idx * plen) div n_frames"))
+      .withColumn("flen", expr("((frame_idx + 1) * plen) div n_frames - fstart"))
+      .withColumn("frame",
+        col("payload").substr(col("fstart").cast("int") + 1, col("flen").cast("int")))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"CAST((frame_idx * 1000) div $fps AS INT)").as("ts_ms"),
+        outW.as("out_w"), outH.as("out_h"),
+        col("fstart").cast("long").as("frame_offset"),
+        col("flen").cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -122,6 +122,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame exec: slices match JVM byte arithmetic and agree with the manifest") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val exec = Multimodal.frameSampleExec(spark, sf).collect()
+    assert(exec.nonEmpty)
+    // every exec row's offset/length/md5 reproduces the JVM slice of the
+    // same payload — the byte-arithmetic golden for the write path
+    exec.foreach { r =>
+      val (id, idx) = (r.getLong(0), r.getInt(1))
+      val payload = texts(id)
+      val nFrames = 1 + payload.length % 240
+      val start = idx * payload.length / nFrames
+      val end = (idx + 1) * payload.length / nFrames
+      assert(r.getLong(5) === start.toLong, s"doc $id frame $idx offset")
+      assert(r.getLong(6) === (end - start).toLong, s"doc $id frame $idx length")
+      val slice = java.util.Arrays.copyOfRange(payload, start, end)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        .map("%02x".format(_)).mkString
+      assert(r.getString(7) === md5, s"doc $id frame $idx checksum")
+    }
+    // fully-sampled videos (n_frames <= target): the slices TILE the
+    // payload — no gaps, no overlaps, total bytes == payload bytes
+    val full = exec.groupBy(_.getLong(0)).filter { case (id, rows) =>
+      rows.length == 1 + texts(id).length % 240
+    }
+    assert(full.nonEmpty, "fixture should contain at least one short video")
+    full.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val plen = texts(id).length.toLong
+      assert(sorted.map(_.getLong(6)).sum === plen, s"doc $id total frame bytes")
+      sorted.foldLeft(0L) { (expectStart, r) =>
+        assert(r.getLong(5) === expectStart, s"doc $id contiguous tiling")
+        expectStart + r.getLong(6)
+      }
+    }
+    // manifest agreement: exec rows carry exactly the plan's
+    // (doc_id, frame_idx, ts_ms, out_w, out_h) — plan and exec can't drift
+    val planRows = Multimodal.frameSamplePlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val execHead = exec
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    assert(execHead === planRows)
+  }
+
+  test("oracle precondition: fixture texts are pure ASCII (byte slice == char slice)") {
+    // the frame-exec DuckDB oracle slices the VARCHAR where Spark slices
+    // payload BYTES; they agree iff every text is single-byte chars. A
+    // data refresh breaking this surfaces here, not as an opaque red hash.
+    import org.apache.spark.sql.functions._
+    val nonAscii = graft.sources.Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0L, "frame-exec oracle requires ASCII-only fixture text")
+  }
+
   test("container audit: byte accounting parsed from the binary column reconciles") {
     import org.apache.spark.sql.functions._
     val audit = Multimodal.containerAudit(spark, sf).collect()
