@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
   * sort-merge shuffles; salting also covers aggregations and works when
   * AQE is off or the skew is extreme).
   *
+  * ==When to use which: manual salt vs AQE's runtime skew split==
+  *
+  * Spark's own `OptimizeSkewedJoin` (`spark.sql.adaptive.skewJoin.*`,
+  * ON by default) detects oversized shuffle partitions at runtime and
+  * splits them into map-output ranges, replicating the matching
+  * partition of the other side — for a plain shuffled equi-join it
+  * SUBSUMES [[saltedJoin]]: same row multiplication, no replicated-dim
+  * write amplification, no plan rewrite, and it sizes the split from
+  * the real runtime bytes instead of a guessed bucket count
+  * (ScaleToolsSpec proves the split fires and returns bit-identical
+  * rows on a 90%-hot-key fixture). **Prefer AQE when** the join is a
+  * sort-merge/shuffled-hash equi-join and the skew shows up as
+  * partition BYTES above `skewedPartitionThresholdInBytes` (256 MB
+  * default — exactly the shape a 100 TB hot key takes).
+  *
+  * **Reach for the manual salt when AQE's rule cannot fire:**
+  *  - the skew is in an AGGREGATION, not a join — `OptimizeSkewedJoin`
+  *    only rewrites joins; a hot group key needs the (key, salt)
+  *    two-phase trick (or a partial-pushdown agg, which Spark already
+  *    map-side combines);
+  *  - Structured Streaming — AQE does not re-plan stateful streaming
+  *    joins, so [[salt]] is the only lever there;
+  *  - COMPUTE skew with small bytes — a key whose rows are cheap to
+  *    store but expensive to process (heavy UDF, wide explode) never
+  *    crosses the byte threshold yet still pins a reducer;
+  *  - the split would add an exchange AQE refuses to insert (the
+  *    join's output partitioning is reused by a parent and
+  *    `forceOptimizeSkewedJoin` is off);
+  *  - AQE is disabled, or the engine replaying the plan lacks it.
+  *
+  * Use [[heavyKeys]] first either way: it tells you whether a hot key
+  * exists and how hot, which decides the bucket count (or confirms the
+  * default AQE thresholds will catch it).
+  *
   * Salted join: the skewed (large) side gets a random-ish but
   * DETERMINISTIC salt in [0, buckets) derived from row content; the
   * small side is replicated `buckets` times with every salt value. The

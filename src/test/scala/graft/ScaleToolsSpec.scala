@@ -120,6 +120,58 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got2.length === 1 && got2.head.isNullAt(0) && got2.head.getLong(1) === 20L)
   }
 
+  test("AQE skew-join positioning: native runtime split subsumes the manual salt for shuffle joins") {
+    // The decision rule documented on SkewTools: for a plain shuffled
+    // equi-join whose skew is visible at partition-byte granularity,
+    // AQE's OptimizeSkewedJoin splits the hot partition at runtime and
+    // the manual salt buys nothing — this spec proves both halves on a
+    // fixture with a genuinely hot key (90% of rows on one key).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // force the shuffle path (no broadcast) and lower AQE's byte
+      // thresholds so the test fixture's skew crosses them, the same
+      // way a 100 TB hot partition crosses the 256 MB default
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val payload = "x" * 64
+      val left = spark.sparkContext
+        .parallelize((1 to 20000).map { i =>
+          (if (i % 10 == 0) (i % 97) + 2L else 1L, i.toLong, payload)
+        }, 8).toDF("k", "row_id", "payload")
+      val right = (1L to 99L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+      val joined = left.join(right, Seq("k")).select("row_id", "attr")
+      val plainRows = joined.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must split the hot partition at runtime:\n$finalPlan")
+      // the manual salt produces exactly the same rows — and nothing more
+      val saltedRows = SkewTools.saltedJoin(left, right, "k", 8, Seq("row_id"))
+        .select("row_id", "attr")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(saltedRows === plainRows)
+      // detection is sound: with the AQE rule off, the marker disappears
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val unsplit = left.join(right, Seq("k")).select("row_id", "attr")
+      unsplit.collect()
+      assert(!unsplit.queryExecution.executedPlan.toString.contains("skew=true"))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("native as-of equals the composition on randomized key/time data") {
     // differential test for the custom SparkPlan: many keys, duplicate
     // timestamps, keys missing on either side, unmatched-early lefts
