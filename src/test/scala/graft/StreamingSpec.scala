@@ -247,6 +247,104 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-restart endurance: 3 kill/resume cycles stay exactly-once and match batch") {
+    // Recovery beyond a single kill: the stateful session query is
+    // killed and resumed repeatedly over a maxFilesPerTrigger=1 drain,
+    // and after EVERY cycle the file sink must show no duplicated
+    // session (the _spark_metadata commit log is the exactly-once
+    // mechanism this asserts) and monotonically growing output; the
+    // final drain must equal the batch aggregation over all input.
+    val inDir = java.nio.file.Files.createTempDirectory("graft-end-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-end-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-end-ckpt").toString
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).collect()
+        .flatMap(r => Array(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      // 6 even time slices + a far-future sentinel in the last file so
+      // append mode flushes every real session at the end
+      val nSlices = 6
+      val sentinelTs = new Timestamp(hi + 2 * 3600 * 1000L)
+      val bounds = (0 to nSlices).map(i => lo + (hi - lo) * i / nSlices)
+      val slices = (0 until nSlices).map { i =>
+        val fromBound =
+          if (i == 0) lit(true) else $"ts" > lit(new Timestamp(bounds(i)))
+        val base = ev.filter(fromBound)
+          .filter($"ts" <= lit(new Timestamp(bounds(i + 1))))
+        if (i == nSlices - 1)
+          base.unionByName(Seq((-999L, sentinelTs, -999L, "sentinel", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        else base
+      }
+      slices.zipWithIndex.foreach { case (s, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-end-sl$i").toString
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet"))
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      }
+      val schema = spark.read.parquet(inDir).schema
+      def startQuery(availableNow: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val w = EventStream.sessionAgg(src).writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+        (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500)))
+          .start()
+      }
+      def sinkSessions(): Seq[(Long, Timestamp)] =
+        scala.util.Try(spark.read.parquet(outDir)
+          .filter($"user_id" =!= -999L)
+          .select("user_id", "session_start")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq)
+          .getOrElse(Seq.empty)
+      var committedSoFar = 0
+      var cyclesWithInput = 0
+      for (_ <- 1 to 3) {
+        val q = startQuery(availableNow = false)
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (q.recentProgress.forall(_.numInputRows == 0) &&
+              System.nanoTime() < deadline) Thread.sleep(50)
+          if (q.recentProgress.exists(_.numInputRows > 0)) cyclesWithInput += 1
+        } finally q.stop() // kill mid-drain
+        val sessions = sinkSessions()
+        assert(sessions.size === sessions.distinct.size,
+          s"cycle output duplicated a session: ${sessions.size} rows, ${sessions.distinct.size} distinct")
+        assert(sessions.size >= committedSoFar,
+          "committed output must never shrink across restarts")
+        committedSoFar = sessions.size
+      }
+      assert(cyclesWithInput >= 2,
+        "endurance needs at least two cycles that genuinely resumed mid-input")
+      // final drain from the same checkpoint (extra no-data batch
+      // flushes state once the sentinel advances the watermark)
+      val qf = startQuery(availableNow = true)
+      qf.awaitTermination()
+      val streamed = spark.read.parquet(outDir)
+        .filter($"user_id" =!= -999L)
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+      val batch = EventStream.sessionAgg(spark.read.parquet(inDir))
+        .filter($"user_id" =!= -999L)
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        "after N restarts the drained sink must equal the batch sessions exactly")
+    } finally {
+      Seq(inDir, outDir, ckpt).foreach(d =>
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch receives each micro-batch with its id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
