@@ -39,7 +39,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        if (!failed.contains(name)) failed += name
+        failed.synchronized { if (!failed.contains(name)) failed += name }
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -56,8 +56,28 @@ object Bench {
     // the bucketed-table fingerprint and layout_bucketed_join's bench
     // line absorbed a two-table rewrite. Steady-state per-query cost and
     // amortized ingest cost are different quantities; report both.
+    // The warm pass runs queries CONCURRENTLY (8 driver threads by
+    // default): independent artifact builds overlap, and the many small
+    // queries fill the scheduling gaps a serial pass leaves on a 32-core
+    // executor. Safe because every shared build site already serializes
+    // itself (ArtifactCache's per-key future, bucketedTable's
+    // synchronized block), so a racing pair of consumers computes each
+    // artifact once. Steady-state timing stays strictly serial below —
+    // only the untimed pay-once phase parallelizes.
     val warmT0 = System.nanoTime()
-    selected.foreach { case (name, fn) => timeOnce(name, fn): Unit }
+    val warmPar = sys.env.getOrElse("SPARK_GRAFT_WARM_PAR", "8").toInt
+    if (warmPar <= 1) selected.foreach { case (name, fn) => timeOnce(name, fn): Unit }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmPar)
+      try selected.map { case (name, fn) =>
+        pool.submit(new Runnable { def run(): Unit = { timeOnce(name, fn): Unit } })
+      }.foreach(_.get())
+      finally pool.shutdown()
+    }
+    // streaming drains pin-and-restore spark.sql.shuffle.partitions;
+    // two concurrent restores can interleave and leave a drain value
+    // (4-16) behind — re-pin the session value before any timed run
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     // a warm-only failure (cold artifact-write race, say) is not a
     // measured failure: report the two phases' failures separately
