@@ -260,13 +260,30 @@ object Dedup {
       threshold: Double, maxShingleFreq: Int): DataFrame = {
     val sh = rareShingles(hashed, maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    expandToMembers(canonicalPairsFrom(sh, sizes, threshold), members,
+      sizes, "jaccard", lit(1.0d))
+  }
+
+  /** The inverted-index self-join CORE at canonical level: near-dup
+    * (doc_a, doc_b, jaccard) pairs over distinct texts only. This is
+    * the O(distinct-texts) object; the member expansion layered on top
+    * by [[expandToMembers]] is quadratic in duplicate-group size (a
+    * text duplicated g times turns each of its canonical pairs into g²
+    * member pairs — measured 27.3M member rows vs thousands of
+    * canonical rows on the 100×-amplified corpus, where the member
+    * table OOM'd the downstream cluster aggregation). Consumers that
+    * need pair ROWS (the dedup_ngram_jaccard contract) pay the
+    * expansion because it IS their output; consumers that need cluster
+    * STRUCTURE compose this with membership star edges instead
+    * ([[nearDupClusters]]). */
+  private def canonicalPairsFrom(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
     val a = renamed(sh, "doc_id" -> "doc_a", "h" -> "h")
     val b = renamed(sh, "doc_id" -> "doc_b", "h" -> "h")
     val common = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    expandToMembers(jaccardFromCommon(common, sizes, threshold), members,
-      sizes, "jaccard", lit(1.0d))
+    jaccardFromCommon(common, sizes, threshold)
   }
 
   /** Corpus form: shingle hashes come from the stored [[shingleIndex]],
@@ -421,6 +438,15 @@ object Dedup {
 
   def winnowingPairsOf(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 8, w: Int = 8, maxFpFreq: Int = 64): DataFrame = {
+    val (members, canonPairs, sizes) = winnowingCanonical(docs, threshold, k, w, maxFpFreq)
+    expandToMembers(canonPairs, members, sizes, "sketch_jaccard", lit(1.0d))
+  }
+
+  /** Shared canonical core of the winnowing path: (member→canonical
+    * map, canonical sketch-Jaccard pairs, per-canonical fingerprint
+    * sizes — the eligibility set). */
+  private def winnowingCanonical(docs: DataFrame, threshold: Double,
+      k: Int, w: Int, maxFpFreq: Int): (DataFrame, DataFrame, DataFrame) = {
     val (members, canonDocs) = exactGroups(docs)
     // one sketch materialization feeds the guard, sizes, and both join
     // sides; group-size weights make the guard count TRUE document
@@ -439,8 +465,34 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     val canonPairs = jaccardFromCommon(common, sizes, threshold)
       .withColumnRenamed("jaccard", "sketch_jaccard")
-    expandToMembers(canonPairs, members, sizes, "sketch_jaccard", lit(1.0d))
+    (members, canonPairs, sizes)
   }
+
+  /** Winnowing duplicate clusters via canonical pairs + membership star
+    * edges — the char-level twin of [[nearDupClusters]], with the same
+    * component-equality argument and the same linear-vs-quadratic
+    * rationale (the member winnowing pair table inherits the g² member
+    * expansion). Eligibility for star edges = canonicals with ≥1
+    * post-guard fingerprint, matching [[expandToMembers]]'s intra-pair
+    * rule, so shingle-less docs stay singletons in both formulations.
+    * Stored per corpus snapshot like the token-level cluster table. */
+  def winnowingClustersOf(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 8, w: Int = 8, maxFpFreq: Int = 64): DataFrame = {
+    val (members, canonPairs, sizes) = winnowingCanonical(docs, threshold, k, w, maxFpFreq)
+    val stars = members.filter(col("doc_id") =!= col("canon_id"))
+      .join(sizes.select(col("doc_id").as("canon_id")), Seq("canon_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("canon_id").as("doc_b"))
+    duplicateClusters(canonPairs.select("doc_a", "doc_b").unionByName(stars))
+  }
+
+  /** Corpus form of [[winnowingClustersOf]], stored once per snapshot. */
+  def winnowingClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, k: Int = 8, w: Int = 8,
+      maxFpFreq: Int = 64): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "winnow-clusters",
+      s"$sfDir|$threshold|$k|$w|$maxFpFreq", s"$sfDir/documents.parquet")(
+      winnowingClustersOf(Tables.documents(spark, sfDir), threshold, k, w, maxFpFreq))
+      .orderBy("doc_id")
 
   // --- SimHash ---
 
@@ -844,9 +896,9 @@ object Dedup {
     * the shingle blocker), score, filter, total-order. */
   private def editDistanceVerify(docs: DataFrame, cands: DataFrame,
       simThreshold: Double, n: Int): DataFrame = {
-    // normalized text is consumed FOUR times below (fingerprint pass,
-    // short-doc slice, both candidate-join sides); checkpoint it so
-    // normText + tokenization run ONE corpus pass instead of four (the
+    // normalized text is consumed repeatedly below (fingerprint+length
+    // pass, both canonical-text join sides); checkpoint it so
+    // normText + tokenization run ONE corpus pass instead of several (the
     // r5 fallback widening recomputed it per consumer — the suspected
     // 2x bench regression turned out to be measurement noise, but the
     // redundant passes were real). At cluster scale the same frame is
@@ -870,21 +922,43 @@ object Dedup {
     // NEAR-dup pairs; the pairs this fallback emits are short texts,
     // so the quadratic Levenshtein DP on them is cheap in absolute
     // terms even when k is large.
-    val allFp = txt.select(col("doc_id"), md5(col("t")).as("fp"))
-    val short = txt.filter(col("n_tok") < n)
-      .select(col("doc_id"), md5(col("t")).as("fp"))
+    val fpLen = txt.select(col("doc_id"), md5(col("t")).as("fp"),
+      length(col("t")).as("len"), col("n_tok"))
+    val short = fpLen.filter(col("n_tok") < n).select("doc_id", "fp")
     val shortPairs = renamed(short, "doc_id" -> "sid", "fp" -> "fp")
-      .join(renamed(allFp, "doc_id" -> "oid", "fp" -> "fp"), Seq("fp"))
+      .join(renamed(fpLen, "doc_id" -> "oid", "fp" -> "fp"), Seq("fp"))
       .filter(col("sid") =!= col("oid"))
       .select(least(col("sid"), col("oid")).as("doc_a"),
         greatest(col("sid"), col("oid")).as("doc_b"))
-    cands.unionByName(shortPairs).distinct()
-      .join(renamed(txt, "doc_id" -> "doc_a", "t" -> "t_a"), Seq("doc_a"))
-      .join(renamed(txt, "doc_id" -> "doc_b", "t" -> "t_b"), Seq("doc_b"))
+    // Levenshtein is a pure function of the two NORMALIZED strings, so
+    // the O(len²) DP runs once per distinct (fp_a, fp_b) candidate pair
+    // and every member pair inherits the score — the same canonical
+    // collapse ngramJaccardPairsOf applies before ITS join, applied to
+    // the verify stage: a duplicate-heavy corpus proposes g²-sized
+    // member candidate groups (27.3M member candidates vs thousands of
+    // distinct text pairs measured on the 100×-amplified corpus), and
+    // without the collapse each one would pay the full DP. Same-
+    // fingerprint pairs are edit_dist 0 by definition (no DP at all).
+    val withFp = cands.unionByName(shortPairs).distinct()
+      .join(renamed(fpLen, "doc_id" -> "doc_a", "fp" -> "fp_a", "len" -> "len_a"), Seq("doc_a"))
+      .join(renamed(fpLen, "doc_id" -> "doc_b", "fp" -> "fp_b", "len" -> "len_b"), Seq("doc_b"))
+      .withColumn("fp_lo", least(col("fp_a"), col("fp_b")))
+      .withColumn("fp_hi", greatest(col("fp_a"), col("fp_b")))
+    val canonOf = fpLen.groupBy("fp").agg(min("doc_id").as("cid"))
+    val scored = withFp.filter(col("fp_a") =!= col("fp_b"))
+      .select("fp_lo", "fp_hi").distinct()
+      .join(renamed(canonOf, "fp" -> "fp_lo", "cid" -> "cid_lo"), Seq("fp_lo"))
+      .join(renamed(canonOf, "fp" -> "fp_hi", "cid" -> "cid_hi"), Seq("fp_hi"))
+      .join(renamed(txt, "doc_id" -> "cid_lo", "t" -> "t_lo"), Seq("cid_lo"))
+      .join(renamed(txt, "doc_id" -> "cid_hi", "t" -> "t_hi"), Seq("cid_hi"))
+      .select(col("fp_lo"), col("fp_hi"),
+        levenshtein(col("t_lo"), col("t_hi")).as("dist"))
+    withFp
+      .join(scored, Seq("fp_lo", "fp_hi"), "left_outer")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("t_a"), col("t_b")).as("edit_dist"),
-        rd(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
-          greatest(length(col("t_a")), length(col("t_b")), lit(1)), 4)
+        coalesce(col("dist"), lit(0)).as("edit_dist"),
+        rd(lit(1.0) - coalesce(col("dist"), lit(0)).cast("double") /
+          greatest(col("len_a"), col("len_b"), lit(1)), 4)
           .as("edit_sim"))
       .filter(col("edit_sim") >= simThreshold)
       .orderBy("doc_a", "doc_b")
@@ -1026,11 +1100,59 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     materializedPairs(spark, sfDir, threshold).orderBy("doc_a", "doc_b")
 
-  /** Driver-contract form: clusters over the n-gram Jaccard pairs, read
-    * from the materialized pair table. */
+  /** CANONICAL-level near-dup pair table as a stored artifact — the
+    * scale-safe currency for cluster-structure consumers. Keyed like
+    * [[materializedPairs]] but holds only distinct-text pairs, so its
+    * size is independent of how heavily the corpus duplicates. */
+  def materializedCanonicalPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 3,
+      maxShingleFreq: Int = 1000000): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "pairs-canon",
+      s"$sfDir|$threshold|$n|$maxShingleFreq", s"$sfDir/documents.parquet") {
+      val sh = rareShingles(shingleIndex(spark, sfDir, n), maxShingleFreq)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      canonicalPairsFrom(sh, sizes, threshold)
+    }
+
+  /** Driver-contract form: duplicate clusters over the n-gram Jaccard
+    * near-dup graph. Components are computed over CANONICAL pairs plus
+    * membership STAR edges (each member of an eligible duplicate group
+    * linked to its canonical), never the member-level pair table: the
+    * two graphs have exactly the same connected components and the same
+    * min-doc_id labels (a group's intra-clique is connectivity-equal to
+    * its star; a cross-group member biclique is connectivity-equal to
+    * one canonical edge plus the stars), but the star graph is LINEAR
+    * in corpus size where member pairs are quadratic in duplicate-group
+    * size — on the 100×-amplified corpus the member table reached 27.3M
+    * rows and OOM'd the cluster aggregation, while this form runs in
+    * O(|members| + |canonical pairs|). Star edges exist only for groups
+    * whose canonical produced shingles — the same eligibility rule
+    * [[expandToMembers]] applies to intra-group pairs, so shingle-less
+    * docs stay singletons in both formulations (DedupSpec's
+    * differential asserts cluster-for-cluster equality with the
+    * member-pair path).
+    *
+    * The CLUSTER TABLE itself is a stored artifact (label propagation
+    * is pure corpus preprocessing, like the pair/shingle indexes), so
+    * every consumer — dedup_clusters, soft weights, effective size,
+    * keep-best, split repair — reads per-doc labels instead of
+    * re-running the iteration; only the first build per corpus
+    * snapshot pays the O(log diameter) rounds. */
   def nearDupClusters(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame =
-    duplicateClusters(materializedPairs(spark, sfDir, threshold))
+      threshold: Double = 0.8, n: Int = 3,
+      maxShingleFreq: Int = 1000000): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "clusters",
+      s"$sfDir|$threshold|$n|$maxShingleFreq", s"$sfDir/documents.parquet") {
+      val (members, _) = exactGroups(Tables.documents(spark, sfDir))
+      val canonPairs = materializedCanonicalPairs(spark, sfDir, threshold, n,
+        maxShingleFreq).select("doc_a", "doc_b")
+      val eligible = rareShingles(shingleIndex(spark, sfDir, n), maxShingleFreq)
+        .select(col("doc_id").as("canon_id")).distinct()
+      val stars = members.filter(col("doc_id") =!= col("canon_id"))
+        .join(eligible, Seq("canon_id"), "left_semi")
+        .select(col("doc_id").as("doc_a"), col("canon_id").as("doc_b"))
+      duplicateClusters(canonPairs.unionByName(stars))
+    }.orderBy("doc_id")
 
   /** Duplicate-cluster size histogram — the standard dedup report: how
     * many clusters of each size, and how many documents they hold (a

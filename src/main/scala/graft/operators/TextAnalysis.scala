@@ -927,8 +927,7 @@ object TextAnalysis {
     * boundaries: winnowing fingerprints char k-grams). Same verified
     * building blocks, different pair source. */
   def keepBestPerClusterWinnow(spark: SparkSession, sfDir: String): DataFrame =
-    keepBestFrom(spark, sfDir, Dedup.duplicateClusters(
-      Dedup.materializedWinnowingPairs(spark, sfDir).select("doc_a", "doc_b")))
+    keepBestFrom(spark, sfDir, Dedup.winnowingClusters(spark, sfDir))
 
   /** Shared retention tail over any (doc_id, cluster_id) cluster frame:
     * every doc joins its cluster (its own id when unclustered), one
@@ -1471,9 +1470,9 @@ object TextAnalysis {
   def splitRepairConverged(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
     val splits = splitAssign(spark, sfDir).select("doc_id", "split")
-    val clusters = Dedup.duplicateClusters(
-      Dedup.materializedPairs(spark, sfDir, threshold)
-        .select("doc_a", "doc_b"))
+    // cluster structure, not pair rows — the star-edge form stays
+    // linear where the member pair table is quadratic in dup-group size
+    val clusters = Dedup.nearDupClusters(spark, sfDir, threshold)
     clusters
       .join(splits, Seq("doc_id"))
       .join(splits.select(col("doc_id").as("cluster_id"),

@@ -106,12 +106,16 @@ class DedupSpec extends SparkSpec {
     assert(again === direct)
   }
 
-  test("nearDupClusters via the materialized pair table matches the direct path") {
+  test("star-edge nearDupClusters equals components over the member-level pair graph") {
+    // the differential for the scale fix: canonical pairs + membership
+    // star edges must produce cluster-for-cluster the same labels as
+    // label propagation over the full (quadratic-in-group-size) member
+    // pair table
     val direct = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(spark, sf))
       .collect().map(_.toString).toSeq
-    val viaSink = Dedup.nearDupClusters(spark, sf)
+    val viaStars = Dedup.nearDupClusters(spark, sf)
       .collect().map(_.toString).toSeq
-    assert(viaSink === direct)
+    assert(viaStars === direct)
   }
 
   test("materializePairs is read-if-exists: a second session reuses the artifact") {
@@ -262,6 +266,31 @@ class DedupSpec extends SparkSpec {
     val dup = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
     val pd = Dedup.winnowingPairsOf(dup, threshold = 0.5).collect()
     assert(pd.length === 1 && pd.head.getDouble(2) === 1.0)
+  }
+
+  test("star-edge winnowing clusters equal components over the member winnowing pairs") {
+    // char-level twin of the ngram differential: the corpus form AND a
+    // dup-heavy inline fixture (3-copy group near-dup to a 2-copy group,
+    // plus a sub-k doc that must stay a singleton)
+    val viaStars = Dedup.winnowingClusters(spark, sf)
+      .collect().map(_.toString).toSeq
+    val direct = Dedup.duplicateClusters(
+        Dedup.winnowingPairsOf(graft.sources.Tables.documents(spark, sf))
+          .select("doc_a", "doc_b"))
+      .collect().map(_.toString).toSeq
+    assert(viaStars === direct)
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    val near = base.replace("lazy dog", "lazy-dog")
+    val docs = Seq((1L, base), (2L, base), (3L, base),
+      (4L, near), (5L, near), (6L, "zz"))
+      .toDF("doc_id", "text")
+    val starsInline = Dedup.winnowingClustersOf(docs, threshold = 0.3)
+      .collect().map(_.toString).toSeq
+    val directInline = Dedup.duplicateClusters(
+        Dedup.winnowingPairsOf(docs, threshold = 0.3).select("doc_a", "doc_b"))
+      .collect().map(_.toString).toSeq
+    assert(starsInline === directInline)
+    assert(starsInline.length === 5, "the sub-k doc must stay outside the cluster")
   }
 
   test("duplicateClusters surfaces non-convergence instead of partial clusters") {
