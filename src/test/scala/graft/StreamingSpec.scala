@@ -191,8 +191,13 @@ class StreamingSpec extends SparkSpec {
         s.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet"))
+        val dest = java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // pin strictly increasing mtimes: FileStreamSource discovers by
+        // modification time, and same-millisecond slices would drain in
+        // arbitrary order (a late-discovered early slice lands behind
+        // the watermark)
+        assert(dest.toFile.setLastModified((i + 1) * 60000L))
         graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
       }
       val schema = spark.read.parquet(inDir).schema
@@ -282,8 +287,13 @@ class StreamingSpec extends SparkSpec {
         s.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet"))
+        val dest = java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // FileStreamSource discovers by modification time; slices written
+        // within the same millisecond would be drained in arbitrary order
+        // and a late-discovered early slice lands behind the watermark —
+        // pin strictly increasing mtimes so discovery order = time order
+        assert(dest.toFile.setLastModified((i + 1) * 60000L))
         graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
       }
       val schema = spark.read.parquet(inDir).schema
@@ -324,8 +334,29 @@ class StreamingSpec extends SparkSpec {
       }
       assert(cyclesWithInput >= 2,
         "endurance needs at least two cycles that genuinely resumed mid-input")
-      // final drain from the same checkpoint (extra no-data batch
-      // flushes state once the sentinel advances the watermark)
+      // Watermark-restore subtlety (found by this test, verified in a
+      // spark-shell replay): if a kill lands right after the batch that
+      // carried the sentinel commits — before the NEXT batch writes its
+      // offsets — the sentinel's max-event-time exists only in the dead
+      // query's in-memory tracker. The restart restores the watermark
+      // from the last committed batch's offset metadata (the PRE-sentinel
+      // value) and never re-reads the consumed sentinel file, so with no
+      // new data the final sessions sit in state forever and the drain
+      // comes up short. Production streams re-advance the watermark with
+      // the next arriving data; a finite-corpus drain must do the same —
+      // drop a fresh sentinel AFTER the kill cycles.
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft-end-s2").toString
+      Seq((-999L, new Timestamp(hi + 4 * 3600 * 1000L), -999L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp2)
+      val part2 = new java.io.File(tmp2).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest2 = java.nio.file.Paths.get(inDir, f"slice-$nSlices%03d.parquet")
+      java.nio.file.Files.move(part2.toPath, dest2)
+      assert(dest2.toFile.setLastModified((nSlices + 1) * 60000L))
+      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp2))
+      // final drain from the same checkpoint (the post-restart sentinel
+      // re-advances the watermark; the extra no-data batch flushes state)
       val qf = startQuery(availableNow = true)
       qf.awaitTermination()
       val streamed = spark.read.parquet(outDir)
