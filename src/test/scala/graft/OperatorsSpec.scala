@@ -81,7 +81,41 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 > 0, "stage 1 empty — degenerate fixture")
   }
 
-  test("rolling active users: bounded-replication rewrite equals the direct range count") {
+  test("rolling active users: interval-delta gap boundaries (gap = W, W-1, 1)") {
+    // the merge rule's exact edges: a gap of W days means two disjoint
+    // coverage intervals (no merge needed, no double count); W-1 means
+    // overlap (MUST merge or the user double-counts); plus single-day
+    // users and an interleaved second user
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-rau").toString
+    def ev(id: Long, u: Long, day: Int) =
+      (id, Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), u, "click", 1.0, "{}")
+    Seq(
+      ev(1, 1, 1), ev(2, 1, 8),            // gap exactly W=7: disjoint
+      ev(3, 2, 1), ev(4, 2, 7),            // gap W-1=6: overlapping, must merge
+      ev(5, 3, 4),                         // singleton
+      ev(6, 4, 1), ev(7, 4, 2), ev(8, 4, 3)) // dense run
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    try {
+      val out = Events.rollingActiveUsers(spark, dir, windowDays = 7).collect()
+        .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      val ud = Seq((1L, 1), (1L, 8), (2L, 1), (2L, 7), (3L, 4),
+        (4L, 1), (4L, 2), (4L, 3))
+        .map { case (u, d) => (u, java.time.LocalDate.of(2024, 3, d)) }
+      val days = ud.map(_._2).distinct.sorted
+      assert(out.map(_._1).toSeq === days)
+      out.foreach { case (day, dau, rolling) =>
+        val expectRoll = ud.filter { case (_, d) =>
+          !d.isBefore(day.minusDays(6)) && !d.isAfter(day) }
+          .map(_._1).distinct.length.toLong
+        assert(rolling === expectRoll, s"$day rolling")
+        assert(dau === ud.count(_._2 == day).toLong, s"$day dau")
+      }
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("rolling active users: interval-delta rewrite equals the direct range count") {
     val out = Events.rollingActiveUsers(spark, sf).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
     val ud = graft.sources.Tables.events(spark, sf)
