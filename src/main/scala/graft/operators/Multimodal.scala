@@ -265,10 +265,15 @@ object Multimodal {
     * the real thing. Emits (doc_id, frame_idx, ts_ms, out_w, out_h,
     * frame_offset, frame_bytes, frame_md5). */
   def frameSampleExec(spark: SparkSession, sfDir: String,
+      targetFrames: Int = 8, maxDim: Int = 224, fps: Int = 24): DataFrame =
+    frameSampleExecOf(blobTable(spark, sfDir).toDF(), targetFrames, maxDim, fps)
+
+  /** [[frameSampleExec]] over any (doc_id, modality, blob) frame. */
+  def frameSampleExecOf(blobs: DataFrame,
       targetFrames: Int = 8, maxDim: Int = 224, fps: Int = 24): DataFrame = {
     val blob = col("blob")
     val (outW, outH) = resizeExprs(maxDim)
-    blobTable(spark, sfDir).toDF()
+    blobs
       .filter(col("modality") === "video")
       .select(col("doc_id"),
         beIntExpr(blob, 6).cast("int").as("width"),
@@ -281,8 +286,11 @@ object Multimodal {
         col("plen"), col("payload"),
         explode(expr("transform(sequence(0, ns - 1), k -> (k * n_frames) div ns)"))
           .as("frame_idx"))
-      .withColumn("fstart", expr("(frame_idx * plen) div n_frames"))
-      .withColumn("flen", expr("((frame_idx + 1) * plen) div n_frames - fstart"))
+      // widen plen before the multiply: frame_idx(≤239) × a multi-MB
+      // payload overflows 32-bit int (ANSI mode throws at ~9 MB); the
+      // div result is ≤ plen again, so the slice positions stay int-safe
+      .withColumn("fstart", expr("(frame_idx * CAST(plen AS BIGINT)) div n_frames"))
+      .withColumn("flen", expr("((frame_idx + 1) * CAST(plen AS BIGINT)) div n_frames - fstart"))
       .withColumn("frame",
         col("payload").substr(col("fstart").cast("int") + 1, col("flen").cast("int")))
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),

@@ -682,12 +682,13 @@ object Relational {
     * for the agg; the aggregated O(|parts|) frame is PERSISTED before
     * the 1-row total anchor, so the anchor job materializes it once and
     * the final filter reads the cache — the fact scan happens exactly
-    * once. The filtered result collects to the driver inside the
-    * try/finally so the cache entry is RELEASED before returning (a
-    * long-lived session running the whole registry would otherwise
-    * accumulate one leaked cache entry per call); the collect is safe
-    * by pigeonhole — at most ⌈1/fraction⌉ parts can each exceed
-    * `fraction` of the total, so the result is ≤ 500 rows at ANY scale
+    * once. The filtered result is detached inside the try/finally
+    * ([[graft.sources.ArtifactCache.detach]] — eager local checkpoint,
+    * lineage truncated) so the cache entry is RELEASED before
+    * returning (a long-lived session running the whole registry would
+    * otherwise accumulate one leaked cache entry per call). The result
+    * is report-sized by pigeonhole — at most ⌈1/fraction⌉ parts can
+    * each exceed `fraction` of the total, so ≤ 500 rows at ANY scale
     * factor. */
   def q11ImportantParts(spark: SparkSession, sfDir: String,
       nationName: String = "NATION_3", fraction: Double = 0.002): DataFrame = {
@@ -709,11 +710,10 @@ object Relational {
       val cut =
         if (totalRow.isNullAt(0)) Double.PositiveInfinity
         else totalRow.getDouble(0) * fraction
-      val result = perPart.filter(col("value_raw") > lit(cut))
-        .select(col("l_partkey"), rd(col("value_raw"), 2).as("part_value"))
-        .orderBy(desc("part_value"), asc("l_partkey"))
-      spark.createDataFrame(
-        java.util.Arrays.asList(result.collect(): _*), result.schema)
+      graft.sources.ArtifactCache.detach(
+        perPart.filter(col("value_raw") > lit(cut))
+          .select(col("l_partkey"), rd(col("value_raw"), 2).as("part_value"))
+          .orderBy(desc("part_value"), asc("l_partkey")))
     } finally perPart.unpersist(): Unit
   }
 
@@ -798,13 +798,12 @@ object Relational {
     * exact scalars. Scale: per-supplier agg shuffles O(|suppliers|)
     * rows; the mean anchors off that same tiny frame, which is
     * persisted so the fact scan runs once and RELEASED in the finally
-    * — the over-indexed keys collect to the driver (bounded: a
-    * supplier above `factor ×` the mean exists at most
-    * |suppliers|/factor times by the mean's definition, and the thin
-    * upper tail this report exists to surface is far smaller in any
-    * non-degenerate quantity distribution), and the dim join-back runs
-    * lazily off the local relation (which Spark then broadcasts — the
-    * plan the filtered frame earned anyway). */
+    * — the over-indexed keys are detached via eager local checkpoint
+    * ([[graft.sources.ArtifactCache.detach]]: distributed blocks, so
+    * even a degenerate distribution that puts many suppliers above
+    * `factor ×` the mean never lands on the driver; lineage truncated,
+    * so the release is safe), and the dim join-back runs lazily off
+    * the detached frame. */
   def q20DominantSuppliers(spark: SparkSession, sfDir: String,
       namePrefix: String = "red ", factor: Double = 1.1): DataFrame = {
     val p = part(spark, sfDir)
@@ -822,9 +821,8 @@ object Relational {
         val mean =
           if (stats.isNullAt(0)) Double.PositiveInfinity
           else stats.getLong(0).toDouble / stats.getLong(1)
-        val hits = perSupp.filter(col("red_qty") > lit(factor * mean))
-        spark.createDataFrame(
-          java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+        graft.sources.ArtifactCache.detach(
+          perSupp.filter(col("red_qty") > lit(factor * mean)))
       } finally perSupp.unpersist(): Unit
     dominant
       .join(supplier(spark, sfDir).select("s_suppkey", "s_name", "s_nationkey"),

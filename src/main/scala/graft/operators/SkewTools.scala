@@ -126,18 +126,18 @@ object SkewTools {
     * them; passing them through preserves "no false negatives", and
     * the exact cut still decides).
     *
-    * The hot-key report materializes eagerly (the exact recount after
-    * the `cnt >= threshold` cut is report-sized by purpose — it feeds
-    * a `saltedJoin` configuration, and keys above `factor ×` the mean
-    * number at most |keys|/factor, in practice a handful) so the CMS
-    * broadcast can be DESTROYED before returning instead of leaking
-    * one broadcast per call across a long-lived session. */
+    * The hot-key report materializes eagerly via
+    * [[graft.sources.ArtifactCache.detach]] (distributed checkpoint
+    * blocks — a broad-skew key distribution that puts many keys above
+    * the cut stays big-but-distributed, never a driver collect) so the
+    * CMS broadcast can be DESTROYED before returning instead of
+    * leaking one broadcast per call across a long-lived session; the
+    * truncated lineage is what makes the destroy safe. */
   def heavyKeys(df: DataFrame, keyCol: String, factor: Double = 1.2,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val (report, bc) = heavyKeysLazy(df, keyCol, factor, eps, confidence, seed)
-    try report.sparkSession.createDataFrame(
-      java.util.Arrays.asList(report.collect(): _*), report.schema)
+    try graft.sources.ArtifactCache.detach(report)
     finally bc.destroy()
   }
 

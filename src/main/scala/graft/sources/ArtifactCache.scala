@@ -95,6 +95,23 @@ object ArtifactCache {
     spark.read.parquet((if (prev == null) fut else prev).join())
   }
 
+  /** Detach a result frame from its upstream resources: eagerly
+    * materialize via local checkpoint so a persisted input or a
+    * broadcast the plan references can be RELEASED immediately after
+    * (lineage is truncated — later reads never re-touch the released
+    * resource). This is the anchor-query cleanup device (q11/q20's
+    * threshold reports, heavyKeys' hot-key report): the materialized
+    * rows stay DISTRIBUTED in executor block storage — a degenerate
+    * input that makes the "report" large degrades into big-but-
+    * distributed blocks, never a driver-side collect OOM — and the
+    * blocks are reclaimed by the context cleaner when the frame is
+    * garbage-collected, so nothing accrues in the SQL cache manager
+    * across a long-lived session. Trade-off, documented: checkpoint
+    * blocks are not fault-tolerant (an executor loss cannot recompute
+    * truncated lineage) — acceptable for report-sized frames consumed
+    * promptly. */
+  def detach(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -169,6 +169,33 @@ class MultimodalSpec extends SparkSpec {
     assert(execHead === planRows)
   }
 
+  test("frame exec: multi-MB payload offsets stay exact (32-bit overflow regression)") {
+    // frame_idx(≤239) × a multi-MB payload length overflows 32-bit int
+    // in the offset arithmetic unless plen is widened first — under
+    // Spark's default ANSI mode the unwidened form THROWS here. Payload
+    // sized so n_frames = 240 and the top sampled index (210) puts
+    // idx·plen ≈ 2.52e9 > Int.MaxValue.
+    val plen = 12000239 // ≡ 239 (mod 240) → n_frames = 240
+    val payload = Array.tabulate(plen)(i => (i % 251).toByte)
+    val blobs = Seq(Multimodal.MediaBlob(1L, "video",
+      Multimodal.packContainer("video", payload))).toDS().toDF()
+    val rows = Multimodal.frameSampleExecOf(blobs).collect()
+    assert(rows.length === 8)
+    rows.foldLeft(-1L) { (prev, r) =>
+      val (off, len) = (r.getLong(5), r.getLong(6))
+      assert(off > prev && off >= 0 && len > 0 && off + len <= plen.toLong,
+        s"frame ${r.getInt(1)} slice [$off, ${off + len}) out of bounds")
+      off
+    }
+    // last sampled frame's checksum reproduces the JVM slice
+    val last = rows.last
+    val (s, e) = (last.getLong(5).toInt, (last.getLong(5) + last.getLong(6)).toInt)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(payload, s, e))
+      .map("%02x".format(_)).mkString
+    assert(last.getString(7) === md5)
+  }
+
   test("oracle precondition: fixture texts are pure ASCII (byte slice == char slice)") {
     // the frame-exec DuckDB oracle slices the VARCHAR where Spark slices
     // payload BYTES; they agree iff every text is single-byte chars. A
