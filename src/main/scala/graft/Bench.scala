@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * Two phases: an untimed PRE-WARM pass over every query (pay-once
   * artifact writes — bucketed tables, ANN indexes, pair tables — and
   * parquet footer reads land here, reported as a single `warm_sec`
-  * number), then the timed min-of-3 steady-state pass per query. Each
+  * number), then TWO timed full passes over the suite, two
+  * back-to-back reps per query per pass, per-query MIN over all four
+  * (see the phase-2 comment for why both separation axes are needed).
+  * Each
   * query is forced through the `noop` sink — unlike `.count()`, noop
   * materializes every output column, so projection-heavy queries can't
   * cheat by pruning themselves empty.
@@ -27,13 +30,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // min of 3 runs per query, unconditionally: host timing noise on
-    // single runs measured at ±20% (occasional 10x outliers under
-    // contention — BENCH_r02 showed 4-10x swings on untouched sub-second
-    // queries). Round 5's conditional third run (only when min-of-2 <3s)
-    // could never exonerate a noisy 3s+ pair — text_dup_spans recorded
-    // 4.15s with unchanged code (BENCH_r05/VERDICT r5 #3). The min is the
-    // reproducible cost of the plan; run 1 absorbs footer reads + codegen.
+    // 4 timed runs per query (2 suite passes × 2 reps — see phase 2):
+    // host timing noise on single runs measured at ±20% with occasional
+    // 10x outliers under contention (BENCH_r02, r5's text_dup_spans,
+    // r9's +35% on untouched code). The min is the reproducible cost of
+    // the plan; the warm pass absorbs footer reads + codegen.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -66,26 +67,68 @@ object Bench {
     // only the untimed pay-once phase parallelizes.
     val warmT0 = System.nanoTime()
     val warmPar = sys.env.getOrElse("SPARK_GRAFT_WARM_PAR", "8").toInt
+    // The stream_* drains pin-and-restore the SESSION-global
+    // spark.sql.shuffle.partitions (EventStream.runToCompletion). Run
+    // them OUTSIDE the pool, serially: a batch query racing a drain's
+    // pinned low value (4-16) would write its pay-once artifacts with
+    // that partition count, and those artifacts persist into the timed
+    // phase — the post-warm re-pin fixes the session value, not files
+    // already on disk.
+    val (drains, pooled) = selected.partition(_._1.startsWith("stream_"))
     if (warmPar <= 1) selected.foreach { case (name, fn) => timeOnce(name, fn): Unit }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmPar)
-      try selected.map { case (name, fn) =>
+      try pooled.map { case (name, fn) =>
         pool.submit(new Runnable { def run(): Unit = { timeOnce(name, fn): Unit } })
       }.foreach(_.get())
-      finally pool.shutdown()
+      finally {
+        // shutdown alone leaves still-running tasks alive to overlap —
+        // and contaminate — the serial drains / timed phase below; wait
+        // them out (a failed get() lands here with tasks in flight)
+        pool.shutdown()
+        pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES): Unit
+      }
+      drains.foreach { case (name, fn) => timeOnce(name, fn): Unit }
     }
-    // streaming drains pin-and-restore spark.sql.shuffle.partitions;
-    // two concurrent restores can interleave and leave a drain value
-    // (4-16) behind — re-pin the session value before any timed run
+    // belt-and-braces: restore the session value before any timed run
+    // even if a drain's finally was skipped by a JVM-level error
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     // a warm-only failure (cold artifact-write race, say) is not a
     // measured failure: report the two phases' failures separately
     val warmFailed = failed.toList
     failed.clear()
-    // Phase 2 — steady-state: min of 3 timed runs per query
-    val results = selected.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(name, fn)).min
+    // Phase 2 — steady-state: 4 timed runs per query as 2 FULL PASSES
+    // over the suite × 2 BACK-TO-BACK reps per query, with the
+    // per-query MIN over all four. Both axes earn their place,
+    // measured: back-to-back-only repeats (the r9 shape) share any
+    // host-contention burst — BENCH_r09 read +35% on UNTOUCHED code
+    // (text_quality 1.12→4.09 s) because a multi-minute external load
+    // inflated all three consecutive runs at once — while fully
+    // separated single runs (3×1 passes, tried first for r10) lose
+    // per-query cache locality and read sub-second queries ~25% high
+    // even on an idle host (5-query probe: 2.40 s vs 1.85 s for the
+    // same data_quality_report plan). The 2×2 grid takes the
+    // hot-cache minimum from whichever pass is clean: a burst must
+    // span both passes (~a full suite apart) to bias the result —
+    // the in-code generalization of the detached-worktree
+    // counterfactual that cleared letter_buckets in round 9 (PERF.md).
+    // Per-pass sums (of per-pass minima) are reported so a contended
+    // window is visible as pass-sum spread.
+    // pass/rep counts are env-tunable for the scale sweeps (a 25×
+    // stress pass sets 1×1 — there the question is "does it run and
+    // how does it scale", not microsecond-stable minima)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val passResults: Seq[Seq[(String, Double)]] =
+      (1 to passes).map { _ =>
+        selected.map { case (name, fn) =>
+          name -> Seq.fill(reps)(timeOnce(name, fn)).min
+        }
+      }
+    val passSums = passResults.map(_.map(_._2).sum)
+    val results = selected.indices.map { i =>
+      passResults.head(i)._1 -> passResults.map(_(i)._2).min
     }
     val total = results.map(_._2).sum
     val warmOnlyFailed = warmFailed.filterNot(failed.contains)
@@ -102,8 +145,9 @@ object Bench {
     // full precision, every query — for humans and for PERF.md
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passSumsJson = passSums.map(s => String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$fullQs,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"pass_sums":$passSumsJson,"queries":$fullQs,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
     // the side file is best-effort: a missing target/ (jar run, clean
     // dir) must not throw AFTER all queries ran and suppress the primary
     // stdout line below — that would lose the whole run's results
@@ -134,7 +178,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + round2(v) }
         .mkString("{", ",", "}")
       val el = if (elided > 0) s""","elided":$elided""" else ""
-      s"""{"metric":"total","value":${round2(total)},"unit":"sec","warm_sec":${round2(warmSec)},"queries":$qs$el,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${round2(total)},"unit":"sec","warm_sec":${round2(warmSec)},"pass_sums":$passSumsJson,"queries":$qs$el,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
     }
     var keep = byCost.length
     while (keep > 0 && lineFor(byCost.take(keep), byCost.length - keep).length > budget)
