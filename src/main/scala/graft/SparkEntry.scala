@@ -110,6 +110,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsMaterialized(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // ROUTING: this is the EXACT cosine threshold join — inherently
+    // Ω(N²) compares (measured p=1.96 to 25×; the θ=0.35 continuum on
+    // this corpus defeats banding, see the operator scaladoc). The r10
+    // centroid+residual block-pair bound prunes provably-empty block
+    // pairs without changing a row, but on near-uniform data the right
+    // tool is a different operator: θ high / top-k → the ANN paths
+    // (ann_topk_lsh / ann_topk_ivf / ann_knn_join); bounded compare
+    // budget with accepted recall → dedup_semantic (within-cell
+    // SemDeDup). Keep this query for when exactness is the contract.
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedupPairs(s, d)),
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),

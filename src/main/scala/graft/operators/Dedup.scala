@@ -886,96 +886,125 @@ object Dedup {
     * is merely NEAR another is out of scope by construction.
     * The oracle replays both candidate sources. */
   def editDistancePairsOf(docs: DataFrame, simThreshold: Double = 0.8,
-      candThreshold: Double = 0.3, n: Int = 3): DataFrame =
-    editDistanceVerify(docs,
-      ngramJaccardPairsOf(docs, candThreshold, n).select("doc_a", "doc_b"),
-      simThreshold, n)
+      candThreshold: Double = 0.3, n: Int = 3): DataFrame = {
+    val (members, canonDocs) = exactGroups(docs)
+    val sh = rareShingles(canonShingleHashes(members, canonDocs, n), 1000000)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    editDistanceVerify(docs, members,
+      canonicalPairsFrom(sh, sizes, candThreshold).select("doc_a", "doc_b"),
+      sizes.select("doc_id"), simThreshold, n)
+  }
 
-  /** Shared verifier tail: join candidate pairs back to normalized text,
-    * union the exact-match fallback for sub-n-token docs (invisible to
-    * the shingle blocker), score, filter, total-order. */
-  private def editDistanceVerify(docs: DataFrame, cands: DataFrame,
+  /** Shared verifier tail, operating ENTIRELY at raw-canonical level
+    * until the final output expansion. The key observation: every
+    * quantity the verifier consumes — normalized-text fingerprint,
+    * normalized length, token count (shortness) — is a pure function of
+    * the RAW text, so all members of an exact-dup group inherit them
+    * from their canonical, and the whole candidate set decomposes into
+    * FULL raw-pair blocks:
+    *   - (c, c) for every canonical with ≥1 post-guard shingle (the
+    *     blocker's intra-group pairs — identical texts, Jaccard 1);
+    *   - (ca, cb) for every canonical blocker pair;
+    *   - (ci, cj) same normalized fingerprint with either side sub-n
+    *     tokens (the short-doc fallback: shortness is group-level, so
+    *     the member-level short×same-fp pairing covers exactly the
+    *     member pairs of these raw-pair blocks — incl. ci = cj, whose
+    *     intra expansion pairs the short group's own members).
+    * Candidates are therefore PROPOSED, scored (one O(len²) DP per
+    * distinct normalized-text pair), and threshold-FILTERED at
+    * canonical granularity; only surviving blocks expand to member
+    * pairs, and the expansion is the output itself. Round 9 measured
+    * why this matters: the member-level formulation proposed 27.3M
+    * candidate rows on the 100×-amplified corpus and paid three joins
+    * plus a distinct over them before the filter could drop anything —
+    * quadratic in duplicate-group size exactly where `nearDupClusters`
+    * had already been collapsed (VERDICT r9 #3). Pairs whose
+    * normalized text is NULL are dropped rather than scored 0 (the old
+    * member-level coalesce passed them with edit_sim 1.0 while the
+    * oracle's levenshtein returned NULL and filtered them — ADVICE r9). */
+  private def editDistanceVerify(docs: DataFrame, members: DataFrame,
+      canonCands: DataFrame, eligible: DataFrame,
       simThreshold: Double, n: Int): DataFrame = {
-    // normalized text is consumed repeatedly below (fingerprint+length
-    // pass, both canonical-text join sides); checkpoint it so
-    // normText + tokenization run ONE corpus pass instead of several (the
-    // r5 fallback widening recomputed it per consumer — the suspected
-    // 2x bench regression turned out to be measurement noise, but the
-    // redundant passes were real). At cluster scale the same frame is
-    // the natural stored artifact (normalized text is the verify stage's
-    // working set, computed once per corpus snapshot).
-    val txt = docs.select(col("doc_id"), normText(col("text")).as("t"),
-      size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
+    // canonical attribute frame: one row per DISTINCT raw text; the
+    // normalized text is consumed by both DP join sides, so checkpoint
+    // to run normText + tokenization once (at cluster scale this frame
+    // is the natural stored artifact of the verify stage)
+    val txtC = docs
+      .join(members.select(col("canon_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cid"), normText(col("text")).as("t"),
+        size(TextAnalysis.wsTokens(col("text"))).as("n_tok"))
       .localCheckpoint()
-    // exact-fingerprint fallback: a doc too short to shingle (n_tok < n)
-    // is invisible to the blocker, so pair it against EVERY doc sharing
-    // its normalized-text fingerprint — short or long (wsTokens splits
-    // on space/newline only, so a tab-separated doc can be one ws-token
-    // yet normalize equal to a many-token doc). Identical texts still
-    // surface as edit_dist 0. Scale shape: the short side is a tiny
-    // slice of the corpus and the join ships only (16-byte fp, id).
-    // Bound: a fingerprint shared by k docs (s of them sub-n) emits
-    // O(k·s) pairs into the verifier, every one edit_dist 0 by
-    // construction — the worst case is a degenerate corpus of many
-    // identical tiny docs, where the right move is collapsing exact
-    // dups upstream (exact dedup) before asking for char-level
-    // NEAR-dup pairs; the pairs this fallback emits are short texts,
-    // so the quadratic Levenshtein DP on them is cheap in absolute
-    // terms even when k is large.
-    val fpLen = txt.select(col("doc_id"), md5(col("t")).as("fp"),
+    val canon = txtC.select(col("cid"), md5(col("t")).as("fp"),
       length(col("t")).as("len"), col("n_tok"))
-    val short = fpLen.filter(col("n_tok") < n).select("doc_id", "fp")
-    val shortPairs = renamed(short, "doc_id" -> "sid", "fp" -> "fp")
-      .join(renamed(fpLen, "doc_id" -> "oid", "fp" -> "fp"), Seq("fp"))
-      .filter(col("sid") =!= col("oid"))
-      .select(least(col("sid"), col("oid")).as("doc_a"),
-        greatest(col("sid"), col("oid")).as("doc_b"))
-    // Levenshtein is a pure function of the two NORMALIZED strings, so
-    // the O(len²) DP runs once per distinct (fp_a, fp_b) candidate pair
-    // and every member pair inherits the score — the same canonical
-    // collapse ngramJaccardPairsOf applies before ITS join, applied to
-    // the verify stage: a duplicate-heavy corpus proposes g²-sized
-    // member candidate groups (27.3M member candidates vs thousands of
-    // distinct text pairs measured on the 100×-amplified corpus), and
-    // without the collapse each one would pay the full DP. Same-
-    // fingerprint pairs are edit_dist 0 by definition (no DP at all).
-    val withFp = cands.unionByName(shortPairs).distinct()
-      .join(renamed(fpLen, "doc_id" -> "doc_a", "fp" -> "fp_a", "len" -> "len_a"), Seq("doc_a"))
-      .join(renamed(fpLen, "doc_id" -> "doc_b", "fp" -> "fp_b", "len" -> "len_b"), Seq("doc_b"))
+    // the three full-block candidate sources, all canonical-level
+    val intra = eligible.select(col("doc_id").as("ca"), col("doc_id").as("cb"))
+    val cross = canonCands.select(col("doc_a").as("ca"), col("doc_b").as("cb"))
+    val byFp = canon.select(col("cid"), col("fp"))
+    val shortRaw = canon.filter(col("n_tok") < n)
+      .select(col("cid").as("sc"), col("fp"))
+      .join(renamed(byFp, "cid" -> "oc", "fp" -> "fp"), Seq("fp"))
+      .select(least(col("sc"), col("oc")).as("ca"),
+        greatest(col("sc"), col("oc")).as("cb"))
+    val cands = intra.unionByName(cross).unionByName(shortRaw).distinct()
+      .join(renamed(canon, "cid" -> "ca", "fp" -> "fp_a", "len" -> "len_a"), Seq("ca"))
+      .join(renamed(canon, "cid" -> "cb", "fp" -> "fp_b", "len" -> "len_b"), Seq("cb"))
+      .filter(col("fp_a").isNotNull && col("fp_b").isNotNull)
       .withColumn("fp_lo", least(col("fp_a"), col("fp_b")))
       .withColumn("fp_hi", greatest(col("fp_a"), col("fp_b")))
-    val canonOf = fpLen.groupBy("fp").agg(min("doc_id").as("cid"))
-    val scored = withFp.filter(col("fp_a") =!= col("fp_b"))
+    // one DP per distinct cross-fingerprint text pair; same-fp blocks
+    // are edit_dist 0 by definition (no DP at all)
+    val canonOf = canon.filter(col("fp").isNotNull)
+      .groupBy("fp").agg(min("cid").as("mid"))
+    val scored = cands.filter(col("fp_a") =!= col("fp_b"))
       .select("fp_lo", "fp_hi").distinct()
-      .join(renamed(canonOf, "fp" -> "fp_lo", "cid" -> "cid_lo"), Seq("fp_lo"))
-      .join(renamed(canonOf, "fp" -> "fp_hi", "cid" -> "cid_hi"), Seq("fp_hi"))
-      .join(renamed(txt, "doc_id" -> "cid_lo", "t" -> "t_lo"), Seq("cid_lo"))
-      .join(renamed(txt, "doc_id" -> "cid_hi", "t" -> "t_hi"), Seq("cid_hi"))
+      .join(renamed(canonOf, "fp" -> "fp_lo", "mid" -> "mid_lo"), Seq("fp_lo"))
+      .join(renamed(canonOf, "fp" -> "fp_hi", "mid" -> "mid_hi"), Seq("fp_hi"))
+      .join(renamed(txtC, "cid" -> "mid_lo", "t" -> "t_lo"), Seq("mid_lo"))
+      .join(renamed(txtC, "cid" -> "mid_hi", "t" -> "t_hi"), Seq("mid_hi"))
       .select(col("fp_lo"), col("fp_hi"),
         levenshtein(col("t_lo"), col("t_hi")).as("dist"))
-    withFp
-      .join(scored, Seq("fp_lo", "fp_hi"), "left_outer")
-      .select(col("doc_a"), col("doc_b"),
-        coalesce(col("dist"), lit(0)).as("edit_dist"),
-        rd(lit(1.0) - coalesce(col("dist"), lit(0)).cast("double") /
-          greatest(col("len_a"), col("len_b"), lit(1)), 4)
-          .as("edit_sim"))
+    // score + threshold-filter at block level, THEN expand survivors:
+    // a block that fails the similarity cut never touches the member map
+    val survivors = cands.join(scored, Seq("fp_lo", "fp_hi"), "left_outer")
+      .select(col("ca"), col("cb"),
+        when(col("fp_a") === col("fp_b"), lit(0))
+          .otherwise(col("dist")).as("edit_dist"),
+        when(col("fp_a") === col("fp_b"), lit(1.0)).otherwise(
+          rd(lit(1.0) - col("dist").cast("double") /
+            greatest(col("len_a"), col("len_b"), lit(1)), 4)).as("edit_sim"))
       .filter(col("edit_sim") >= simThreshold)
+    // member expansion: survivors are block-disjoint (a member pair
+    // determines its raw-group pair uniquely), so no distinct is needed;
+    // the tiny survivor frame broadcasts against the linear member map
+    survivors
+      .join(renamed(members, "doc_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
+      .join(renamed(members, "doc_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
+      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
+        .otherwise(lit(true)))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("edit_dist"), col("edit_sim"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Corpus form: candidates come from the MATERIALIZED pair table at the
-    * permissive threshold ([[materializedPairs]] keyed corpus|0.3|n,
-    * sharing [[shingleIndex]]) — the blocker is corpus preprocessing,
-    * computed once per snapshot, not an inline join per query (it was the
-    * slowest query in the round-3 bench precisely because it recomputed
-    * the 0.3-threshold inverted-index join on every run). */
+  /** Corpus form: canonical candidates come from the stored
+    * CANONICAL-level pair table at the permissive threshold
+    * ([[materializedCanonicalPairs]] keyed corpus|0.3|n, sharing
+    * [[shingleIndex]]) — the blocker is corpus preprocessing, computed
+    * once per snapshot, and unlike the pre-r10 member-level artifact its
+    * size is independent of how heavily the corpus duplicates. */
   def editDistancePairs(spark: SparkSession, sfDir: String,
       simThreshold: Double = 0.8, candThreshold: Double = 0.3,
-      n: Int = 3): DataFrame =
-    editDistanceVerify(Tables.documents(spark, sfDir),
-      materializedPairs(spark, sfDir, candThreshold, n).select("doc_a", "doc_b"),
-      simThreshold, n)
+      n: Int = 3): DataFrame = {
+    val (members, _) = exactGroups(Tables.documents(spark, sfDir))
+    val eligible = rareShingles(shingleIndex(spark, sfDir, n), 1000000)
+      .select("doc_id").distinct()
+    editDistanceVerify(Tables.documents(spark, sfDir), members,
+      materializedCanonicalPairs(spark, sfDir, candThreshold, n)
+        .select("doc_a", "doc_b"),
+      eligible, simThreshold, n)
+  }
 
   // --- Duplicate clustering (connected components over near-dup pairs) ---
 
@@ -1268,19 +1297,70 @@ object Dedup {
     * The exact threshold join is inherently Ω(N²) comparisons here; the
     * scale problem to solve is memory/communication shape, not count.
     * For genuinely high thresholds use the ANN module's bucketed paths
-    * (`Similarity.lshTopK`/`ivfTopK`). */
+    * (`Similarity.lshTopK`/`ivfTopK`); for budgeted compare counts use
+    * [[semanticDedupPairs]] (within-cell, the accepted-recall trade).
+    *
+    * BLOCK-PAIR PRUNING (r10): each block stores the centroid of its
+    * unit vectors and its max residual norm; for blocks A, B and any
+    * a∈A, b∈B, cos(a,b) = (c_A+r_a)·(c_B+r_b) ≤ c_A·c_B + ‖c_A‖R_B +
+    * ‖c_B‖R_A + R_A·R_B by Cauchy–Schwarz, so a block pair whose bound
+    * is below θ−1e-4 provably contains no qualifying pair and is
+    * dropped from the replicated-join relation BEFORE any vector
+    * shuffles (the 1e-4 margin covers the output's 4-dp rounding —
+    * true cosine ≥ θ−5e-5 can round up past the filter — plus double-
+    * precision slop in the stats, so pruning can never change the
+    * result). The stats cost two linear passes; at 100 TB they are
+    * corpus preprocessing stored beside the vectors. On HASH blocks
+    * pruning bites only when the whole corpus is angularly compact
+    * (random blocks all share one centroid/residual profile); on this
+    * deliberately near-uniform corpus the measured rate is reported in
+    * PERF.md — the mechanism's value is clustered corpora, where
+    * cell-correlated block assignments cut the Ω(N²) constant. */
   def embeddingNearDupPairsBlocked(spark: SparkSession, sfDir: String,
       threshold: Double = 0.35, numBlocks: Int = 8): DataFrame = {
     import graft.functions.VectorOps
-    import spark.implicits._
     val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
       .select(col("vec_id"), col("e"), col("nrm"),
         pmod(xxhash64(col("vec_id")), lit(numBlocks)).cast("int").as("g"))
+    embeddingPairsOverBlocks(spark, emb, threshold, numBlocks)
+  }
+
+  /** Bound-surviving block pairs: the (ga, gb) relation after the
+    * centroid+residual upper-bound filter. Exposed for the pruning spec
+    * and the PERF.md rate measurement; the set is exactness-preserving
+    * by the bound argument above, so consumers may substitute it for
+    * the full triangular relation unconditionally. */
+  private[graft] def survivingBlockPairs(spark: SparkSession,
+      emb: DataFrame, threshold: Double, numBlocks: Int): DataFrame = {
+    import spark.implicits._
     val blockPairs = (for (x <- 0 until numBlocks; y <- x until numBlocks)
       yield (x, y)).toDF("ga", "gb")
+    val stats = blockStats(emb)
+    blockPairs.join(
+        renamed(stats, "g" -> "ga", "c" -> "c_a", "rmax" -> "r_a",
+          "cnorm" -> "cn_a"), Seq("ga"))
+      .join(renamed(stats, "g" -> "gb", "c" -> "c_b",
+        "rmax" -> "r_b", "cnorm" -> "cn_b"), Seq("gb"))
+      .filter(aggregate(zip_with(col("c_a"), col("c_b"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+        + col("cn_a") * col("r_b") + col("cn_b") * col("r_a")
+        + col("r_a") * col("r_b") >= threshold - 1e-4)
+      .select("ga", "gb")
+  }
+
+  /** The replicated join over an ALREADY block-assigned embedding frame
+    * (vec_id, e, nrm, g). The corpus form assigns balanced hash blocks;
+    * a cluster-correlated assignment (e.g. the IVF cell id) makes the
+    * bound pruning bite on clustered corpora — the spec drives this
+    * path with antipodal clusters to prove pruning fires without
+    * changing a row. */
+  private[graft] def embeddingPairsOverBlocks(spark: SparkSession,
+      emb: DataFrame, threshold: Double, numBlocks: Int): DataFrame = {
+    import graft.functions.VectorOps
+    val prunedPairs = survivingBlockPairs(spark, emb, threshold, numBlocks)
     val a = renamed(emb, "vec_id" -> "va", "e" -> "e_a", "nrm" -> "n_a", "g" -> "ga")
     val b = renamed(emb, "vec_id" -> "vb", "e" -> "e_b", "nrm" -> "n_b", "g" -> "gb")
-    a.join(broadcast(blockPairs), Seq("ga"))
+    a.join(broadcast(prunedPairs), Seq("ga"))
       // cross-block pairs surface exactly once (a from the lower block);
       // same-block pairs surface in both orders and keep va < vb
       .join(b, Seq("gb"))
@@ -1291,6 +1371,34 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Per-block pruning stats for the exact threshold join: centroid of
+    * the block's UNIT vectors (`c`), its norm (`cnorm`), and the max
+    * residual norm (`rmax` = max ‖u − c‖ over the block). numBlocks
+    * rows, computed in two linear passes and detached so both join
+    * sides of the block-pair relation reuse one materialization. All
+    * math in double; the consumer's θ−1e-4 margin absorbs the float
+    * summation slop, so the bound stays conservative. */
+  private def blockStats(emb: DataFrame): DataFrame = {
+    val unit = emb.select(col("g"), col("vec_id"),
+      transform(col("e"), x => x.cast("double") / col("nrm")).as("u"))
+    val cent = unit.select(col("g"), posexplode(col("u")))
+      .groupBy("g", "pos")
+      .agg((sum("col") / count(lit(1))).as("v"))
+      .groupBy("g")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("c"))
+    val resid = unit.join(cent, Seq("g"))
+      .select(col("g"), sqrt(aggregate(
+        zip_with(col("u"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x)).as("r"))
+      .groupBy("g").agg(max("r").as("rmax"))
+    cent.join(resid, Seq("g"))
+      .select(col("g"), col("c"), col("rmax"),
+        sqrt(aggregate(transform(col("c"), x => x * x),
+          lit(0.0d), (acc, x) => acc + x)).as("cnorm"))
+      .localCheckpoint()
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-compare, after Abbas

@@ -95,6 +95,44 @@ class DedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("block-pair bound pruning skips antipodal cluster blocks without changing a row") {
+    import graft.functions.VectorOps
+    // two tight antipodal clusters, blocks CORRELATED with the clusters
+    // (the corpus form hashes; a production clustered corpus would use
+    // the IVF cell id). Unit vectors, so nrm = 1 exactly.
+    val a = 0.99503719f; val b = 0.09950372f
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(a, b, 0f, 0f), 0),
+      (3L, Seq(a, -b, 0f, 0f), 0),
+      (4L, Seq(-1f, 0f, 0f, 0f), 1),
+      (5L, Seq(-a, -b, 0f, 0f), 1),
+      (6L, Seq(-a, b, 0f, 0f), 1)
+    ).toDF("vec_id", "e", "g").withColumn("nrm", lit(1.0d))
+    val surviving = Dedup.survivingBlockPairs(spark, emb, 0.5, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // cross-cluster bound ≈ c0·c1 + residual terms ≈ −0.99 + 0.2 ≪ 0.5:
+    // the (0,1) block pair is PROVABLY empty and must be pruned; the
+    // intra-cluster pairs (bound ≈ 1) must survive
+    assert(surviving === Set((0, 0), (1, 1)),
+      s"expected antipodal block pair pruned, got $surviving")
+    // exactness: the pruned join equals the brute-force threshold join
+    val pruned = Dedup.embeddingPairsOverBlocks(spark, emb, 0.5, 2)
+      .collect().map(_.toString).toSeq
+    val x = emb.select(col("vec_id").as("va"), col("e").as("e_a"), col("nrm").as("n_a"))
+    val y = emb.select(col("vec_id").as("vb"), col("e").as("e_b"), col("nrm").as("n_b"))
+    val brute = x.crossJoin(y).filter(col("va") < col("vb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        graft.functions.Deterministic.rd(
+          VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.5)
+      .orderBy("vec_a", "vec_b")
+      .collect().map(_.toString).toSeq
+    assert(brute.size === 6, "each cluster contributes its 3 intra pairs")
+    assert(pruned === brute)
+  }
+
   test("materialized pair table round-trips the direct pair computation") {
     val direct = Dedup.ngramJaccardPairs(spark, sf).collect().map(_.toString).toSeq
     val mat = Dedup.ngramJaccardPairsMaterialized(spark, sf)
