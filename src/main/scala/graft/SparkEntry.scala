@@ -90,6 +90,7 @@ object SparkEntry {
     "corpus_source_overlap" -> ((s, d) => TextAnalysis.sourceVocabOverlap(s, d)),
     "corpus_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
     "text_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
+    "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
@@ -1240,6 +1241,89 @@ object SparkEntry {
         |  LEFT JOIN c1 ON c1.doc_id = d.doc_id
         |  LEFT JOIN c2 ON c2.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // bpeTrain(rounds=5): the k-round trainer replayed literally — each
+    // round re-splits the chr(2)-delimited symbol strings for the pair
+    // count, picks the (count desc, w1, w2) winner, and applies the
+    // same literal replace() the Spark side runs (identical left-to-
+    // right non-overlapping scan semantics in both engines); merges
+    // fall out of chr(1) counts, symbols out of chr(2) counts
+    "text_bpe_train" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |s0 AS (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
+        |                      ELSE chr(2) || array_to_string(words, chr(2)) END AS s FROM w),
+        |p1 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+        |                       for i in range(1, len(syms))]) AS p
+        |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s0))
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT w1, w2, n_pair FROM p1 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+        |s1 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
+        |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
+        |        FROM s0 CROSS JOIN t1 t),
+        |r1 AS (SELECT 1 AS round, t.w1, t.w2, t.n_pair,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s1) AS glued,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s1) AS n_tokens_after
+        |       FROM t1 t),
+        |p2 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+        |                       for i in range(1, len(syms))]) AS p
+        |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s1))
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT w1, w2, n_pair FROM p2 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+        |s2 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
+        |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
+        |        FROM s1 CROSS JOIN t2 t),
+        |r2 AS (SELECT 2 AS round, t.w1, t.w2, t.n_pair,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s2) AS glued,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s2) AS n_tokens_after
+        |       FROM t2 t),
+        |p3 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+        |                       for i in range(1, len(syms))]) AS p
+        |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s2))
+        |  GROUP BY 1, 2),
+        |t3 AS (SELECT w1, w2, n_pair FROM p3 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+        |s3 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
+        |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
+        |        FROM s2 CROSS JOIN t3 t),
+        |r3 AS (SELECT 3 AS round, t.w1, t.w2, t.n_pair,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s3) AS glued,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s3) AS n_tokens_after
+        |       FROM t3 t),
+        |p4 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+        |                       for i in range(1, len(syms))]) AS p
+        |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s3))
+        |  GROUP BY 1, 2),
+        |t4 AS (SELECT w1, w2, n_pair FROM p4 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+        |s4 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
+        |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
+        |        FROM s3 CROSS JOIN t4 t),
+        |r4 AS (SELECT 4 AS round, t.w1, t.w2, t.n_pair,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s4) AS glued,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s4) AS n_tokens_after
+        |       FROM t4 t),
+        |p5 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+        |                       for i in range(1, len(syms))]) AS p
+        |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s4))
+        |  GROUP BY 1, 2),
+        |t5 AS (SELECT w1, w2, n_pair FROM p5 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+        |s5 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
+        |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
+        |        FROM s4 CROSS JOIN t5 t),
+        |r5 AS (SELECT 5 AS round, t.w1, t.w2, t.n_pair,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s5) AS glued,
+        |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s5) AS n_tokens_after
+        |       FROM t5 t)
+        |SELECT round, w1, w2, n_pair,
+        |  glued - lag(glued, 1, 0) OVER (ORDER BY round) AS n_merges,
+        |  n_tokens_after
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
+        |ORDER BY round""".stripMargin,
     // docFrequencySpectrum: distinct (doc, token) then two bounded aggs
     "corpus_df_spectrum" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token

@@ -1284,6 +1284,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** k-round BPE TRAINER over ws-token symbols — the loop a tokenizer
+    * team actually runs, capstoning [[bpeMergeStep]]'s one-round
+    * primitive. Per round: count adjacent symbol pairs, pick the winner
+    * (count desc, w1, w2), merge it greedily left-to-right
+    * non-overlapping in every document, repeat on the REWRITTEN
+    * symbols (so later rounds merge previously-merged symbols — real
+    * BPE, not k independent steps). Output: one row per round with the
+    * winning pair, its pre-merge count, the merges actually applied
+    * (≤ count when occurrences overlap), and the corpus symbol count
+    * after.
+    *
+    * REPRESENTATION is the whole trick: a document is one string
+    * `\u0002tok1\u0002tok2…` (every symbol carries a LEADING \u0002
+    * separator), so the greedy non-overlapping merge of (w1, w2) is
+    * EXACTLY literal `replace(s, \u0002w1\u0002w2, \u0002w1\u0001w2)`:
+    * builtin string replace scans left-to-right and resumes after each
+    * replacement, which reproduces the trainer's skip-after-merge fold
+    * (a run of r repeated tokens merges ⌊r/2⌋ times); the leading
+    * delimiter makes a mid-token false match impossible; and the
+    * replacement preserves length, so merge and symbol counts fall out
+    * of \u0001/\u0002 character counts. DuckDB's `replace` has the same
+    * scan semantics, so the oracle replays all k rounds mechanically.
+    * The separators are outside the corpus alphabet (ws-tokens of
+    * printable text); production would validate or escape on ingest.
+    *
+    * Scale: each round is one wordcount-currency pair aggregation
+    * (row-local emission, partial aggs), a 1-row winner fetch, and a
+    * map-only rewrite, checkpointed per round so round r+1 scans the
+    * REWRITTEN corpus once instead of replaying r rewrite layers —
+    * k scans total, the canonical distributed-BPE shape. */
+  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sep = "\u0002"; val glue = "\u0001"
+    var cur = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), when(size(col("toks")) === 0, lit(""))
+        .otherwise(concat(lit(sep), concat_ws(sep, col("toks")))).as("s"))
+      .localCheckpoint()
+    val perRound = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long, Long, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val split0 = split(col("s"), sep) // leading sep => element 1 is ""
+      val top = cur
+        .select(slice(split0, lit(2), size(split0) - 1).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS w1, element_at(syms, i + 1) AS w2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (w1, w2, nPair) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // literal replace with COLUMN operands — no quoting hazard
+        // however regex-hostile the winning tokens are
+        val rewritten = cur
+          .select(col("doc_id"), replace(col("s"),
+            concat(lit(sep), lit(w1), lit(sep), lit(w2)),
+            concat(lit(sep), lit(w1), lit(glue), lit(w2))).as("s"))
+          .localCheckpoint()
+        val stats = rewritten.agg(
+          sum(length(col("s")) - length(translate(col("s"), glue, ""))).as("glued"),
+          sum(length(col("s")) - length(translate(col("s"), sep, ""))).as("symbols"))
+          .head()
+        val glued = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        val symbols = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        perRound += ((r, w1, w2, nPair, glued, symbols))
+        cur = rewritten
+      }
+    }
+    // per-round merges = delta of CUMULATIVE glue chars (each merge
+    // writes exactly one \u0001, which persists inside merged symbols)
+    val rows = perRound.toList
+      .zip(0L :: perRound.toList.map(_._5).dropRight(1)).map {
+        case ((r, w1, w2, nPair, glued, symbols), prevGlued) =>
+          (r, w1, w2, nPair, glued - prevGlued, symbols)
+      }
+    rows.toDF("round", "w1", "w2", "n_pair", "n_merges", "n_tokens_after")
+      .orderBy("round")
+  }
+
   /** Document-frequency spectrum: how many vocabulary tokens appear in
     * exactly k documents — the IDF-side companion to [[vocabStats]]'
     * term-frequency view (the k=1 row is cross-doc hapax vocabulary;

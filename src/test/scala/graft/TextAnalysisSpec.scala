@@ -558,6 +558,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpe trainer: 5 hand-computed rounds — run parity, remerge of merged symbols, tiebreaks") {
+    // constructed corpus exercising every rule: overlapping repeated-
+    // token runs (z z z z merges ⌊4/2⌋ = 2), later rounds merging
+    // PREVIOUSLY-merged symbols (x␁y + x␁y, then x␁y␁x␁y + x␁y), and
+    // the (count desc, w1, w2) tiebreak across glued symbols
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-test-").toString
+    Seq((1L, "x y x y x y"), (2L, "x y z"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val g = "\u0001"
+      val rows = TextAnalysis.bpeTrain(spark, dir, rounds = 5).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val expected = Seq(
+        (1, "x", "y", 4L, 4L, 9L),                    // 13 tokens − 4 merges
+        (2, "z", "z", 3L, 2L, 7L),                    // run of 4 → 2, not 3
+        (3, s"x${g}y", s"x${g}y", 2L, 1L, 6L),        // remerge, ⌊3/2⌋ = 1
+        (4, s"x${g}y", "z", 1L, 1L, 5L),              // tiebreak: shortest w1
+        (5, s"x${g}y${g}x${g}y", s"x${g}y", 1L, 1L, 4L))
+      assert(rows.toSeq === expected)
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
     val docs = Seq(
       (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
