@@ -339,9 +339,13 @@ object Multimodal {
     * table is wrapper" question, answerable from the bytes alone at
     * scan speed; a magic-check count doubling as a corpus-wide format
     * health probe. Map-only until the 3-row modality aggregate. */
-  def containerAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def containerAudit(spark: SparkSession, sfDir: String): DataFrame =
+    containerAuditOf(blobTable(spark, sfDir).toDF())
+
+  /** [[containerAudit]] over any (modality, blob) frame. */
+  def containerAuditOf(blobs: DataFrame): DataFrame = {
     val blob = col("blob")
-    blobTable(spark, sfDir).toDF()
+    blobs
       .select(col("modality"),
         length(blob).cast("long").as("cbytes"),
         payloadLenExpr(blob).cast("long").as("pbytes"),

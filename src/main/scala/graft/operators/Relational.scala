@@ -824,7 +824,11 @@ object Relational {
         graft.sources.ArtifactCache.detach(
           perSupp.filter(col("red_qty") > lit(factor * mean)))
       } finally perSupp.unpersist(): Unit
-    dominant
+    // explicit broadcast: the detached frame is a LogicalRDD reporting
+    // default (huge) size stats, so without the hint a non-AQE session
+    // would plan this dim join-back as a full shuffle join (ADVICE r9);
+    // the over-indexed slice is report-sized by construction
+    broadcast(dominant)
       .join(supplier(spark, sfDir).select("s_suppkey", "s_name", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(spark, sfDir).select("n_nationkey", "n_name")),

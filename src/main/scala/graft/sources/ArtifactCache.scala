@@ -109,7 +109,14 @@ object ArtifactCache {
     * across a long-lived session. Trade-off, documented: checkpoint
     * blocks are not fault-tolerant (an executor loss cannot recompute
     * truncated lineage) — acceptable for report-sized frames consumed
-    * promptly. */
+    * promptly.
+    *
+    * PLANNING CAVEAT: the detached frame is a LogicalRDD, which reports
+    * the session-default (effectively infinite) size statistic — a
+    * later equi-join against it will NOT auto-broadcast from stats
+    * alone. Under AQE the runtime sizes correct this; in a non-AQE
+    * session, wrap the detached frame in `broadcast(...)` at join-back
+    * sites when it is known report-sized (q20 does). */
   def detach(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -157,6 +157,60 @@ object EventStream {
     math.max(4, math.min(16, (bytes / (2L << 20)).toInt))
   }
 
+  /** Drain a FINITE stream to completion across restarts — the reusable
+    * form of the watermark-restore rule the endurance spec discovered
+    * (r9): if a query is killed right after the batch carrying a
+    * terminal watermark-advancing event commits, the restart restores
+    * the PRE-batch watermark from offset metadata and never re-reads
+    * the consumed file, so append-mode state that should have flushed
+    * sits open forever and an `AvailableNow` drain terminates SHORT.
+    * Production streams self-heal because the next arriving data
+    * re-advances the watermark; a finite corpus has no next data, so
+    * the drain loop must inject it.
+    *
+    * Protocol per attempt: `start()` the query (an `AvailableNow`
+    * trigger over the shared checkpoint), await termination, then read
+    * the residual state-store size from the final progress
+    * (`stateOperators.numRowsTotal`). A fully-flushed drain holds at
+    * most `residualStateRows` rows (default 1: the newest sentinel's
+    * own never-flushing session/window); anything above means open
+    * state the restored watermark cannot close — `injectSentinel`
+    * drops a fresh, LATER watermark-advancing row into the source
+    * (attempt index provided for strictly-increasing event times /
+    * file mtimes) and the loop re-drains. A restart that processed
+    * ZERO batches reports no progress at all; that is exactly the
+    * dangerous restored-watermark case, so missing progress counts as
+    * residual state, not as completion. Bounded by `maxAttempts`
+    * injections; an IllegalStateException (rather than silent short
+    * output) surfaces a corpus that will not flush. */
+  def drainToCompletion(start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      injectSentinel: Int => Unit, residualStateRows: Long = 1L,
+      maxAttempts: Int = 3): Unit = {
+    var attempt = 0
+    var residual = Long.MaxValue
+    var done = false
+    while (!done) {
+      val q = start()
+      q.awaitTermination()
+      // the LAST progress entry that actually carries state metrics: a
+      // trailing no-data batch can report an empty stateOperators array,
+      // and a run with zero batches reports no progress at all — both
+      // mean "state not observed", which must read as residual, never
+      // as flushed
+      residual = q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(Long.MaxValue)
+      if (residual <= residualStateRows) done = true
+      else if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"finite drain still holds $residual state rows after " +
+            s"$maxAttempts sentinel injections (floor $residualStateRows) — " +
+            "the source is not flushing; check watermark column/threshold")
+      else { attempt += 1; injectSentinel(attempt) }
+    }
+  }
+
   private def runToCompletion(spark: SparkSession, out: DataFrame,
       prefix: String, mode: OutputMode = OutputMode.Complete(),
       partitions: Int = 4): DataFrame = {

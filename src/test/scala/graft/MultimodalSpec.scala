@@ -196,6 +196,59 @@ class MultimodalSpec extends SparkSpec {
     assert(last.getString(7) === md5)
   }
 
+  test("a >16 MB blob survives decode, audit, dedup, and frame exec (offset-width fixture)") {
+    // VERDICT r9 #7: the ANSI int overflow in frame-offset arithmetic
+    // was reachable only with payloads ≥ ~9 MB and no standard fixture
+    // exercised that size — this blob makes the whole class mechanical.
+    // 17,000,239 ≡ 239 (mod 240) → n_frames = 240, top sampled index
+    // 210 puts idx·plen ≈ 3.6e9 ≫ Int.MaxValue in any unwidened form.
+    val plen = 17000239
+    val payload = Array.tabulate(plen)(i => ((i * 31 + 7) % 251).toByte)
+    val container = Multimodal.packContainer("video", payload)
+    val payloadMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+    // decode: header-true features, checksum over all 17 MB
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaBlob(1L, "video", container)).toDS()).collect()
+    assert(feats.length === 1)
+    assert(feats(0).n_bytes === plen)
+    assert(feats(0).checksum === payloadMd5)
+    // audit: container accounting exact at this size (pbytes parsed
+    // from the 32-bit header field, cbytes from the binary length)
+    val blobs2 = Seq((1L, "video", container), (2L, "video", container))
+      .toDF("doc_id", "modality", "blob")
+    val audit = Multimodal.containerAuditOf(blobs2).collect()
+    assert(audit.length === 1)
+    assert(audit(0).getLong(1) === 2L, "n_blobs")
+    assert(audit(0).getLong(3) === 2L * plen, "payload bytes")
+    assert(audit(0).getLong(2) - audit(0).getLong(3) === audit(0).getLong(4),
+      "overhead = container - payload")
+    assert(audit(0).getLong(5) === 2L, "magic valid on both")
+    // dedup: byte-identical 17 MB payloads group (md5 over the blob)
+    val payloadCol = blobs2.select($"doc_id", $"modality",
+      org.apache.spark.sql.functions.expr(
+        s"substring(blob, 43, $plen)").as("blob"))
+    val groups = Multimodal.blobDedupOf(payloadCol).collect()
+    assert(groups.length === 1)
+    assert((groups(0).getLong(1), groups(0).getLong(2)) === ((1L, 2L)))
+    // frame exec: 8 sampled slices, offsets exact and in-bounds, last
+    // slice checksum reproduces the JVM byte arithmetic
+    val exec = Multimodal.frameSampleExecOf(
+      Seq(Multimodal.MediaBlob(1L, "video", container)).toDS().toDF()).collect()
+    assert(exec.length === 8)
+    exec.foreach { r =>
+      val (off, len) = (r.getLong(5), r.getLong(6))
+      assert(off >= 0 && len > 0 && off + len <= plen.toLong,
+        s"frame ${r.getInt(1)} slice [$off, ${off + len}) out of bounds")
+    }
+    val last = exec.last
+    val (s, e) = (last.getLong(5).toInt, (last.getLong(5) + last.getLong(6)).toInt)
+    val sliceMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(payload, s, e))
+      .map("%02x".format(_)).mkString
+    assert(last.getString(7) === sliceMd5)
+  }
+
   test("oracle precondition: fixture texts are pure ASCII (byte slice == char slice)") {
     // the frame-exec DuckDB oracle slices the VARCHAR where Spark slices
     // payload BYTES; they agree iff every text is single-byte chars. A

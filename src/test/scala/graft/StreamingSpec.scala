@@ -343,22 +343,28 @@ class StreamingSpec extends SparkSpec {
       // value) and never re-reads the consumed sentinel file, so with no
       // new data the final sessions sit in state forever and the drain
       // comes up short. Production streams re-advance the watermark with
-      // the next arriving data; a finite-corpus drain must do the same —
-      // drop a fresh sentinel AFTER the kill cycles.
-      val tmp2 = java.nio.file.Files.createTempDirectory("graft-end-s2").toString
-      Seq((-999L, new Timestamp(hi + 4 * 3600 * 1000L), -999L, "sentinel", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp2)
-      val part2 = new java.io.File(tmp2).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest2 = java.nio.file.Paths.get(inDir, f"slice-$nSlices%03d.parquet")
-      java.nio.file.Files.move(part2.toPath, dest2)
-      assert(dest2.toFile.setLastModified((nSlices + 1) * 60000L))
-      graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp2))
-      // final drain from the same checkpoint (the post-restart sentinel
-      // re-advances the watermark; the extra no-data batch flushes state)
-      val qf = startQuery(availableNow = true)
-      qf.awaitTermination()
+      // the next arriving data; a finite-corpus drain must do the same.
+      // The rule is packaged as EventStream.drainToCompletion (r10):
+      // drain, detect short termination from the residual state-store
+      // rows, inject a FRESH post-restart sentinel, re-drain — this
+      // spec now runs ON the helper instead of restating the protocol.
+      EventStream.drainToCompletion(
+        () => startQuery(availableNow = true),
+        injectSentinel = attempt => {
+          val tmp2 = java.nio.file.Files.createTempDirectory("graft-end-s2").toString
+          Seq((-999L, new Timestamp(hi + (3 + attempt) * 3600 * 1000L),
+              -999L, "sentinel", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1).write.mode("overwrite").parquet(tmp2)
+          val part2 = new java.io.File(tmp2).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest2 = java.nio.file.Paths.get(inDir,
+            f"slice-${nSlices + attempt}%03d.parquet")
+          java.nio.file.Files.move(part2.toPath, dest2)
+          // strictly-increasing mtimes, same rule as the kill slices
+          assert(dest2.toFile.setLastModified((nSlices + 1 + attempt) * 60000L))
+          graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp2))
+        })
       val streamed = spark.read.parquet(outDir)
         .filter($"user_id" =!= -999L)
         .orderBy("user_id", "session_start")
