@@ -45,10 +45,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // optional comma-separated subset for local iteration; driver leaves unset
+    // optional comma-separated subset / exclusions for local iteration
+    // and scale sweeps (a 100× sweep excludes the documented-quadratic
+    // dedup_embedding rather than paying its ~13 min); driver leaves
+    // both unset, so the round bench always measures everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !excluded(name) }
     // Phase 1 — artifact pre-warm: one untimed pass over every query so
     // fingerprint-keyed pay-once work (bucketed-table writes, ANN/pair
     // indexes, footer reads) lands HERE, reported as one separate

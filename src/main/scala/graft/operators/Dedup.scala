@@ -1325,6 +1325,34 @@ object Dedup {
     embeddingPairsOverBlocks(spark, emb, threshold, numBlocks)
   }
 
+  /** Pruning diagnostics for the exact embedding threshold join — the
+    * "no silent caps" report: one row with the block count, the full
+    * triangular block-pair count, how many pairs survive the
+    * centroid+residual bound, and the pruned fraction. A pipeline
+    * operator should say what its optimization actually did: on hash
+    * blocks over a near-uniform corpus the expected rate is ~0 (every
+    * residual spans the sphere, so every bound clears θ), and a caller
+    * seeing that should route to `semanticDedupPairs` / the ANN paths
+    * instead of expecting the exact join to get cheaper. On clustered
+    * corpora with a cluster-correlated `g` the rate is where the Ω(N²)
+    * constant falls. Cost: the two linear stats passes only — no pair
+    * join runs. */
+  def embeddingBlockPruningReport(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.35, numBlocks: Int = 8): DataFrame = {
+    import graft.functions.VectorOps
+    val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(numBlocks)).cast("int").as("g"))
+    val total = numBlocks.toLong * (numBlocks + 1) / 2
+    survivingBlockPairs(spark, emb, threshold, numBlocks)
+      .agg(count(lit(1)).as("surviving"))
+      .select(lit(numBlocks).as("num_blocks"),
+        lit(total).as("block_pairs_total"),
+        col("surviving").as("block_pairs_surviving"),
+        rd(lit(1.0) - col("surviving").cast("double") / total, 4)
+          .as("pruned_frac"))
+  }
+
   /** Bound-surviving block pairs: the (ga, gb) relation after the
     * centroid+residual upper-bound filter. Exposed for the pruning spec
     * and the PERF.md rate measurement; the set is exactness-preserving

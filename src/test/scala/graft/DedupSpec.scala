@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
     assert(pruned === brute)
   }
 
+  test("block pruning report: one consistent row, and its surviving set is the join's") {
+    val r = Dedup.embeddingBlockPruningReport(spark, sf).collect()
+    assert(r.length === 1)
+    val (nb, total, surv, frac) =
+      (r(0).getInt(0), r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3))
+    assert(nb === 8 && total === 36, "8 hash blocks, triangular pair count")
+    assert(surv >= 1 && surv <= total, s"surviving $surv in range")
+    assert(math.abs(frac - (1.0 - surv.toDouble / total)) < 1e-9, "frac consistent")
+    // the report must describe the exact join actually run: its surviving
+    // count equals the pruned relation the join broadcasts
+    import graft.functions.VectorOps
+    val emb = VectorOps.normalizedEmbeddings(spark, sf)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(8)).cast("int").as("g"))
+    assert(Dedup.survivingBlockPairs(spark, emb, 0.35, 8).count() === surv)
+  }
+
   test("materialized pair table round-trips the direct pair computation") {
     val direct = Dedup.ngramJaccardPairs(spark, sf).collect().map(_.toString).toSeq
     val mat = Dedup.ngramJaccardPairsMaterialized(spark, sf)
