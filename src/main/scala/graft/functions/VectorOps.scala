@@ -32,4 +32,39 @@ object VectorOps {
   /** cosine(a,b) given precomputed norms. */
   def cosine(eA: Column, nA: Column, eB: Column, nB: Column): Column =
     dot(eA, eB) / (nA * nB)
+
+  /** Exact-duplicate VECTOR groups — the embedding-side twin of
+    * `Dedup.exactGroups`' text collapse: every pairwise-similarity
+    * quantity (cosine, cell assignment, any pure function of the
+    * coordinates) is identical across byte-identical vectors, so
+    * consumers can propose/score at CANONICAL granularity and expand to
+    * members only at output. The r10 100× full sweep measured why this
+    * matters: a clone-amplified corpus made `dedup_semantic` and
+    * `embedding_decontamination` pay per MEMBER pair (fitted p≈1.9) for
+    * work that is constant per distinct vector — the same member-pair
+    * quadratic r9 collapsed out of the text cluster consumers.
+    *
+    * Returns (members: vec_id → canon_id, canon: one row per DISTINCT
+    * vector keyed by its min vec_id, with e and nrm). The group key is
+    * the raw float array itself — exact equality, no hash-collision
+    * exposure — and one aggregation produces both frames (collect_list
+    * is bounded by the duplication degree of a single vector). The
+    * result is checkpointed: both frames and usually both join sides of
+    * a pair relation consume it, and at cluster scale it is the stored
+    * artifact an exact-dedup stage would have produced anyway. The
+    * trade: on a corpus with NO exact duplicates this costs one extra
+    * vector shuffle over the map-only direct forms — the duplicate-heavy
+    * case is the one that needs the help, and real crawled corpora are
+    * duplicate-heavy by construction. */
+  def exactVectorGroups(emb: DataFrame): (DataFrame, DataFrame) = {
+    val groups = emb
+      .groupBy(col("e"))
+      .agg(min(col("vec_id")).as("canon_id"),
+        collect_list(col("vec_id")).as("ids"),
+        min(col("nrm")).as("nrm")) // all equal within a group (nrm is a pure function of e)
+      .localCheckpoint()
+    val members = groups.select(explode(col("ids")).as("vec_id"), col("canon_id"))
+    val canon = groups.select(col("canon_id"), col("e"), col("nrm"))
+    (members, canon)
+  }
 }

@@ -1319,10 +1319,33 @@ object Dedup {
   def embeddingNearDupPairsBlocked(spark: SparkSession, sfDir: String,
       threshold: Double = 0.35, numBlocks: Int = 8): DataFrame = {
     import graft.functions.VectorOps
+    // CANONICAL collapse (r10, same decomposition as semanticDedupPairs
+    // and the text-side editDistanceVerify): the replicated block join
+    // runs over DISTINCT vectors only — the Ω(N²) compare count is
+    // quadratic in the number of distinct vectors, not in how heavily
+    // the corpus duplicates. Exact-duplicate groups contribute via the
+    // canonical SELF pair (cosine(v,v) ≥ θ for any θ ≤ 1), and every
+    // surviving canonical pair expands to its member pairs at output —
+    // identical rows to the member-level join, because cosine is a
+    // symmetric pure function of the coordinates.
     val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
-      .select(col("vec_id"), col("e"), col("nrm"),
-        pmod(xxhash64(col("vec_id")), lit(numBlocks)).cast("int").as("g"))
-    embeddingPairsOverBlocks(spark, emb, threshold, numBlocks)
+    val (members, canon) = VectorOps.exactVectorGroups(emb)
+    val canonBlocked = canon.select(col("canon_id").as("vec_id"), col("e"),
+      col("nrm"), pmod(xxhash64(col("canon_id")), lit(numBlocks)).cast("int").as("g"))
+    val cross = embeddingPairsOverBlocks(spark, canonBlocked, threshold, numBlocks)
+      .select(col("vec_a").as("ca"), col("vec_b").as("cb"), col("cosine"))
+    val self = canon.select(col("canon_id").as("ca"), col("canon_id").as("cb"),
+      rd(VectorOps.cosine(col("e"), col("nrm"), col("e"), col("nrm")), 4)
+        .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    cross.unionByName(self)
+      .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
+      .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
+      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
+        .otherwise(lit(true)))
+      .select(least(col("m_a"), col("m_b")).as("vec_a"),
+        greatest(col("m_a"), col("m_b")).as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Pruning diagnostics for the exact embedding threshold join — the
@@ -1340,9 +1363,11 @@ object Dedup {
   def embeddingBlockPruningReport(spark: SparkSession, sfDir: String,
       threshold: Double = 0.35, numBlocks: Int = 8): DataFrame = {
     import graft.functions.VectorOps
-    val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
-      .select(col("vec_id"), col("e"), col("nrm"),
-        pmod(xxhash64(col("vec_id")), lit(numBlocks)).cast("int").as("g"))
+    // mirror the operator exactly: blocks are hashed CANONICAL ids
+    val (_, canon) = VectorOps.exactVectorGroups(
+      VectorOps.normalizedEmbeddings(spark, sfDir))
+    val emb = canon.select(col("canon_id").as("vec_id"), col("e"), col("nrm"),
+      pmod(xxhash64(col("canon_id")), lit(numBlocks)).cast("int").as("g"))
     val total = numBlocks.toLong * (numBlocks + 1) / 2
     survivingBlockPairs(spark, emb, threshold, numBlocks)
       .agg(count(lit(1)).as("surviving"))
@@ -1455,19 +1480,40 @@ object Dedup {
       threshold: Double = 0.3, numCentroids: Int = 16,
       iters: Int = 2): DataFrame = {
     import graft.functions.VectorOps
+    // CANONICAL collapse (r10): cosine and cell assignment are pure
+    // functions of the coordinates, so byte-identical vectors share
+    // both — the within-cell pair relation is proposed, scored, and
+    // threshold-filtered once per DISTINCT vector pair (including the
+    // self pair, which carries every exact-duplicate group) and only
+    // survivors expand to member pairs at output. The r10 100× sweep
+    // measured the member-level form at p=1.88: a duplicate-heavy
+    // corpus pays |group|² cosine evaluations per duplicated vector
+    // for scores that are all equal. The quantizer artifact and the
+    // oracle (DuckDB replays training + assignment + the within-cell
+    // join over ALL vectors) are unchanged — expansion reproduces the
+    // member-level rows exactly.
     val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
+    val (members, canon) = VectorOps.exactVectorGroups(emb)
     val withVec = Similarity.assignmentIndex(spark, sfDir, numCentroids, iters)
-      .join(emb, Seq("vec_id"))
+      .join(renamed(canon, "canon_id" -> "vec_id", "e" -> "e", "nrm" -> "nrm"),
+        Seq("vec_id"))
     val a = renamed(withVec, "cluster" -> "cluster",
-      "vec_id" -> "keep_id", "e" -> "e_a", "nrm" -> "n_a")
+      "vec_id" -> "ca", "e" -> "e_a", "nrm" -> "n_a")
     val b = renamed(withVec, "cluster" -> "cluster",
-      "vec_id" -> "dup_id", "e" -> "e_b", "nrm" -> "n_b")
-    a.join(b, Seq("cluster"))
-      .filter(col("keep_id") < col("dup_id"))
-      .select(col("cluster"), col("keep_id"), col("dup_id"),
+      "vec_id" -> "cb", "e" -> "e_b", "nrm" -> "n_b")
+    val survivors = a.join(b, Seq("cluster"))
+      .filter(col("ca") <= col("cb")) // = keeps self pairs: intra-group dup pairs
+      .select(col("cluster"), col("ca"), col("cb"),
         rd(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+    survivors
+      .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
+      .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
+      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
+        .otherwise(lit(true)))
+      .select(col("cluster"), least(col("m_a"), col("m_b")).as("keep_id"),
+        greatest(col("m_a"), col("m_b")).as("dup_id"), col("cosine"))
       .orderBy("cluster", "keep_id", "dup_id")
   }
 }

@@ -469,13 +469,22 @@ object Similarity {
     * (embeddings align 1:1 with documents: vec_id = doc_id). Same
     * posture as [[rangeSearch]]: the eval split is tiny next to a
     * 100 TB corpus, so eval vectors broadcast and the train side
-    * streams once through the codegen'd dot product into a map-side
-    * partial max — no corpus shuffle, one output row per train doc.
+    * streams through the codegen'd dot product into a per-vector max.
     * The |eval|·N product IS the check at this exactness level; for
     * standing eval suites the banded/IVF candidate paths bound it the
     * same way they do for top-k. Per-pair rounding before the max:
     * rounding is monotone, so max-of-rounded = rounded-max, and the
-    * oracle replays the same expression shape either way. */
+    * oracle replays the same expression shape either way.
+    *
+    * BOTH sides are collapsed to DISTINCT vectors (r10): the verdict is
+    * a pure function of the train doc's vector and the eval vector SET
+    * — max ignores multiplicity, so distinct eval vectors suffice, and
+    * every holder of the same train vector inherits one scored verdict
+    * ([[graft.functions.VectorOps.exactVectorGroups]]). The r10 100×
+    * sweep measured the member-level form at p=1.84 (both sides of the
+    * |eval|·N product scale with duplication); collapsed, the compare
+    * count tracks DISTINCT vectors and only the linear per-doc verdict
+    * join-back scales with the corpus. */
   def embeddingDecontaminate(spark: SparkSession, sfDir: String,
       evalSource: String = "src9", tau: Double = 0.4): DataFrame = {
     val evalIds = graft.sources.Tables.documents(spark, sfDir)
@@ -483,12 +492,16 @@ object Similarity {
       .select(col("doc_id").as("vec_id"))
     val emb = normalizedEmbeddings(spark, sfDir)
     val evalVecs = emb.join(evalIds, Seq("vec_id"))
-      .select(col("e").as("e_q"), col("nrm").as("n_q"))
-    emb.join(evalIds, Seq("vec_id"), "left_anti")
+      .select(col("e").as("e_q"), col("nrm").as("n_q")).distinct()
+    val (members, canon) =
+      graft.functions.VectorOps.exactVectorGroups(
+        emb.join(evalIds, Seq("vec_id"), "left_anti"))
+    val verdicts = canon
       .join(broadcast(evalVecs))
-      .groupBy("vec_id")
+      .groupBy("canon_id")
       .agg(max(rd(cosine(col("e"), col("nrm"), col("e_q"), col("n_q")), 4))
         .as("max_eval_cosine"))
+    members.join(verdicts, Seq("canon_id"))
       .select(col("vec_id").as("doc_id"), col("max_eval_cosine"),
         (col("max_eval_cosine") >= tau).as("contaminated"))
       .orderBy("doc_id")

@@ -157,6 +157,26 @@ object EventStream {
     math.max(4, math.min(16, (bytes / (2L << 20)).toInt))
   }
 
+  /** State-store provider for a finite drain, chosen by the same source
+    * probe: above ~64 MB of compressed source, switch the drain to the
+    * RocksDB provider (ships with Spark; state lives in native memory +
+    * local disk) instead of the default HDFS-backed store, which holds
+    * every partition's FULL key map on the JVM heap — and in local mode
+    * every partition shares ONE heap, so partition count cannot spread
+    * the state the way a cluster does. Measured: the r10 full-suite
+    * 100× sweep (183 MB events, ~5 M distinct dropDuplicates keys)
+    * OOM'd an 8 GB heap in `stream_dedup`'s drain under the in-heap
+    * store and passes under RocksDB; at ≤25× (≤46 MB) the in-heap
+    * store is measured fine and stays — its per-batch commit is
+    * cheaper at micro-state sizes, the same trade the partition clamp
+    * encodes. On a real cluster the dial is the same, just per
+    * executor: big state → RocksDB is the standard Spark posture. */
+  private def drainStateProvider(sfDir: String,
+      file: String = "events.parquet"): Option[String] =
+    if (inputBytes(s"$sfDir/$file") > (64L << 20))
+      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else None
+
   /** Drain a FINITE stream to completion across restarts — the reusable
     * form of the watermark-restore rule the endurance spec discovered
     * (r9): if a query is killed right after the batch carrying a
@@ -211,14 +231,24 @@ object EventStream {
     }
   }
 
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
   private def runToCompletion(spark: SparkSession, out: DataFrame,
       prefix: String, mode: OutputMode = OutputMode.Complete(),
-      partitions: Int = 4): DataFrame = {
+      partitions: Int = 4, stateProvider: Option[String] = None): DataFrame = {
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
-    // Pin the drain's state partitioning (restore the session value
-    // after): see [[drainPartitions]] for the measured sizing rationale.
+    // Pin the drain's state partitioning and (for large sources) its
+    // state-store provider — both snapshotted by the query at start()
+    // — and restore the session values after: see [[drainPartitions]] /
+    // [[drainStateProvider]] for the measured sizing rationales. The
+    // memory sink is safe by contract: every registered drain's OUTPUT
+    // is aggregate- or distinct-key-sized; a drain whose output scales
+    // with raw input belongs on [[startFileSink]], the production
+    // wiring.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = spark.conf.getOption(ProviderConf)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    stateProvider.foreach(spark.conf.set(ProviderConf, _))
     try {
       val q = out.writeStream
         .format("memory")
@@ -227,7 +257,13 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (stateProvider.isDefined) prevProv match {
+        case Some(p) => spark.conf.set(ProviderConf, p)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    }
     spark.table(name)
   }
 
@@ -241,7 +277,8 @@ object EventStream {
   def tumblingViaStream(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark,
       windowedCounts(corpusEventsSource(spark, sfDir)), "graft_stream_tumbling",
-      partitions = drainPartitions(sfDir))
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir))
       .orderBy("window_start", "event_type")
 
   /** Sliding-window twin of `events_sliding` through the streaming
@@ -258,7 +295,8 @@ object EventStream {
       .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
     runToCompletion(spark, slid, "graft_stream_sliding",
-      partitions = drainPartitions(sfDir))
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir))
       .orderBy("window_start")
   }
 
@@ -288,7 +326,8 @@ object EventStream {
   def sessionizeViaStream(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark, sessionAgg(corpusEventsSource(spark, sfDir)),
       "graft_stream_sessionize",
-      partitions = drainPartitions(sfDir))
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir))
       .orderBy("user_id", "session_start")
 
   /** Third driver-contract streaming entry: the stream-stream inner
@@ -310,7 +349,8 @@ object EventStream {
       src.filter(col("event_type") === "purchase"))
     val rounded = joined.withColumn("purchase_value", rd(col("purchase_value"), 4))
     runToCompletion(spark, rounded, "graft_stream_attribution", OutputMode.Append(),
-      partitions = drainPartitions(sfDir))
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir))
       .orderBy("click_id", "purchase_id")
   }
 
@@ -331,7 +371,8 @@ object EventStream {
         date_trunc("hour", col("ts")).as("hour_start"))
       .dropDuplicates("user_id", "event_type", "hour_start")
     runToCompletion(spark, keys, "graft_stream_dedup", OutputMode.Append(),
-      partitions = drainPartitions(sfDir))
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir))
       .orderBy("user_id", "event_type", "hour_start")
   }
 
@@ -355,7 +396,8 @@ object EventStream {
       .groupBy("event_type", "band")
       .agg(count(lit(1)).as("n"), rd(qsum(col("value"), 6), 4).as("sum_value"))
     runToCompletion(spark, banded, "graft_stream_enrich",
-      partitions = drainPartitions(sfDir))
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir))
       .orderBy("event_type", "band")
   }
 
@@ -395,7 +437,8 @@ object EventStream {
         col("dup_of").isNull.as("is_new"))
     runToCompletion(spark, verdicts, "graft_stream_doc_dedup",
       OutputMode.Append(),
-      partitions = drainPartitions(sfDir, "documents.parquet"))
+      partitions = drainPartitions(sfDir, "documents.parquet"),
+      stateProvider = drainStateProvider(sfDir, "documents.parquet"))
       .orderBy("doc_id")
   }
 

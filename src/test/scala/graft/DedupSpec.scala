@@ -142,12 +142,87 @@ class DedupSpec extends SparkSpec {
     assert(surv >= 1 && surv <= total, s"surviving $surv in range")
     assert(math.abs(frac - (1.0 - surv.toDouble / total)) < 1e-9, "frac consistent")
     // the report must describe the exact join actually run: its surviving
-    // count equals the pruned relation the join broadcasts
+    // count equals the pruned relation the join broadcasts (canonical
+    // blocks, mirroring the operator's r10 collapse)
     import graft.functions.VectorOps
-    val emb = VectorOps.normalizedEmbeddings(spark, sf)
-      .select(col("vec_id"), col("e"), col("nrm"),
-        pmod(xxhash64(col("vec_id")), lit(8)).cast("int").as("g"))
+    val (_, canon) = VectorOps.exactVectorGroups(
+      VectorOps.normalizedEmbeddings(spark, sf))
+    val emb = canon.select(col("canon_id").as("vec_id"), col("e"), col("nrm"),
+      pmod(xxhash64(col("canon_id")), lit(8)).cast("int").as("g"))
     assert(Dedup.survivingBlockPairs(spark, emb, 0.35, 8).count() === surv)
+  }
+
+  test("canonical vector collapse: all three embedding consumers equal their member-level forms on a clone-amplified corpus") {
+    // The r10 100× sweep measured the member-level formulations at
+    // p≈1.9 on clone-amplified data; the collapse must change COST, not
+    // rows. Amplify the fixture 3× ScaleUp-style (clones keep the exact
+    // float coordinates, new key universes) and check each rewritten
+    // operator against its direct member-level spelling on disk.
+    import graft.functions.VectorOps
+    val off = 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-clone-diff").toString
+    def amp(name: String, key: String): Unit = {
+      val t = spark.read.parquet(s"$sf/$name.parquet")
+      (0 until 3).map(i => t.withColumn(key, col(key) + lit(i * off)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    amp("embeddings", "vec_id"); amp("documents", "doc_id")
+
+    // 1. exact blocked threshold join vs brute all-pairs
+    val blocked = Dedup.embeddingNearDupPairsBlocked(spark, dir)
+      .collect().map(_.toString).toSeq
+    val emb = VectorOps.normalizedEmbeddings(spark, dir)
+    val x = emb.select(col("vec_id").as("va"), col("e").as("e_a"), col("nrm").as("n_a"))
+    val y = emb.select(col("vec_id").as("vb"), col("e").as("e_b"), col("nrm").as("n_b"))
+    val brute = x.crossJoin(y).filter(col("va") < col("vb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        graft.functions.Deterministic.rd(
+          VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy("vec_a", "vec_b").collect().map(_.toString).toSeq
+    assert(brute.nonEmpty && blocked === brute)
+
+    // 2. semantic dedup vs the direct within-cell member join
+    val semantic = Dedup.semanticDedupPairs(spark, dir)
+      .collect().map(_.toString).toSeq
+    val withVec = graft.operators.Similarity.assignmentIndex(spark, dir, 16, 2)
+      .join(emb, Seq("vec_id"))
+    val a2 = withVec.select(col("cluster"), col("vec_id").as("keep_id"),
+      col("e").as("e_a"), col("nrm").as("n_a"))
+    val b2 = withVec.select(col("cluster"), col("vec_id").as("dup_id"),
+      col("e").as("e_b"), col("nrm").as("n_b"))
+    val directSem = a2.join(b2, Seq("cluster"))
+      .filter(col("keep_id") < col("dup_id"))
+      .select(col("cluster"), col("keep_id"), col("dup_id"),
+        graft.functions.Deterministic.rd(
+          VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy("cluster", "keep_id", "dup_id").collect().map(_.toString).toSeq
+    assert(directSem.nonEmpty && semantic === directSem)
+
+    // 3. embedding decontamination vs the direct broadcast-max form
+    val deco = graft.operators.Similarity.embeddingDecontaminate(spark, dir)
+      .collect().map(_.toString).toSeq
+    val evalIds = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src9").select(col("doc_id").as("vec_id"))
+    val evalVecs = emb.join(evalIds, Seq("vec_id"))
+      .select(col("e").as("e_q"), col("nrm").as("n_q"))
+    val directDeco = emb.join(evalIds, Seq("vec_id"), "left_anti")
+      .join(broadcast(evalVecs))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.Deterministic.rd(
+        VectorOps.cosine(col("e"), col("nrm"), col("e_q"), col("n_q")), 4))
+        .as("max_eval_cosine"))
+      .select(col("vec_id").as("doc_id"), col("max_eval_cosine"),
+        (col("max_eval_cosine") >= 0.4).as("contaminated"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(directDeco.nonEmpty && deco === directDeco)
+    // the clone corpus must actually exercise expansion: intra-group
+    // pairs (cosine 1.0 between clones) must be present
+    assert(blocked.count(_.contains("1.0")) >= 3)
   }
 
   test("materialized pair table round-trips the direct pair computation") {

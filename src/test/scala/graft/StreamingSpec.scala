@@ -640,6 +640,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length < raw)
   }
 
+  test("RocksDB state store drains output-identical to the default in-heap store") {
+    // Large drains switch providers on the source-bytes probe
+    // (EventStream.drainStateProvider — the r10 100×-sweep OOM fix);
+    // the provider must be an implementation detail. Force RocksDB at
+    // fixture scale via the session conf (the drain only overrides the
+    // conf ABOVE the probe threshold, so the forced value reaches the
+    // query) and require bit-identical output from the stateful drain
+    // classes: dropDuplicates state and windowed-agg state.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val inHeapDedup = EventStream.dedupViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val inHeapTumbling = EventStream.tumblingViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocksDedup = EventStream.dedupViaStream(spark, sf)
+        .collect().map(_.toString).toSeq
+      val rocksTumbling = EventStream.tumblingViaStream(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(rocksDedup.nonEmpty && rocksDedup === inHeapDedup)
+      assert(rocksTumbling.nonEmpty && rocksTumbling === inHeapTumbling)
+    } finally spark.conf.unset(key)
+  }
+
   test("file-source stream-static enrich equals the batch join on real data") {
     import graft.functions.Deterministic.{qsum, rd}
     val streamed = EventStream.staticEnrichViaStream(spark, sf)
