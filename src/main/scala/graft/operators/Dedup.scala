@@ -1294,11 +1294,16 @@ object Dedup {
     * pair 0.35001 at sf0.1) and the SRP collision probability at 69.5°
     * is only 0.614/bit — any banding misses near-threshold pairs with
     * ~coin-flip probability while admitting ~half of all random pairs.
-    * The exact threshold join is inherently Ω(N²) comparisons here; the
-    * scale problem to solve is memory/communication shape, not count.
-    * For genuinely high thresholds use the ANN module's bucketed paths
-    * (`Similarity.lshTopK`/`ivfTopK`); for budgeted compare counts use
-    * [[semanticDedupPairs]] (within-cell, the accepted-recall trade).
+    * The exact threshold join is inherently Ω(D²) comparisons here,
+    * where D is the number of DISTINCT vectors (the r10 canonical
+    * collapse below scopes the quadratic: exact-duplicate clones cost
+    * one self-pair plus output-linear expansion, measured 22.3 s for
+    * the 100×-amplified corpus that the member-level form could not
+    * finish); the scale problem left is memory/communication shape plus
+    * that distinct-pair count. For genuinely high thresholds use the
+    * ANN module's bucketed paths (`Similarity.lshTopK`/`ivfTopK`); for
+    * budgeted compare counts use [[semanticDedupPairs]] (within-cell,
+    * the accepted-recall trade).
     *
     * BLOCK-PAIR PRUNING (r10): each block stores the centroid of its
     * unit vectors and its max residual norm; for blocks A, B and any
