@@ -122,6 +122,10 @@ object SparkEntry {
     // SemDeDup). Keep this query for when exactness is the contract.
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupPairsBlocked(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedupPairs(s, d)),
+    // the prune-list form: one keeper verdict per vector, output LINEAR
+    // in the corpus at any duplication level (the all-pairs view above
+    // owes k²/2 rows per k-clone group — both contracts ship)
+    "dedup_semantic_keepers" -> ((s, d) => Dedup.semanticDedupKeepers(s, d)),
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
     "text_bloom_decontamination" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -2103,6 +2107,7 @@ object SparkEntry {
         |        / count(*)) * 1e4 + 0.5) / 1e4 AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
+    "dedup_semantic_keepers" -> semanticKeepersOracle(2, 0.3),
     "embedding_prototypicality" -> prototypicalityOracle(2),
     // PQ: per-subspace k-means + encoding + ADC replayed end-to-end;
     // every subspace-ordered double sum is list_sum(list(x ORDER BY m))
@@ -3129,6 +3134,39 @@ object SparkEntry {
        |SELECT cluster, keep_id, dup_id, cosine FROM pairs
        |WHERE cosine >= $threshold
        |ORDER BY cluster, keep_id, dup_id""".stripMargin
+  }
+
+  /** Keeper-verdict oracle: replay the SAME member-level pair table as
+    * [[semanticDedupOracle]], then reduce it to one row per vector —
+    * keeper(v) = min(keep_id) over pairs (keep, v), kept(v) = no such
+    * pair. The Spark side computes the identical quantity at canonical
+    * level (closure minimum over surviving partner groups); the two
+    * spellings agree because a neighbor u < v exists iff the closure
+    * min is < v. */
+  private def semanticKeepersOracle(iters: Int, threshold: Double): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(va.embedding, i) AS DOUBLE) * CAST(list_extract(vb.embedding, i) AS DOUBLE))) / (va.nrm * vb.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |  FROM assigned a
+       |    JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN n va ON va.vec_id = a.vec_id
+       |    JOIN n vb ON vb.vec_id = b.vec_id),
+       |keepers AS (SELECT dup_id, min(keep_id) AS keeper_id
+       |            FROM pairs WHERE cosine >= $threshold GROUP BY dup_id)
+       |SELECT a.vec_id, a.cluster, k.keeper_id, k.keeper_id IS NULL AS kept
+       |FROM assigned a LEFT JOIN keepers k ON k.dup_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   /** Prototypicality oracle: replay training + assignment, score each

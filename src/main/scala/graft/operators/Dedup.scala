@@ -1497,6 +1497,28 @@ object Dedup {
     // oracle (DuckDB replays training + assignment + the within-cell
     // join over ALL vectors) are unchanged — expansion reproduces the
     // member-level rows exactly.
+    val (members, survivors) =
+      semanticCanonicalSurvivors(spark, sfDir, threshold, numCentroids, iters)
+    survivors
+      .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
+      .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
+      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
+        .otherwise(lit(true)))
+      .select(col("cluster"), least(col("m_a"), col("m_b")).as("keep_id"),
+        greatest(col("m_a"), col("m_b")).as("dup_id"), col("cosine"))
+      .orderBy("cluster", "keep_id", "dup_id")
+  }
+
+  /** Shared canonical stage of the semantic-dedup family: the member
+    * map plus the within-cell canonical pair relation (ca ≤ cb,
+    * INCLUDING every canonical's self pair — cosine(v,v) ≥ θ for any
+    * θ ≤ 1, so a self pair is how an exact-duplicate group's member
+    * pairs enter) scored once per distinct vector pair and
+    * threshold-filtered. One definition so the all-pairs view and the
+    * keeper view can never drift. */
+  private def semanticCanonicalSurvivors(spark: SparkSession, sfDir: String,
+      threshold: Double, numCentroids: Int, iters: Int): (DataFrame, DataFrame) = {
+    import graft.functions.VectorOps
     val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
     val (members, canon) = VectorOps.exactVectorGroups(emb)
     val withVec = Similarity.assignmentIndex(spark, sfDir, numCentroids, iters)
@@ -1512,13 +1534,45 @@ object Dedup {
         rd(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
-    survivors
-      .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
-      .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
-      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
-        .otherwise(lit(true)))
-      .select(col("cluster"), least(col("m_a"), col("m_b")).as("keep_id"),
-        greatest(col("m_a"), col("m_b")).as("dup_id"), col("cosine"))
-      .orderBy("cluster", "keep_id", "dup_id")
+    (members, survivors)
+  }
+
+  /** SemDeDup KEEPER verDICT — the form a curation pipeline actually
+    * consumes: ONE row per vector with its designated keeper (the
+    * lowest-id same-cell neighbor at or above the threshold, null when
+    * the vector IS its neighborhood's minimum and is kept). This is
+    * [[semanticDedupPairs]] reduced to the prune list: the all-pairs
+    * view owes k²/2 rows per k-clone duplicate group (measured at 100×:
+    * ~247 M member pairs — inherent to that contract), while the keeper
+    * verdict is LINEAR in the corpus at any duplication level, because
+    * it never expands pairs at all. keeper(v) = min(keep_id) over pairs
+    * (keep, v), and since every member of a duplicate group shares one
+    * canonical neighbor set, that min is a per-CANONICAL quantity: the
+    * minimum member id across the canonical's surviving partner groups
+    * (its own group included via the self pair). v is kept iff v equals
+    * that closure minimum. Oracle replays the member-level pair table
+    * and takes the same min — the two spellings are provably equal
+    * because a neighbor u < v exists iff the closure min is < v. */
+  def semanticDedupKeepers(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, numCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (members, survivors) =
+      semanticCanonicalSurvivors(spark, sfDir, threshold, numCentroids, iters)
+    // undirected canonical edge list; self pairs make every canonical
+    // its own partner, so closureMin is defined for every vector
+    val edges = survivors.select(col("cluster"), col("ca").as("c"), col("cb").as("p"))
+      .unionByName(survivors.select(col("cluster"), col("cb").as("c"), col("ca").as("p")))
+    val minMember = members.groupBy("canon_id").agg(min("vec_id").as("mm"))
+    val closureMin = edges
+      .join(renamed(minMember, "canon_id" -> "p", "mm" -> "mm_p"), Seq("p"))
+      .groupBy(col("c"), col("cluster"))
+      .agg(min(col("mm_p")).as("s0"))
+    members
+      .join(renamed(closureMin, "c" -> "canon_id", "cluster" -> "cluster",
+        "s0" -> "s0"), Seq("canon_id"))
+      .select(col("vec_id"), col("cluster"),
+        when(col("vec_id") =!= col("s0"), col("s0")).as("keeper_id"),
+        (col("vec_id") === col("s0")).as("kept"))
+      .orderBy("vec_id")
   }
 }

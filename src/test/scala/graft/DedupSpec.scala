@@ -223,6 +223,24 @@ class DedupSpec extends SparkSpec {
     // the clone corpus must actually exercise expansion: intra-group
     // pairs (cosine 1.0 between clones) must be present
     assert(blocked.count(_.contains("1.0")) >= 3)
+
+    // 4. keeper verdicts equal the pair-table reduction on the SAME
+    // clone corpus (keeper(v) = min keep over pairs (keep, v)): the
+    // canonical closure-min spelling must never drift from the member
+    // pairs it summarizes
+    val keepers = Dedup.semanticDedupKeepers(spark, dir)
+      .select("vec_id", "keeper_id", "kept").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))
+    val fromPairs = Dedup.semanticDedupPairs(spark, dir)
+      .groupBy("dup_id").agg(min("keep_id").as("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.length === emb.count(), "one verdict per vector")
+    keepers.foreach { case (v, keeper, kept) =>
+      assert(keeper === fromPairs.get(v), s"vec $v keeper")
+      assert(kept === fromPairs.get(v).isEmpty, s"vec $v kept flag")
+    }
+    // clones guarantee both outcomes occur
+    assert(keepers.exists(_._3) && keepers.exists(!_._3))
   }
 
   test("materialized pair table round-trips the direct pair computation") {
