@@ -1316,6 +1316,42 @@ object TextAnalysis {
     * k scans total, the canonical distributed-BPE shape. */
   def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
     import spark.implicits._
+    val (rows, _) = bpeTrainLoop(spark, sfDir, rounds)
+    rows.toDF("round", "w1", "w2", "n_pair", "n_merges", "n_tokens_after")
+      .orderBy("round")
+  }
+
+  /** BPE ENCODE — the consumer half of [[bpeTrain]]: train the k-round
+    * merge list, then emit the ENCODED corpus — per document, the
+    * original/merged symbol counts plus the encoded symbol string
+    * (separators rendered as spaces, merge points as `_`, so
+    * `the_quick brown` is one merged symbol followed by a plain one).
+    * Training already applies each round's merge to every document as
+    * it learns, so the final rewritten state IS the greedy encode of
+    * the training corpus under the learned merges in learned order —
+    * the equivalence real BPE encoders rely on. n_tokens falls out of
+    * the length-preserving representation (sep + glue chars = original
+    * ws-token count), so encode adds NO extra corpus pass beyond the
+    * trainer's k scans; the projection is row-local character
+    * counting. */
+  def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    val (_, fin) = bpeTrainLoop(spark, sfDir, rounds)
+    val sep = "\u0002"; val glue = "\u0001"
+    val sepCnt = length(col("s")) - length(translate(col("s"), sep, ""))
+    val glueCnt = length(col("s")) - length(translate(col("s"), glue, ""))
+    fin.select(col("doc_id"),
+        (sepCnt + glueCnt).cast("long").as("n_tokens"),
+        glueCnt.cast("long").as("n_merges"),
+        sepCnt.cast("long").as("n_tokens_after"),
+        ltrim(translate(col("s"), sep + glue, " _")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared k-round trainer loop: per-round winner stats plus the
+    * final rewritten corpus state (doc_id, s) — [[bpeTrain]] reports
+    * the former, [[bpeEncode]] projects the latter. */
+  private def bpeTrainLoop(spark: SparkSession, sfDir: String, rounds: Int)
+      : (List[(Int, String, String, Long, Long, Long)], DataFrame) = {
     val sep = "\u0002"; val glue = "\u0001"
     var cur = Tables.documents(spark, sfDir)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -1364,8 +1400,7 @@ object TextAnalysis {
         case ((r, w1, w2, nPair, glued, symbols), prevGlued) =>
           (r, w1, w2, nPair, glued - prevGlued, symbols)
       }
-    rows.toDF("round", "w1", "w2", "n_pair", "n_merges", "n_tokens_after")
-      .orderBy("round")
+    (rows, cur)
   }
 
   /** Document-frequency spectrum: how many vocabulary tokens appear in

@@ -584,6 +584,34 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  test("bpe encode: final corpus state is the greedy encode under the learned merges") {
+    // same fixture as the trainer spec; hand-replay of the 5 learned
+    // merges gives the expected per-doc encoded state
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-enc-test-").toString
+    Seq((1L, "x y x y x y"), (2L, "x y z"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = TextAnalysis.bpeEncode(spark, dir, rounds = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      val expected = Seq(
+        // doc1: r1 x+y ×3, r3 (x_y)+(x_y), r5 collapses to one symbol
+        (1L, 6L, 5L, 1L, "x_y_x_y_x_y"),
+        // doc2: r1 x+y, r4 (x_y)+z
+        (2L, 3L, 2L, 1L, "x_y_z"),
+        // doc3: r2 z+z twice (run of 4 → 2 merges, 2 symbols survive)
+        (3L, 4L, 2L, 2L, "z_z z_z"))
+      assert(rows.toSeq === expected)
+      // structural invariant: every merge removes exactly one symbol
+      rows.foreach { case (id, n, m, after, _) =>
+        assert(n === m + after, s"doc $id token conservation")
+      }
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
     val docs = Seq(
       (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
