@@ -588,7 +588,7 @@ class TextAnalysisSpec extends SparkSpec {
     // same fixture as the trainer spec; hand-replay of the 5 learned
     // merges gives the expected per-doc encoded state
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-enc-test-").toString
-    Seq((1L, "x y x y x y"), (2L, "x y z"), (3L, "z z z z"))
+    Seq((1L, "x y x y x y"), (2L, "x y z"), (3L, "z z z z"), (4L, ""))
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))
@@ -603,7 +603,9 @@ class TextAnalysisSpec extends SparkSpec {
         // doc2: r1 x+y, r4 (x_y)+z
         (2L, 3L, 2L, 1L, "x_y_z"),
         // doc3: r2 z+z twice (run of 4 → 2 merges, 2 symbols survive)
-        (3L, 4L, 2L, 2L, "z_z z_z"))
+        (3L, 4L, 2L, 2L, "z_z z_z"),
+        // doc4: empty text → empty state end to end
+        (4L, 0L, 0L, 0L, ""))
       assert(rows.toSeq === expected)
       // structural invariant: every merge removes exactly one symbol
       rows.foreach { case (id, n, m, after, _) =>
