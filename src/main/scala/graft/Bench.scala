@@ -89,9 +89,18 @@ object Bench {
       finally {
         // shutdown alone leaves still-running tasks alive to overlap —
         // and contaminate — the serial drains / timed phase below; wait
-        // them out (a failed get() lands here with tasks in flight)
+        // them out (a failed get() lands here with tasks in flight).
+        // A straggler past the wait must be killed and FLAGGED, not
+        // silently left to write artifacts under a drain's pinned low
+        // shuffle-partition value
         pool.shutdown()
-        pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES): Unit
+        val drained = pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!drained) {
+          System.err.println("[bench] warm pool did not drain in 30 min; " +
+            "cancelling stragglers before the timed phase")
+          pool.shutdownNow()
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES): Unit
+        }
       }
       drains.foreach { case (name, fn) => timeOnce(name, fn): Unit }
     }
@@ -123,8 +132,10 @@ object Bench {
     // pass/rep counts are env-tunable for the scale sweeps (a 25×
     // stress pass sets 1×1 — there the question is "does it run and
     // how does it scale", not microsecond-stable minima)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // clamped: 0 would run the whole warm phase then die on an empty
+    // pass list (head / empty .min) without emitting the result line
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val passResults: Seq[Seq[(String, Double)]] =
       (1 to passes).map { _ =>
         selected.map { case (name, fn) =>

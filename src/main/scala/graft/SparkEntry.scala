@@ -321,77 +321,50 @@ object SparkEntry {
   /** Shared DuckDB replay of the 5-round BPE trainer (CTEs w,
     * s0..s5, t1..t5, r1..r5): text_bpe_train reads the per-round
     * stats, text_bpe_apply the final encoded corpus state s5. */
-  private val bpeReplayCtes: String =
-    """WITH w AS (SELECT doc_id,
-      |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
-      |           FROM documents),
-      |s0 AS (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
-      |                      ELSE chr(2) || array_to_string(words, chr(2)) END AS s FROM w),
-      |p1 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
-      |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
-      |                       for i in range(1, len(syms))]) AS p
-      |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s0))
-      |  GROUP BY 1, 2),
-      |t1 AS (SELECT w1, w2, n_pair FROM p1 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
-      |s1 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
-      |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
-      |        FROM s0 CROSS JOIN t1 t),
-      |r1 AS (SELECT 1 AS round, t.w1, t.w2, t.n_pair,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s1) AS glued,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s1) AS n_tokens_after
-      |       FROM t1 t),
-      |p2 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
-      |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
-      |                       for i in range(1, len(syms))]) AS p
-      |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s1))
-      |  GROUP BY 1, 2),
-      |t2 AS (SELECT w1, w2, n_pair FROM p2 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
-      |s2 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
-      |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
-      |        FROM s1 CROSS JOIN t2 t),
-      |r2 AS (SELECT 2 AS round, t.w1, t.w2, t.n_pair,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s2) AS glued,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s2) AS n_tokens_after
-      |       FROM t2 t),
-      |p3 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
-      |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
-      |                       for i in range(1, len(syms))]) AS p
-      |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s2))
-      |  GROUP BY 1, 2),
-      |t3 AS (SELECT w1, w2, n_pair FROM p3 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
-      |s3 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
-      |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
-      |        FROM s2 CROSS JOIN t3 t),
-      |r3 AS (SELECT 3 AS round, t.w1, t.w2, t.n_pair,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s3) AS glued,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s3) AS n_tokens_after
-      |       FROM t3 t),
-      |p4 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
-      |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
-      |                       for i in range(1, len(syms))]) AS p
-      |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s3))
-      |  GROUP BY 1, 2),
-      |t4 AS (SELECT w1, w2, n_pair FROM p4 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
-      |s4 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
-      |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
-      |        FROM s3 CROSS JOIN t4 t),
-      |r4 AS (SELECT 4 AS round, t.w1, t.w2, t.n_pair,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s4) AS glued,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s4) AS n_tokens_after
-      |       FROM t4 t),
-      |p5 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
-      |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
-      |                       for i in range(1, len(syms))]) AS p
-      |        FROM (SELECT string_split(s, chr(2))[2:] AS syms FROM s4))
-      |  GROUP BY 1, 2),
-      |t5 AS (SELECT w1, w2, n_pair FROM p5 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
-      |s5 AS (SELECT doc_id, replace(s, chr(2) || t.w1 || chr(2) || t.w2,
-      |                               chr(2) || t.w1 || chr(1) || t.w2) AS s
-      |        FROM s4 CROSS JOIN t5 t),
-      |r5 AS (SELECT 5 AS round, t.w1, t.w2, t.n_pair,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s5) AS glued,
-      |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) FROM s5) AS n_tokens_after
-      |       FROM t5 t)""".stripMargin
+  private val bpeReplayCtes: String = {
+    // fully-delimited state (chr(2)||sym||chr(2) per symbol, so inner
+    // boundaries are DOUBLE chr(2)) — mirrors bpeTrainLoop exactly,
+    // including the left-to-right non-overlapping replace() semantics.
+    // Each round guards the exhausted case: an empty t_k replays the
+    // identity instead of CROSS JOINing the state away to zero rows
+    // (the Spark loop stops via its `done` flag and keeps the last
+    // state; the scalar-subquery CASE is the SQL spelling of that).
+    val head =
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents),
+        |s0 AS MATERIALIZED (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
+        |         ELSE chr(2) || array_to_string(words, chr(2) || chr(2)) || chr(2) END AS s
+        |       FROM w)""".stripMargin
+    // g$k always holds exactly one row (the winner, or a NULL sentinel
+    // when pairs are exhausted), so the state chain stays a cheap
+    // 1-row CROSS JOIN — scalar-subquery spellings of the guard made
+    // DuckDB re-evaluate the whole upstream chain per reference.
+    // States are MATERIALIZED: each is read by p(k+1), s(k+1) and r$k.
+    val rounds = (1 to 5).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+         |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+         |                       for i in range(1, len(syms))]) AS p
+         |        FROM (SELECT list_filter(string_split(s, chr(2)), x -> x != '') AS syms FROM $prev))
+         |  GROUP BY 1, 2),
+         |t$k AS (SELECT w1, w2, n_pair FROM p$k ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+         |g$k AS (SELECT w1, w2 FROM t$k
+         |        UNION ALL
+         |        SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |        WHERE NOT EXISTS (SELECT 1 FROM t$k)),
+         |s$k AS MATERIALIZED (SELECT doc_id, CASE WHEN g.w1 IS NULL THEN s
+         |          ELSE replace(s,
+         |            chr(2) || g.w1 || chr(2) || chr(2) || g.w2 || chr(2),
+         |            chr(2) || g.w1 || chr(1) || g.w2 || chr(2)) END AS s
+         |        FROM $prev CROSS JOIN g$k g),
+         |r$k AS (SELECT $k AS round, t.w1, t.w2, t.n_pair,
+         |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s$k) AS glued,
+         |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) FROM s$k) AS n_tokens_after
+         |       FROM t$k t)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "wordcount_topk" ->
@@ -1337,17 +1310,18 @@ object SparkEntry {
         |ORDER BY round""".stripMargin),
     // bpeEncode(rounds=5): the SAME 5-round replay as text_bpe_train
     // (identical s0..s5 chain), but the final projection reads the
-    // ENCODED corpus state s5 per document — counts off the
-    // length-preserving chr(1)/chr(2) representation, encoded string
-    // via character translation (chr(2) -> space, chr(1) -> '_')
+    // ENCODED corpus state s5 per document — counts off the delimited
+    // chr(1)/chr(2) representation (2 seps per symbol, 1 glue per
+    // merge), encoded string by re-joining the symbols with spaces
     "text_bpe_apply" -> (bpeReplayCtes +
       """
         |SELECT doc_id,
         |  CAST((length(s) - length(replace(s, chr(1), '')))
-        |     + (length(s) - length(replace(s, chr(2), ''))) AS BIGINT) AS n_tokens,
+        |     + (length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens,
         |  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_merges,
-        |  CAST(length(s) - length(replace(s, chr(2), '')) AS BIGINT) AS n_tokens_after,
-        |  ltrim(replace(replace(s, chr(2), ' '), chr(1), '_'), ' ') AS encoded
+        |  CAST((length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens_after,
+        |  replace(array_to_string(list_filter(string_split(s, chr(2)), x -> x != ''), ' '),
+        |          chr(1), '_') AS encoded
         |FROM s5
         |ORDER BY doc_id""".stripMargin),
     // docFrequencySpectrum: distinct (doc, token) then two bounded aggs

@@ -47,24 +47,31 @@ object VectorOps {
     * Returns (members: vec_id → canon_id, canon: one row per DISTINCT
     * vector keyed by its min vec_id, with e and nrm). The group key is
     * the raw float array itself — exact equality, no hash-collision
-    * exposure — and one aggregation produces both frames (collect_list
-    * is bounded by the duplication degree of a single vector). The
-    * result is checkpointed: both frames and usually both join sides of
-    * a pair relation consume it, and at cluster scale it is the stored
+    * exposure — and ONE window pass produces both frames: tag every row
+    * with min(vec_id) over its vector group, then members is a
+    * projection and canon the rows that ARE their own canon. A
+    * collect_list spelling (one aggregation row holding every member
+    * id) would rebuild the exact hazard this helper removes — a
+    * million-clone vector materializes a million-element array in a
+    * single aggregation buffer — whereas WindowExec buffers each group
+    * through a spillable external sorter, so the duplication degree
+    * never has to fit in one task's memory. The tagged frame is
+    * checkpointed: both frames and usually both join sides of a pair
+    * relation consume it, and at cluster scale it is the stored
     * artifact an exact-dedup stage would have produced anyway. The
     * trade: on a corpus with NO exact duplicates this costs one extra
     * vector shuffle over the map-only direct forms — the duplicate-heavy
     * case is the one that needs the help, and real crawled corpora are
     * duplicate-heavy by construction. */
   def exactVectorGroups(emb: DataFrame): (DataFrame, DataFrame) = {
-    val groups = emb
-      .groupBy(col("e"))
-      .agg(min(col("vec_id")).as("canon_id"),
-        collect_list(col("vec_id")).as("ids"),
-        min(col("nrm")).as("nrm")) // all equal within a group (nrm is a pure function of e)
+    val byVec = org.apache.spark.sql.expressions.Window.partitionBy(col("e"))
+    val tagged = emb
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .withColumn("canon_id", min(col("vec_id")).over(byVec))
       .localCheckpoint()
-    val members = groups.select(explode(col("ids")).as("vec_id"), col("canon_id"))
-    val canon = groups.select(col("canon_id"), col("e"), col("nrm"))
+    val members = tagged.select(col("vec_id"), col("canon_id"))
+    val canon = tagged.filter(col("vec_id") === col("canon_id"))
+      .select(col("canon_id"), col("e"), col("nrm"))
     (members, canon)
   }
 }

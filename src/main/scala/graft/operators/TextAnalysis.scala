@@ -1295,25 +1295,38 @@ object TextAnalysis {
     * (≤ count when occurrences overlap), and the corpus symbol count
     * after.
     *
-    * REPRESENTATION is the whole trick: a document is one string
-    * `\u0002tok1\u0002tok2…` (every symbol carries a LEADING \u0002
-    * separator), so the greedy non-overlapping merge of (w1, w2) is
-    * EXACTLY literal `replace(s, \u0002w1\u0002w2, \u0002w1\u0001w2)`:
-    * builtin string replace scans left-to-right and resumes after each
+    * REPRESENTATION is the whole trick: every symbol is FULLY
+    * delimited — a document is `\u0002tok1\u0002\u0002tok2\u0002…` (each
+    * symbol carries its OWN leading and trailing \u0002, so adjacent
+    * symbols are separated by a DOUBLE \u0002 and no boundary character
+    * is shared between occurrences). The greedy non-overlapping merge
+    * of (w1, w2) is then EXACTLY literal
+    * `replace(s, \u0002w1\u0002\u0002w2\u0002, \u0002w1\u0001w2\u0002)`: builtin
+    * string replace scans left-to-right and resumes after each
     * replacement, which reproduces the trainer's skip-after-merge fold
-    * (a run of r repeated tokens merges ⌊r/2⌋ times); the leading
-    * delimiter makes a mid-token false match impossible; and the
-    * replacement preserves length, so merge and symbol counts fall out
-    * of \u0001/\u0002 character counts. DuckDB's `replace` has the same
-    * scan semantics, so the oracle replays all k rounds mechanically.
-    * The separators are outside the corpus alphabet (ws-tokens of
-    * printable text); production would validate or escape on ingest.
+    * (a run of r repeated tokens merges ⌊r/2⌋ times, leftmost-aligned,
+    * because consecutive occurrences share no characters); the full
+    * delimiting makes a mid-token false match impossible on BOTH sides
+    * (an earlier leading-only spelling could merge w1 with a following
+    * symbol that merely STARTED with w2 — e.g. winner (x, y) also
+    * rewriting inside `x yz`); and each merge rewrites exactly one
+    * \u0002\u0002 into one \u0001, so merge counts fall out of \u0001 chars
+    * and symbol counts out of \u0002 chars / 2. DuckDB's `replace` has
+    * the same scan semantics, so the oracle replays all k rounds
+    * mechanically. The separators are outside the corpus alphabet
+    * (ws-tokens of printable text); production would validate or
+    * escape on ingest.
     *
     * Scale: each round is one wordcount-currency pair aggregation
     * (row-local emission, partial aggs), a 1-row winner fetch, and a
-    * map-only rewrite, checkpointed per round so round r+1 scans the
-    * REWRITTEN corpus once instead of replaying r rewrite layers —
-    * k scans total, the canonical distributed-BPE shape. */
+    * map-only rewrite, persisted per round with the PREVIOUS round's
+    * cache released once the new one materializes — at most two corpus
+    * copies live at any time (a localCheckpoint-per-round spelling
+    * pinned rounds+1 copies for the query's lifetime). Lineage depth
+    * grows one map-only replace per round (bounded by `rounds`), so a
+    * lost cached block recomputes from parquet instead of being fatal
+    * the way a severed checkpoint chain is; only the FINAL state is
+    * checkpointed, making the returned frame self-contained. */
   def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
     import spark.implicits._
     val (rows, _) = bpeTrainLoop(spark, sfDir, rounds)
@@ -1330,20 +1343,24 @@ object TextAnalysis {
     * it learns, so the final rewritten state IS the greedy encode of
     * the training corpus under the learned merges in learned order —
     * the equivalence real BPE encoders rely on. n_tokens falls out of
-    * the length-preserving representation (sep + glue chars = original
-    * ws-token count), so encode adds NO extra corpus pass beyond the
-    * trainer's k scans; the projection is row-local character
-    * counting. */
+    * the delimited representation (sep chars / 2 + glue chars =
+    * original ws-token count), so encode adds NO extra corpus pass
+    * beyond the trainer's k scans; the projection is row-local
+    * character counting plus a row-local re-join of the symbols. */
   def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
     val (_, fin) = bpeTrainLoop(spark, sfDir, rounds)
     val sep = "\u0002"; val glue = "\u0001"
+    // fully-delimited state: 2 seps per symbol, 1 glue per merge
     val sepCnt = length(col("s")) - length(translate(col("s"), sep, ""))
     val glueCnt = length(col("s")) - length(translate(col("s"), glue, ""))
+    val after = (sepCnt / 2).cast("long")
     fin.select(col("doc_id"),
-        (sepCnt + glueCnt).cast("long").as("n_tokens"),
+        (after + glueCnt.cast("long")).as("n_tokens"),
         glueCnt.cast("long").as("n_merges"),
-        sepCnt.cast("long").as("n_tokens_after"),
-        ltrim(translate(col("s"), sep + glue, " _")).as("encoded"))
+        after.as("n_tokens_after"),
+        translate(array_join(
+          filter(split(col("s"), sep), x => x =!= lit("")), " "),
+          glue, "_").as("encoded"))
       .orderBy("doc_id")
   }
 
@@ -1353,17 +1370,21 @@ object TextAnalysis {
   private def bpeTrainLoop(spark: SparkSession, sfDir: String, rounds: Int)
       : (List[(Int, String, String, Long, Long, Long)], DataFrame) = {
     val sep = "\u0002"; val glue = "\u0001"
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = Tables.documents(spark, sfDir)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), when(size(col("toks")) === 0, lit(""))
-        .otherwise(concat(lit(sep), concat_ws(sep, col("toks")))).as("s"))
-      .localCheckpoint()
+        .otherwise(concat(lit(sep), concat_ws(sep + sep, col("toks")),
+          lit(sep))).as("s"))
+      .persist(level)
     val perRound = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long, Long, Long)]
     var done = false
     for (r <- 1 to rounds if !done) {
-      val split0 = split(col("s"), sep) // leading sep => element 1 is ""
+      // fully-delimited symbols: splitting on a SINGLE sep yields
+      // boundary empties ("", t1, "", t2, …, ""); the symbols are the
+      // non-empties (ws-tokens and glued merges are never empty)
       val top = cur
-        .select(slice(split0, lit(2), size(split0) - 1).as("syms"))
+        .select(filter(split(col("s"), sep), x => x =!= lit("")).as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(syms) - 1),
@@ -1380,16 +1401,17 @@ object TextAnalysis {
         // however regex-hostile the winning tokens are
         val rewritten = cur
           .select(col("doc_id"), replace(col("s"),
-            concat(lit(sep), lit(w1), lit(sep), lit(w2)),
-            concat(lit(sep), lit(w1), lit(glue), lit(w2))).as("s"))
-          .localCheckpoint()
+            concat(lit(sep), lit(w1), lit(sep + sep), lit(w2), lit(sep)),
+            concat(lit(sep), lit(w1), lit(glue), lit(w2), lit(sep))).as("s"))
+          .persist(level)
         val stats = rewritten.agg(
           sum(length(col("s")) - length(translate(col("s"), glue, ""))).as("glued"),
-          sum(length(col("s")) - length(translate(col("s"), sep, ""))).as("symbols"))
-          .head()
+          sum(length(col("s")) - length(translate(col("s"), sep, ""))).as("seps"))
+          .head() // materializes rewritten's cache before prev is dropped
         val glued = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-        val symbols = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        val symbols = (if (stats.isNullAt(1)) 0L else stats.getLong(1)) / 2
         perRound += ((r, w1, w2, nPair, glued, symbols))
+        cur.unpersist(blocking = false)
         cur = rewritten
       }
     }
@@ -1400,7 +1422,13 @@ object TextAnalysis {
         case ((r, w1, w2, nPair, glued, symbols), prevGlued) =>
           (r, w1, w2, nPair, glued - prevGlued, symbols)
       }
-    (rows, cur)
+    // the final state is the only frame that outlives this call: hand
+    // back a self-contained checkpoint (ContextCleaner-managed) and
+    // release the loop's cache so repeated trains don't accumulate
+    // corpus copies in the cache manager
+    val fin = cur.localCheckpoint()
+    cur.unpersist(blocking = false)
+    (rows, fin)
   }
 
   /** Document-frequency spectrum: how many vocabulary tokens appear in

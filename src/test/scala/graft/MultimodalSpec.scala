@@ -225,9 +225,13 @@ class MultimodalSpec extends SparkSpec {
       "overhead = container - payload")
     assert(audit(0).getLong(5) === 2L, "magic valid on both")
     // dedup: byte-identical 17 MB payloads group (md5 over the blob)
+    // the production payload slice (Multimodal.blobDedup): 1-based
+    // offset HeaderLen + 1 — a wrong offset here would feed a shifted
+    // window (header remnants + trailer bytes) and silently stop
+    // verifying the real extraction
     val payloadCol = blobs2.select($"doc_id", $"modality",
       org.apache.spark.sql.functions.expr(
-        s"substring(blob, 43, $plen)").as("blob"))
+        s"substring(blob, ${Multimodal.HeaderLen + 1}, $plen)").as("blob"))
     val groups = Multimodal.blobDedupOf(payloadCol).collect()
     assert(groups.length === 1)
     assert((groups(0).getLong(1), groups(0).getLong(2)) === ((1L, 2L)))

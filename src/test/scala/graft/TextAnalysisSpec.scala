@@ -614,6 +614,34 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  test("bpe trainer: symbols that merely extend the winning pair are not merged") {
+    // regression for the leading-only-delimiter representation, where
+    // replace(s, sep+w1+sep+w2, …) also rewrote inside a following
+    // symbol that STARTED with w2 (`x yz` under winner (x, y)) — a
+    // merge that was never counted or learned. The fully-delimited
+    // representation asserts both symbol boundaries. The w1 side
+    // (`wx y`) is covered too.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-bound-").toString
+    Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x yz"), (5L, "wx y"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val train = TextAnalysis.bpeTrain(spark, dir, rounds = 1).collect()
+      assert(train.length === 1)
+      val r = train(0)
+      assert((r.getString(1), r.getString(2)) === (("x", "y")))
+      assert(r.getLong(3) === 3L, "pair count: exact (x, y) pairs only")
+      assert(r.getLong(4) === 3L, "merges applied must equal the exact-pair count")
+      val enc = TextAnalysis.bpeEncode(spark, dir, rounds = 1).collect()
+        .map(x => x.getLong(0) -> x.getString(4)).toMap
+      assert(enc(1L) === "x_y")
+      assert(enc(4L) === "x yz", "w2-prefix symbol must stay unmerged")
+      assert(enc(5L) === "wx y", "w1-suffix symbol must stay unmerged")
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
     val docs = Seq(
       (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
