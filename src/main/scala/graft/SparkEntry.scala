@@ -328,7 +328,7 @@ object SparkEntry {
     // Each round guards the exhausted case: an empty t_k replays the
     // identity instead of CROSS JOINing the state away to zero rows
     // (the Spark loop stops via its `done` flag and keeps the last
-    // state; the scalar-subquery CASE is the SQL spelling of that).
+    // state; the one-row sentinel join below is the SQL spelling).
     val head =
       """WITH w AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
