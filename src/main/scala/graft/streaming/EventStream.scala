@@ -235,27 +235,54 @@ object EventStream {
 
   private def runToCompletion(spark: SparkSession, out: DataFrame,
       prefix: String, mode: OutputMode = OutputMode.Complete(),
-      partitions: Int = 4, stateProvider: Option[String] = None): DataFrame = {
+      partitions: Int = 4, stateProvider: Option[String] = None,
+      rowScaled: Boolean = false): DataFrame = {
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
     // Pin the drain's state partitioning and (for large sources) its
     // state-store provider — both snapshotted by the query at start()
     // — and restore the session values after: see [[drainPartitions]] /
-    // [[drainStateProvider]] for the measured sizing rationales. The
-    // memory sink is safe by contract: every registered drain's OUTPUT
-    // is aggregate- or distinct-key-sized; a drain whose output scales
-    // with raw input belongs on [[startFileSink]], the production
-    // wiring.
+    // [[drainStateProvider]] for the measured sizing rationales.
+    //
+    // SINK CHOICE is a scale contract: the memory sink materializes
+    // every output row in the DRIVER heap as a local relation, and a
+    // local relation re-parallelizes by EMBEDDING its rows in task
+    // binaries — fine for aggregate-sized output (windows, type×band
+    // cells), an OOM class for row-scaled output. The 100× sweep
+    // measured it: stream_sessionize's ~5 M session rows serialized as
+    // ~19 MB tasks and killed an 8 GB heap that the same drain survives
+    // distributively. Row-scaled drains (rowScaled = true: sessions,
+    // join matches, distinct keys, per-doc verdicts) therefore drain
+    // through foreachBatch into a parquet spool and are read back
+    // distributed — the finite-drain analog of [[startFileSink]], the
+    // production wiring; output never lands on the driver.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProv = spark.conf.getOption(ProviderConf)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     stateProvider.foreach(spark.conf.set(ProviderConf, _))
+    val spool =
+      if (rowScaled)
+        Some(java.nio.file.Files.createTempDirectory(s"graft-drain-$name-").toString)
+      else None
     try {
-      val q = out.writeStream
-        .format("memory")
+      val base = out.writeStream
         .queryName(name)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = spool match {
+        case Some(dir) =>
+          // Complete mode re-emits the full table per batch → overwrite;
+          // Append emits each row exactly once → append. (No registered
+          // drain uses Update, whose key-replacement semantics a blind
+          // append would corrupt.)
+          require(mode != OutputMode.Update(),
+            "row-scaled spool drain supports Complete/Append only")
+          val saveMode =
+            if (mode == OutputMode.Complete()) "overwrite" else "append"
+          base.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode(saveMode).parquet(dir)
+          }.start()
+        case None => base.format("memory").start()
+      }
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -264,7 +291,13 @@ object EventStream {
         case None => spark.conf.unset(ProviderConf)
       }
     }
-    spark.table(name)
+    spool match {
+      // explicit schema: an empty drain leaves no files and inference
+      // would fail; with the plan's schema an empty dir reads as an
+      // empty frame, matching the memory sink's behavior
+      case Some(dir) => spark.read.schema(out.schema).parquet(dir)
+      case None => spark.table(name)
+    }
   }
 
   /** Driver-contract entry for the streaming path: run the events
@@ -327,7 +360,8 @@ object EventStream {
     runToCompletion(spark, sessionAgg(corpusEventsSource(spark, sfDir)),
       "graft_stream_sessionize",
       partitions = drainPartitions(sfDir),
-      stateProvider = drainStateProvider(sfDir))
+      stateProvider = drainStateProvider(sfDir),
+      rowScaled = true) // one row per (user, session): grows with input
       .orderBy("user_id", "session_start")
 
   /** Third driver-contract streaming entry: the stream-stream inner
@@ -350,7 +384,8 @@ object EventStream {
     val rounded = joined.withColumn("purchase_value", rd(col("purchase_value"), 4))
     runToCompletion(spark, rounded, "graft_stream_attribution", OutputMode.Append(),
       partitions = drainPartitions(sfDir),
-      stateProvider = drainStateProvider(sfDir))
+      stateProvider = drainStateProvider(sfDir),
+      rowScaled = true) // one row per click→purchase match: grows with input
       .orderBy("click_id", "purchase_id")
   }
 
@@ -372,7 +407,8 @@ object EventStream {
       .dropDuplicates("user_id", "event_type", "hour_start")
     runToCompletion(spark, keys, "graft_stream_dedup", OutputMode.Append(),
       partitions = drainPartitions(sfDir),
-      stateProvider = drainStateProvider(sfDir))
+      stateProvider = drainStateProvider(sfDir),
+      rowScaled = true) // one row per distinct key: ~5 M at 100×
       .orderBy("user_id", "event_type", "hour_start")
   }
 
@@ -438,7 +474,8 @@ object EventStream {
     runToCompletion(spark, verdicts, "graft_stream_doc_dedup",
       OutputMode.Append(),
       partitions = drainPartitions(sfDir, "documents.parquet"),
-      stateProvider = drainStateProvider(sfDir, "documents.parquet"))
+      stateProvider = drainStateProvider(sfDir, "documents.parquet"),
+      rowScaled = true) // one verdict per arriving doc: grows with input
       .orderBy("doc_id")
   }
 
