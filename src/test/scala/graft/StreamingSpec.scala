@@ -704,4 +704,21 @@ class StreamingSpec extends SparkSpec {
     val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
     assert(streamed.size.toLong === nOdd)
   }
+
+  test("row-scaled spool drain: an empty drain reads back as an empty frame with the plan schema") {
+    // the parquet spool only has files if a batch emitted rows; the
+    // read-back uses the plan's explicit schema so a drain with zero
+    // output (here: no odd doc_ids arrive) yields an empty frame
+    // instead of a schema-inference failure on an empty directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-drain-").toString
+    Seq((2L, "alpha beta"), (4L, "gamma delta")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = EventStream.docDedupViaStream(spark, dir)
+      assert(out.columns.toSeq === Seq("doc_id", "fingerprint", "dup_of", "is_new"))
+      assert(out.count() === 0L)
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
 }
