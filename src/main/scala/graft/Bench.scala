@@ -83,21 +83,31 @@ object Bench {
     if (warmPar <= 1) selected.foreach { case (name, fn) => timeOnce(name, fn): Unit }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmPar)
+      // job group per warm task: cancellation must reach the SPARK JOBS,
+      // not just the pool threads — interrupting a submitter detaches
+      // the waiter while the already-submitted job keeps stealing
+      // executor cores through the drains/timed phase
+      val warmGroup = "graft-warm"
       try pooled.map { case (name, fn) =>
-        pool.submit(new Runnable { def run(): Unit = { timeOnce(name, fn): Unit } })
+        pool.submit(new Runnable { def run(): Unit = {
+          spark.sparkContext.setJobGroup(warmGroup, name, interruptOnCancel = true)
+          try timeOnce(name, fn): Unit
+          finally spark.sparkContext.clearJobGroup()
+        } })
       }.foreach(_.get())
       finally {
         // shutdown alone leaves still-running tasks alive to overlap —
         // and contaminate — the serial drains / timed phase below; wait
         // them out (a failed get() lands here with tasks in flight).
-        // A straggler past the wait must be killed and FLAGGED, not
-        // silently left to write artifacts under a drain's pinned low
-        // shuffle-partition value
+        // A straggler past the wait is killed at the job level and
+        // FLAGGED, not silently left to write artifacts under a
+        // drain's pinned low shuffle-partition value
         pool.shutdown()
         val drained = pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
         if (!drained) {
           System.err.println("[bench] warm pool did not drain in 30 min; " +
-            "cancelling stragglers before the timed phase")
+            "cancelling straggler jobs before the timed phase")
+          spark.sparkContext.cancelJobGroup(warmGroup)
           pool.shutdownNow()
           pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES): Unit
         }

@@ -1329,7 +1329,10 @@ object TextAnalysis {
     * checkpointed, making the returned frame self-contained. */
   def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
     import spark.implicits._
-    val (rows, _) = bpeTrainLoop(spark, sfDir, rounds)
+    // keepFinal = false: the per-round stats are already collected, so
+    // checkpointing the final corpus state would pay a full scan + a
+    // block-manager corpus copy for a frame this caller never reads
+    val (rows, _) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = false)
     rows.toDF("round", "w1", "w2", "n_pair", "n_merges", "n_tokens_after")
       .orderBy("round")
   }
@@ -1348,7 +1351,8 @@ object TextAnalysis {
     * beyond the trainer's k scans; the projection is row-local
     * character counting plus a row-local re-join of the symbols. */
   def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
-    val (_, fin) = bpeTrainLoop(spark, sfDir, rounds)
+    val (_, finOpt) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = true)
+    val fin = finOpt.get
     val sep = "\u0002"; val glue = "\u0001"
     // fully-delimited state: 2 seps per symbol, 1 glue per merge
     val sepCnt = length(col("s")) - length(translate(col("s"), sep, ""))
@@ -1367,8 +1371,9 @@ object TextAnalysis {
   /** Shared k-round trainer loop: per-round winner stats plus the
     * final rewritten corpus state (doc_id, s) — [[bpeTrain]] reports
     * the former, [[bpeEncode]] projects the latter. */
-  private def bpeTrainLoop(spark: SparkSession, sfDir: String, rounds: Int)
-      : (List[(Int, String, String, Long, Long, Long)], DataFrame) = {
+  private def bpeTrainLoop(spark: SparkSession, sfDir: String, rounds: Int,
+      keepFinal: Boolean)
+      : (List[(Int, String, String, Long, Long, Long)], Option[DataFrame]) = {
     val sep = "\u0002"; val glue = "\u0001"
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = Tables.documents(spark, sfDir)
@@ -1422,11 +1427,12 @@ object TextAnalysis {
         case ((r, w1, w2, nPair, glued, symbols), prevGlued) =>
           (r, w1, w2, nPair, glued - prevGlued, symbols)
       }
-    // the final state is the only frame that outlives this call: hand
-    // back a self-contained checkpoint (ContextCleaner-managed) and
-    // release the loop's cache so repeated trains don't accumulate
-    // corpus copies in the cache manager
-    val fin = cur.localCheckpoint()
+    // only bpeEncode consumes the final state: hand IT back as a
+    // self-contained checkpoint (ContextCleaner-managed) and release
+    // the loop's cache so repeated trains don't accumulate corpus
+    // copies in the cache manager; the stats-only caller skips the
+    // checkpoint scan entirely
+    val fin = if (keepFinal) Some(cur.localCheckpoint()) else None
     cur.unpersist(blocking = false)
     (rows, fin)
   }

@@ -259,10 +259,22 @@ object EventStream {
     val prevProv = spark.conf.getOption(ProviderConf)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     stateProvider.foreach(spark.conf.set(ProviderConf, _))
+    // Complete mode re-emits the full table per batch → overwrite;
+    // Append emits each row exactly once → append. (No registered
+    // drain uses Update, whose key-replacement semantics a blind
+    // append would corrupt.) Guard BEFORE creating the spool dir.
+    if (rowScaled) require(mode != OutputMode.Update(),
+      "row-scaled spool drain supports Complete/Append only")
     val spool =
-      if (rowScaled)
-        Some(java.nio.file.Files.createTempDirectory(s"graft-drain-$name-").toString)
-      else None
+      if (rowScaled) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-drain-$name-")
+        // the returned frame reads the spool lazily, so the dir must
+        // outlive this call — reclaim it at JVM exit instead of leaking
+        // row-scaled output (GBs at 100×) into /tmp across runs
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.sources.ArtifactCache.deleteRecursively(dir.toFile)))
+        Some(dir.toString)
+      } else None
     try {
       val base = out.writeStream
         .queryName(name)
@@ -270,12 +282,6 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       val q = spool match {
         case Some(dir) =>
-          // Complete mode re-emits the full table per batch → overwrite;
-          // Append emits each row exactly once → append. (No registered
-          // drain uses Update, whose key-replacement semantics a blind
-          // append would corrupt.)
-          require(mode != OutputMode.Update(),
-            "row-scaled spool drain supports Complete/Append only")
           val saveMode =
             if (mode == OutputMode.Complete()) "overwrite" else "append"
           base.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
