@@ -91,6 +91,7 @@ object SparkEntry {
     "corpus_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
     "text_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_encode_holdout" -> ((s, d) => TextAnalysis.bpeEncodeHoldout(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
@@ -321,7 +322,14 @@ object SparkEntry {
   /** Shared DuckDB replay of the 5-round BPE trainer (CTEs w,
     * s0..s5, t1..t5, r1..r5): text_bpe_train reads the per-round
     * stats, text_bpe_apply the final encoded corpus state s5. */
-  private val bpeReplayCtes: String = {
+  private val bpeReplayCtes: String = bpeReplayCtesOver("")
+
+  /** The 5-round trainer replay with the training corpus restricted by
+    * `wWhere` (empty = all documents) — shared by the full-corpus
+    * trainer/encoder oracles and the hold-out encoder's train chain.
+    * The predicate is spliced via a placeholder so the SQL template
+    * stays a plain (escape-free) triple-quoted string. */
+  private def bpeReplayCtesOver(wWhere: String): String = {
     // fully-delimited state (chr(2)||sym||chr(2) per symbol, so inner
     // boundaries are DOUBLE chr(2)) — mirrors bpeTrainLoop exactly,
     // including the left-to-right non-overlapping replace() semantics.
@@ -332,10 +340,10 @@ object SparkEntry {
     val head =
       """WITH w AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
-        |           FROM documents),
+        |           FROM documents __WWHERE__),
         |s0 AS MATERIALIZED (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
         |         ELSE chr(2) || array_to_string(words, chr(2) || chr(2)) || chr(2) END AS s
-        |       FROM w)""".stripMargin
+        |       FROM w)""".stripMargin.replace("__WWHERE__", wWhere)
     // g$k always holds exactly one row (the winner, or a NULL sentinel
     // when pairs are exhausted), so the state chain stays a cheap
     // 1-row CROSS JOIN — scalar-subquery spellings of the guard made
@@ -364,6 +372,27 @@ object SparkEntry {
          |       FROM t$k t)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** Hold-out encoder replay: train t1..t5/g1..g5 on the EVEN split,
+    * then h0..h5 apply the learned merges (same sentinel guards) to the
+    * odd documents — the SQL mirror of TextAnalysis.bpeEncodeHoldout. */
+  private val bpeHoldoutCtes: String = {
+    val train = bpeReplayCtesOver("WHERE doc_id % 2 = 0")
+    val h0 =
+      """h0 AS (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
+        |         ELSE chr(2) || array_to_string(words, chr(2) || chr(2)) || chr(2) END AS s
+        |       FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents WHERE doc_id % 2 = 1))""".stripMargin
+    val hs = (1 to 5).map { k =>
+      s"""h$k AS (SELECT doc_id, CASE WHEN g.w1 IS NULL THEN s
+         |          ELSE replace(s,
+         |            chr(2) || g.w1 || chr(2) || chr(2) || g.w2 || chr(2),
+         |            chr(2) || g.w1 || chr(1) || g.w2 || chr(2)) END AS s
+         |        FROM h${k - 1} CROSS JOIN g$k g)""".stripMargin
+    }
+    (train +: h0 +: hs).mkString(",\n")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1323,6 +1352,20 @@ object SparkEntry {
         |  replace(array_to_string(list_filter(string_split(s, chr(2)), x -> x != ''), ' '),
         |          chr(1), '_') AS encoded
         |FROM s5
+        |ORDER BY doc_id""".stripMargin),
+    // bpeEncodeHoldout(rounds=5): train t/g on even doc_ids, replay the
+    // learned merges over the odd split (h0..h5), project per doc —
+    // the train/apply separation a tokenizer team operates
+    "text_bpe_encode_holdout" -> (bpeHoldoutCtes +
+      """
+        |SELECT doc_id,
+        |  CAST((length(s) - length(replace(s, chr(1), '')))
+        |     + (length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens,
+        |  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_merges,
+        |  CAST((length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens_after,
+        |  replace(array_to_string(list_filter(string_split(s, chr(2)), x -> x != ''), ' '),
+        |          chr(1), '_') AS encoded
+        |FROM h5
         |ORDER BY doc_id""".stripMargin),
     // docFrequencySpectrum: distinct (doc, token) then two bounded aggs
     "corpus_df_spectrum" ->

@@ -1352,9 +1352,38 @@ object TextAnalysis {
     * character counting plus a row-local re-join of the symbols. */
   def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
     val (_, finOpt) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = true)
-    val fin = finOpt.get
+    bpeEncodeProjection(finOpt.get)
+  }
+
+  /** BPE HOLD-OUT ENCODE — the train/apply separation a tokenizer team
+    * actually operates: learn the k merges on the TRAIN split (even
+    * doc_ids, the same deterministic split as `dedup_incremental`),
+    * then encode the UNSEEN odd documents by replaying the learned
+    * merges in learned order. Unlike training (k corpus scans — each
+    * round must re-count pairs on the rewritten state), encoding new
+    * data is ONE map-only pass: the k literal replaces compose into a
+    * single projection over the fully-delimited state, no shuffle, no
+    * per-round materialization — embarrassingly parallel at 100 TB,
+    * which is exactly why vocabularies are trained once and applied
+    * everywhere. Same output shape as [[bpeEncode]]. */
+  def bpeEncodeHoldout(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
     val sep = "\u0002"; val glue = "\u0001"
-    // fully-delimited state: 2 seps per symbol, 1 glue per merge
+    val (learned, _) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = false,
+      docFilter = col("doc_id") % 2 === 0)
+    val hold = delimitedState(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1))
+    val applied = learned.foldLeft(hold) { case (df, (_, w1, w2, _, _, _)) =>
+      df.select(col("doc_id"), replace(col("s"),
+        concat(lit(sep), lit(w1), lit(sep + sep), lit(w2), lit(sep)),
+        concat(lit(sep), lit(w1), lit(glue), lit(w2), lit(sep))).as("s"))
+    }
+    bpeEncodeProjection(applied)
+  }
+
+  /** Per-doc counts + rendered string off a fully-delimited corpus
+    * state: 2 seps per symbol, 1 glue per merge. */
+  private def bpeEncodeProjection(fin: DataFrame): DataFrame = {
+    val sep = "\u0002"; val glue = "\u0001"
     val sepCnt = length(col("s")) - length(translate(col("s"), sep, ""))
     val glueCnt = length(col("s")) - length(translate(col("s"), glue, ""))
     val after = (sepCnt / 2).cast("long")
@@ -1368,19 +1397,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fully-delimited BPE state of a (doc_id, text) frame: every symbol
+    * wrapped in its own leading+trailing separator. */
+  private def delimitedState(docs: DataFrame): DataFrame = {
+    val sep = "\u0002"
+    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), when(size(col("toks")) === 0, lit(""))
+        .otherwise(concat(lit(sep), concat_ws(sep + sep, col("toks")),
+          lit(sep))).as("s"))
+  }
+
   /** Shared k-round trainer loop: per-round winner stats plus the
     * final rewritten corpus state (doc_id, s) — [[bpeTrain]] reports
     * the former, [[bpeEncode]] projects the latter. */
   private def bpeTrainLoop(spark: SparkSession, sfDir: String, rounds: Int,
-      keepFinal: Boolean)
+      keepFinal: Boolean, docFilter: Column = lit(true))
       : (List[(Int, String, String, Long, Long, Long)], Option[DataFrame]) = {
     val sep = "\u0002"; val glue = "\u0001"
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var cur = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), when(size(col("toks")) === 0, lit(""))
-        .otherwise(concat(lit(sep), concat_ws(sep + sep, col("toks")),
-          lit(sep))).as("s"))
+    var cur = delimitedState(
+      Tables.documents(spark, sfDir).filter(docFilter))
       .persist(level)
     val perRound = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long, Long, Long)]
     var done = false

@@ -642,6 +642,36 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  test("bpe holdout encode: merges learned on the even split replay over unseen odd docs") {
+    // train split (even ids): "x y" ×3 → round-1 winner (x, y); the
+    // remaining rounds merge what's left of the train corpus only.
+    // Holdout (odd ids) must apply the LEARNED merges in learned order
+    // — including zero merges for pairs the trainer never saw (y x),
+    // boundary-safety on prefix collisions (x yz), and repeated
+    // application within a doc (x y x y)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-hold-").toString
+    Seq((2L, "x y"), (4L, "x y"), (6L, "x y"),
+        (1L, "x y x y"), (3L, "y x"), (5L, "x yz"), (7L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = TextAnalysis.bpeEncodeHoldout(spark, dir, rounds = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      // learned merges on the train split: r1 (x, y); r2 (x␁y, x␁y) has
+      // no pair left (each train doc is one symbol) → training stops.
+      // Only (x, y) applies to the holdout.
+      val expected = Seq(
+        (1L, 4L, 2L, 2L, "x_y x_y"),
+        (3L, 2L, 0L, 2L, "y x"),
+        (5L, 2L, 0L, 2L, "x yz"),
+        (7L, 0L, 0L, 0L, ""))
+      assert(rows.toSeq === expected)
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
     val docs = Seq(
       (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
