@@ -329,6 +329,30 @@ object SparkEntry {
     * trainer/encoder oracles and the hold-out encoder's train chain.
     * The predicate is spliced via a placeholder so the SQL template
     * stays a plain (escape-free) triple-quoted string. */
+  /** Delimited-state SQL shared by the train chain (s0) and the
+    * hold-out chain (h0): tokenize, then wrap every symbol in its own
+    * leading+trailing chr(2). Single-sourced so a tokenizer-parity fix
+    * cannot diverge the two chains. `src` must yield (doc_id, words). */
+  private def delimitedStateSql(name: String, src: String,
+      materialized: Boolean = false): String = {
+    val as = if (materialized) "AS MATERIALIZED" else "AS"
+    (s"$name $as (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''\n" +
+      """         ELSE chr(2) || array_to_string(words, chr(2) || chr(2)) || chr(2) END AS s
+        |       FROM """.stripMargin + src + ")")
+  }
+
+  /** Sentinel-guarded merge replay shared by the train chain (s$k) and
+    * the hold-out chain (h$k): a NULL winner replays identity. */
+  private def guardedReplaceSql(name: String, prev: String, k: Int,
+      materialized: Boolean = false): String = {
+    val as = if (materialized) "AS MATERIALIZED" else "AS"
+    s"""$name $as (SELECT doc_id, CASE WHEN g.w1 IS NULL THEN s
+       |          ELSE replace(s,
+       |            chr(2) || g.w1 || chr(2) || chr(2) || g.w2 || chr(2),
+       |            chr(2) || g.w1 || chr(1) || g.w2 || chr(2)) END AS s
+       |        FROM $prev CROSS JOIN g$k g)""".stripMargin
+  }
+
   private def bpeReplayCtesOver(wWhere: String): String = {
     // fully-delimited state (chr(2)||sym||chr(2) per symbol, so inner
     // boundaries are DOUBLE chr(2)) — mirrors bpeTrainLoop exactly,
@@ -341,9 +365,8 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
         |           FROM documents __WWHERE__),
-        |s0 AS MATERIALIZED (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
-        |         ELSE chr(2) || array_to_string(words, chr(2) || chr(2)) || chr(2) END AS s
-        |       FROM w)""".stripMargin.replace("__WWHERE__", wWhere)
+        |""".stripMargin.replace("__WWHERE__", wWhere) +
+        delimitedStateSql("s0", "w", materialized = true)
     // g$k always holds exactly one row (the winner, or a NULL sentinel
     // when pairs are exhausted), so the state chain stays a cheap
     // 1-row CROSS JOIN — scalar-subquery spellings of the guard made
@@ -357,15 +380,11 @@ object SparkEntry {
          |        FROM (SELECT list_filter(string_split(s, chr(2)), x -> x != '') AS syms FROM $prev))
          |  GROUP BY 1, 2),
          |t$k AS (SELECT w1, w2, n_pair FROM p$k ORDER BY n_pair DESC, w1, w2 LIMIT 1),
-         |g$k AS (SELECT w1, w2 FROM t$k
+         |g$k AS MATERIALIZED (SELECT w1, w2 FROM t$k
          |        UNION ALL
          |        SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
          |        WHERE NOT EXISTS (SELECT 1 FROM t$k)),
-         |s$k AS MATERIALIZED (SELECT doc_id, CASE WHEN g.w1 IS NULL THEN s
-         |          ELSE replace(s,
-         |            chr(2) || g.w1 || chr(2) || chr(2) || g.w2 || chr(2),
-         |            chr(2) || g.w1 || chr(1) || g.w2 || chr(2)) END AS s
-         |        FROM $prev CROSS JOIN g$k g),
+         |${guardedReplaceSql(s"s$k", prev, k, materialized = true)},
          |r$k AS (SELECT $k AS round, t.w1, t.w2, t.n_pair,
          |        (SELECT CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) FROM s$k) AS glued,
          |        (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) FROM s$k) AS n_tokens_after
@@ -379,19 +398,12 @@ object SparkEntry {
     * odd documents — the SQL mirror of TextAnalysis.bpeEncodeHoldout. */
   private val bpeHoldoutCtes: String = {
     val train = bpeReplayCtesOver("WHERE doc_id % 2 = 0")
-    val h0 =
-      """h0 AS (SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
-        |         ELSE chr(2) || array_to_string(words, chr(2) || chr(2)) || chr(2) END AS s
-        |       FROM (SELECT doc_id,
+    val oddWords =
+      """(SELECT doc_id,
         |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
-        |             FROM documents WHERE doc_id % 2 = 1))""".stripMargin
-    val hs = (1 to 5).map { k =>
-      s"""h$k AS (SELECT doc_id, CASE WHEN g.w1 IS NULL THEN s
-         |          ELSE replace(s,
-         |            chr(2) || g.w1 || chr(2) || chr(2) || g.w2 || chr(2),
-         |            chr(2) || g.w1 || chr(1) || g.w2 || chr(2)) END AS s
-         |        FROM h${k - 1} CROSS JOIN g$k g)""".stripMargin
-    }
+        |             FROM documents WHERE doc_id % 2 = 1)""".stripMargin
+    val h0 = delimitedStateSql("h0", oddWords)
+    val hs = (1 to 5).map(k => guardedReplaceSql(s"h$k", s"h${k - 1}", k))
     (train +: h0 +: hs).mkString(",\n")
   }
 

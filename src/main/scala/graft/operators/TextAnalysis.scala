@@ -1367,15 +1367,12 @@ object TextAnalysis {
     * which is exactly why vocabularies are trained once and applied
     * everywhere. Same output shape as [[bpeEncode]]. */
   def bpeEncodeHoldout(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
-    val sep = "\u0002"; val glue = "\u0001"
     val (learned, _) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = false,
       docFilter = col("doc_id") % 2 === 0)
     val hold = delimitedState(
       Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1))
     val applied = learned.foldLeft(hold) { case (df, (_, w1, w2, _, _, _)) =>
-      df.select(col("doc_id"), replace(col("s"),
-        concat(lit(sep), lit(w1), lit(sep + sep), lit(w2), lit(sep)),
-        concat(lit(sep), lit(w1), lit(glue), lit(w2), lit(sep))).as("s"))
+      df.select(col("doc_id"), mergeRewrite(col("s"), w1, w2).as("s"))
     }
     bpeEncodeProjection(applied)
   }
@@ -1395,6 +1392,17 @@ object TextAnalysis {
           filter(split(col("s"), sep), x => x =!= lit("")), " "),
           glue, "_").as("encoded"))
       .orderBy("doc_id")
+  }
+
+  /** The one merge-rewrite spelling shared by the trainer loop and the
+    * hold-out apply: greedy left-to-right replace of the fully
+    * delimited pair. Keeping it single-sourced is what guarantees the
+    * train/apply equivalence bpeEncodeHoldout depends on. */
+  private def mergeRewrite(s: Column, w1: String, w2: String): Column = {
+    val sep = "\u0002"; val glue = "\u0001"
+    replace(s,
+      concat(lit(sep), lit(w1), lit(sep + sep), lit(w2), lit(sep)),
+      concat(lit(sep), lit(w1), lit(glue), lit(w2), lit(sep)))
   }
 
   /** Fully-delimited BPE state of a (doc_id, text) frame: every symbol
@@ -1441,9 +1449,7 @@ object TextAnalysis {
         // literal replace with COLUMN operands — no quoting hazard
         // however regex-hostile the winning tokens are
         val rewritten = cur
-          .select(col("doc_id"), replace(col("s"),
-            concat(lit(sep), lit(w1), lit(sep + sep), lit(w2), lit(sep)),
-            concat(lit(sep), lit(w1), lit(glue), lit(w2), lit(sep))).as("s"))
+          .select(col("doc_id"), mergeRewrite(col("s"), w1, w2).as("s"))
           .persist(level)
         val stats = rewritten.agg(
           sum(length(col("s")) - length(translate(col("s"), glue, ""))).as("glued"),
