@@ -65,13 +65,25 @@ object VectorOps {
     * duplicate-heavy by construction. */
   def exactVectorGroups(emb: DataFrame): (DataFrame, DataFrame) = {
     val byVec = org.apache.spark.sql.expressions.Window.partitionBy(col("e"))
+    // SLIM checkpoints: the tagged frame carries the full vector on
+    // EVERY member row, so checkpointing it whole would store a
+    // million vector copies for a million-clone group — exactly the
+    // artifact blow-up this helper exists to avoid. Instead the
+    // window output is held in a spillable TRANSIENT cache just long
+    // enough to cut two slim artifacts: members as (vec_id, canon_id)
+    // longs only, canon as one (canon_id, e, nrm) row per DISTINCT
+    // vector. The window still runs once; the long-lived artifacts are
+    // linear in ids + distinct vectors, not members × vector width.
     val tagged = emb
       .select(col("vec_id"), col("e"), col("nrm"))
       .withColumn("canon_id", min(col("vec_id")).over(byVec))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = tagged.select(col("vec_id"), col("canon_id"))
+      .localCheckpoint()
     val canon = tagged.filter(col("vec_id") === col("canon_id"))
       .select(col("canon_id"), col("e"), col("nrm"))
+      .localCheckpoint()
+    tagged.unpersist(blocking = false)
     (members, canon)
   }
 }

@@ -68,6 +68,31 @@ object EventStream {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One live spool dir per drain PREFIX: a re-run of the same drain
+    * reclaims its predecessor's spool before writing, so a long bench
+    * sweep (warm + passes×reps re-runs of 4 row-scaled drains) holds at
+    * most one row-scaled output per drain on disk instead of
+    * accumulating GB-scale dirs until JVM exit. A single shutdown hook
+    * sweeps whatever is still registered at exit. The trade is
+    * documented at the call site: a prefix's RETURNED frame reads its
+    * spool lazily, so that frame is invalidated by the same prefix's
+    * next run — every registered consumer materializes (noop sink /
+    * parquet dump / assertion) before re-running, which is also the
+    * only sequencing Bench's serial drain phase produces. */
+  private val spoolDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+  private lazy val spoolHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => spoolDirs.values.forEach(
+      graft.sources.ArtifactCache.deleteRecursively(_))))
+
+  private def freshSpoolDir(prefix: String): String = {
+    spoolHook
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-drain-$prefix-")
+    Option(spoolDirs.put(prefix, dir.toFile))
+      .foreach(graft.sources.ArtifactCache.deleteRecursively)
+    dir.toString
+  }
+
   /** Driver-contract entry for the streaming path: run the events
     * parquet through the FILE-SOURCE streaming pipeline ([[readEvents]]
     * → [[windowedCounts]]) to completion and return the result as a
@@ -265,16 +290,10 @@ object EventStream {
     // append would corrupt.) Guard BEFORE creating the spool dir.
     if (rowScaled) require(mode != OutputMode.Update(),
       "row-scaled spool drain supports Complete/Append only")
-    val spool =
-      if (rowScaled) {
-        val dir = java.nio.file.Files.createTempDirectory(s"graft-drain-$name-")
-        // the returned frame reads the spool lazily, so the dir must
-        // outlive this call — reclaim it at JVM exit instead of leaking
-        // row-scaled output (GBs at 100×) into /tmp across runs
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          graft.sources.ArtifactCache.deleteRecursively(dir.toFile)))
-        Some(dir.toString)
-      } else None
+    // prefix-keyed: the previous run's spool for THIS drain is
+    // reclaimed now, and the registry's shutdown hook sweeps the rest
+    // at exit — one live spool per drain, not one per call
+    val spool = if (rowScaled) Some(freshSpoolDir(prefix)) else None
     try {
       val base = out.writeStream
         .queryName(name)
@@ -282,10 +301,17 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       val q = spool match {
         case Some(dir) =>
-          val saveMode =
-            if (mode == OutputMode.Complete()) "overwrite" else "append"
-          base.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode(saveMode).parquet(dir)
+          // batch-keyed layout makes the spool IDEMPOTENT under
+          // micro-batch re-execution (the durable-checkpoint/restart
+          // case): a replayed batch OVERWRITES its own batch_<id>
+          // subdir instead of silently appending duplicates. Complete
+          // mode re-emits the full table per batch, so it converges on
+          // one fixed subdir; Append emits each row in exactly one
+          // batch, so batch subdirs partition the output.
+          base.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val sub = if (mode == OutputMode.Complete()) "state"
+                      else s"batch_$batchId"
+            batch.write.mode("overwrite").parquet(s"$dir/$sub")
           }.start()
         case None => base.format("memory").start()
       }
@@ -300,8 +326,11 @@ object EventStream {
     spool match {
       // explicit schema: an empty drain leaves no files and inference
       // would fail; with the plan's schema an empty dir reads as an
-      // empty frame, matching the memory sink's behavior
-      case Some(dir) => spark.read.schema(out.schema).parquet(dir)
+      // empty frame, matching the memory sink's behavior. Recursive
+      // lookup flattens the batch-keyed subdirs without inventing a
+      // partition column from their names.
+      case Some(dir) => spark.read.schema(out.schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
       case None => spark.table(name)
     }
   }
