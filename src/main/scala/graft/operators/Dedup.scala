@@ -30,6 +30,54 @@ import graft.sources.Tables
 object Dedup {
   import TextAnalysis.normText
 
+  /** Default member-pair budget for the guarded all-pairs views —
+    * env-tunable so a deliberate diagnostic sweep can raise it without
+    * a code change. 20 M pair rows ≈ ~0.5 GB of (id, id, cosine)
+    * output: past that the all-pairs CONTRACT (not the compute — that
+    * is canonical-level and scale-safe) is the wrong interface, and
+    * the caller should consume [[semanticDedupKeepers]] /
+    * [[nearDupClusters]] instead. Measured on the clone-amplified
+    * grid (PERF.md): 1× expands to ~3–4 k pairs, 25× to ~2.4–3.2 M,
+    * 100× to 39–51 M — the default admits the linear-ish regimes and
+    * refuses exactly where the quadratic contract takes over. */
+  private[graft] def defaultPairBudget: Long =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "20000000").toLong
+
+  /** Cardinality guard for the all-pairs dedup views: the surviving
+    * CANONICAL pair relation is materialized (localCheckpoint — it is
+    * read by the guard aggregate and then by the member expansion, and
+    * under clone-heavy duplication it is small by construction: one row
+    * per distinct-vector pair), and the EXACT expanded member-pair
+    * count is computed from it and the duplicate-group size histogram —
+    * Σ n_a·n_b over cross-group survivors + Σ n·(n−1)/2 over self
+    * pairs. That sum costs one aggregate over survivor rows — no member
+    * join runs — so the refusal happens BEFORE any quadratic output
+    * materializes. Over budget → [[PairExplosionException]] naming the
+    * count, the budget, and the linear interfaces to use instead. */
+  private def guardedSurvivors(survivors: DataFrame, members: DataFrame,
+      maxExpandedPairs: Long, what: String): DataFrame = {
+    val checked = survivors.localCheckpoint()
+    val sizes = members.groupBy("canon_id").agg(count(lit(1)).as("n"))
+    val expanded = checked.select("ca", "cb")
+      .join(renamed(sizes, "canon_id" -> "ca", "n" -> "n_a"), Seq("ca"))
+      .join(renamed(sizes, "canon_id" -> "cb", "n" -> "n_b"), Seq("cb"))
+      .select(expr(
+        "CASE WHEN ca = cb THEN n_a * (n_a - 1) DIV 2 ELSE n_a * n_b END")
+        .as("pairs"))
+      .agg(coalesce(sum("pairs"), lit(0L)).as("p"))
+      .head().getLong(0)
+    if (expanded > maxExpandedPairs)
+      throw new PairExplosionException(
+        s"$what would expand to $expanded member pairs " +
+          s"(budget $maxExpandedPairs, override via SPARK_GRAFT_MAX_PAIRS " +
+          "or the maxExpandedPairs parameter). The all-pairs view is " +
+          "quadratic in duplication degree BY CONTRACT; at this " +
+          "duplication level consume the linear interfaces instead: " +
+          "Dedup.semanticDedupKeepers (one verdict per vector) or " +
+          "Dedup.nearDupClusters / TextAnalysis.keepBestPerCluster.")
+    checked
+  }
+
   /** Distinct word n-gram shingles per document, hashed to 64-bit.
     * Shingling is per-row (no shuffle); `.distinct` dedups within doc.
     * Library form: any (doc_id, text) DataFrame. */
@@ -1322,7 +1370,8 @@ object Dedup {
     * PERF.md — the mechanism's value is clustered corpora, where
     * cell-correlated block assignments cut the Ω(N²) constant. */
   def embeddingNearDupPairsBlocked(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.35, numBlocks: Int = 8): DataFrame = {
+      threshold: Double = 0.35, numBlocks: Int = 8,
+      maxExpandedPairs: Long = defaultPairBudget): DataFrame = {
     import graft.functions.VectorOps
     // CANONICAL collapse (r10, same decomposition as semanticDedupPairs
     // and the text-side editDistanceVerify): the replicated block join
@@ -1343,7 +1392,15 @@ object Dedup {
       rd(VectorOps.cosine(col("e"), col("nrm"), col("e"), col("nrm")), 4)
         .as("cosine"))
       .filter(col("cosine") >= threshold)
-    cross.unionByName(self)
+    // OUTPUT-CONTRACT guard (r11): the blocked join above is the
+    // scale-safe compute; what remains quadratic is this view's OWN
+    // output when duplication is heavy (measured p=1.29 on the 25→100×
+    // clone pair). The guard materializes the canonical survivors,
+    // prices the expansion exactly against the group histogram, and
+    // refuses past the budget — the linear production interfaces are
+    // [[semanticDedupKeepers]] / [[nearDupClusters]].
+    guardedSurvivors(cross.unionByName(self), members, maxExpandedPairs,
+      s"embeddingNearDupPairsBlocked(threshold=$threshold)")
       .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
       .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
       .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
@@ -1483,7 +1540,7 @@ object Dedup {
     * within-cell join end-to-end (same CTEs as `ann_topk_ivf`). */
   def semanticDedupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3, numCentroids: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, maxExpandedPairs: Long = defaultPairBudget): DataFrame = {
     import graft.functions.VectorOps
     // CANONICAL collapse (r10): cosine and cell assignment are pure
     // functions of the coordinates, so byte-identical vectors share
@@ -1499,7 +1556,13 @@ object Dedup {
     // member-level rows exactly.
     val (members, survivors) =
       semanticCanonicalSurvivors(spark, sfDir, threshold, numCentroids, iters)
-    survivors
+    // OUTPUT-CONTRACT guard (r11): within-cell compute is the accepted
+    // SemDeDup trade; the view's member-pair EXPANSION is quadratic in
+    // duplication (measured p=1.76 on the clone pair, ~247 M pairs at
+    // 100×). Price it exactly from the survivors + group histogram and
+    // refuse past budget — [[semanticDedupKeepers]] is the linear form.
+    guardedSurvivors(survivors, members, maxExpandedPairs,
+      s"semanticDedupPairs(threshold=$threshold)")
       .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
       .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
       .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
@@ -1576,3 +1639,12 @@ object Dedup {
       .orderBy("vec_id")
   }
 }
+
+/** Thrown by the guarded all-pairs dedup views when the EXACT expanded
+  * member-pair cardinality (computed from the canonical survivor
+  * relation and the duplicate-group histogram, before any expansion
+  * executes) exceeds the caller's budget. The refusal is the designed
+  * contract at high duplication: the pair table is quadratic in
+  * duplication degree, while the keeper/cluster interfaces answer the
+  * same curation question in linear output. */
+final class PairExplosionException(msg: String) extends RuntimeException(msg)

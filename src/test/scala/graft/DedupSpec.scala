@@ -88,6 +88,36 @@ class DedupSpec extends SparkSpec {
     assert(blocked === exact)
   }
 
+  test("pair-expansion guard: a tiny budget refuses BEFORE expansion, the default admits") {
+    // the sf corpus expands to a small pair table → default budget admits
+    val admitted = Dedup.semanticDedupPairs(spark, sf).count()
+    assert(admitted > 0)
+    // budget 0 must refuse with the exact count and the linear escape
+    // hatches in the message — and refuse from the GUARD (the exception
+    // type), not from some downstream OOM
+    val eSem = intercept[graft.operators.PairExplosionException] {
+      Dedup.semanticDedupPairs(spark, sf, maxExpandedPairs = 0L).count()
+    }
+    assert(eSem.getMessage.contains(s"would expand to $admitted member pairs"))
+    assert(eSem.getMessage.contains("semanticDedupKeepers"))
+    val eEmb = intercept[graft.operators.PairExplosionException] {
+      Dedup.embeddingNearDupPairsBlocked(spark, sf, maxExpandedPairs = 0L).count()
+    }
+    assert(eEmb.getMessage.contains("SPARK_GRAFT_MAX_PAIRS"))
+    // the guard prices EXPANSION, not survivors: on a clone-amplified
+    // frame the expanded count must exceed the survivor count, and a
+    // budget between the two must still refuse
+    val embPairs = Dedup.embeddingNearDupPairsBlocked(spark, sf).count()
+    val eMid = intercept[graft.operators.PairExplosionException] {
+      Dedup.embeddingNearDupPairsBlocked(spark, sf,
+        maxExpandedPairs = embPairs - 1).count()
+    }
+    assert(eMid.getMessage.contains(s"would expand to $embPairs"))
+    // exactly at the budget → admitted (the guard is > not >=)
+    assert(Dedup.embeddingNearDupPairsBlocked(spark, sf,
+      maxExpandedPairs = embPairs).count() === embPairs)
+  }
+
   test("blocked embedding pairs plan has no product join") {
     val plan = Dedup.embeddingNearDupPairsBlocked(spark, sf)
       .queryExecution.executedPlan.toString
