@@ -93,6 +93,11 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_encode_holdout" -> ((s, d) => TextAnalysis.bpeEncodeHoldout(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // the k>>5 regime: 8 scans x up-to-64 disjoint merges (~318 learned
+    // on this corpus) instead of one corpus scan per merge
+    "text_bpe_train_batched" -> ((s, d) => TextAnalysis.bpeTrainBatched(s, d)),
+    "text_bpe_holdout_batched" ->
+      ((s, d) => TextAnalysis.bpeEncodeHoldoutBatched(s, d)),
     "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
@@ -341,6 +346,16 @@ object SparkEntry {
         |       FROM """.stripMargin + src + ")")
   }
 
+  /** Pair-count CTE over a delimited state — shared by the sequential
+    * replay (p1..p5) and the batched replay's per-scan ranking, so the
+    * two trainers' count semantics can never drift. */
+  private def pairCountsSql(name: String, prev: String): String =
+    s"""$name AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+       |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
+       |                       for i in range(1, len(syms))]) AS p
+       |        FROM (SELECT list_filter(string_split(s, chr(2)), x -> x != '') AS syms FROM $prev))
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Sentinel-guarded merge replay shared by the train chain (s$k) and
     * the hold-out chain (h$k): a NULL winner replays identity. */
   private def guardedReplaceSql(name: String, prev: String, k: Int,
@@ -374,11 +389,7 @@ object SparkEntry {
     // States are MATERIALIZED: each is read by p(k+1), s(k+1) and r$k.
     val rounds = (1 to 5).map { k =>
       val prev = s"s${k - 1}"
-      s"""p$k AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
-         |  FROM (SELECT unnest([{'w1': syms[i], 'w2': syms[i+1]}
-         |                       for i in range(1, len(syms))]) AS p
-         |        FROM (SELECT list_filter(string_split(s, chr(2)), x -> x != '') AS syms FROM $prev))
-         |  GROUP BY 1, 2),
+      s"""${pairCountsSql(s"p$k", prev)},
          |t$k AS (SELECT w1, w2, n_pair FROM p$k ORDER BY n_pair DESC, w1, w2 LIMIT 1),
          |g$k AS MATERIALIZED (SELECT w1, w2 FROM t$k
          |        UNION ALL
@@ -405,6 +416,113 @@ object SparkEntry {
     val h0 = delimitedStateSql("h0", oddWords)
     val hs = (1 to 5).map(k => guardedReplaceSql(s"h$k", s"h${k - 1}", k))
     (train +: h0 +: hs).mkString(",\n")
+  }
+
+  /** Apply an ORDERED merge list to a delimited state in ONE pass: the
+    * scan's kept merges aggregate into a list (each encoded w1·chr(3)·w2
+    * — chr(3) is outside both the corpus alphabet and the glue/sep
+    * chars, and w1/w2 contain no chr(3), so the split is unambiguous
+    * even for glued operands) and list_reduce folds the SAME
+    * fully-delimited literal replace as guardedReplaceSql /
+    * TextAnalysis.mergeRewrite over the doc string, merge by merge in
+    * seq order. One corpus pass per scan instead of one per merge; an
+    * exhausted scan (empty merge list) folds the identity via the
+    * coalesce-to-[] guard. */
+  private def listReduceApplySql(name: String, prev: String,
+      sel: String): String =
+    s"""$name AS MATERIALIZED (SELECT doc_id,
+       |  list_reduce(list_prepend(s, ml.merges), (acc, m) -> replace(acc,
+       |      chr(2) || split_part(m, chr(3), 1) || chr(2) || chr(2) || split_part(m, chr(3), 2) || chr(2),
+       |      chr(2) || split_part(m, chr(3), 1) || chr(1) || split_part(m, chr(3), 2) || chr(2))) AS s
+       |  FROM $prev CROSS JOIN (SELECT coalesce(list(w1 || chr(3) || w2 ORDER BY seq),
+       |                                         CAST([] AS VARCHAR[])) AS merges
+       |                         FROM $sel) ml)""".stripMargin
+
+  /** One BATCHED-trainer scan: rank the pair counts, replay the greedy
+    * disjoint selection (TextAnalysis.selectDisjointBatch) as a
+    * single-row recursive CTE whose state is the used-symbol list —
+    * candidate rnk+1 is kept iff its footprint [w1, w2, w1⊔w2] (the
+    * produced symbol included, so a batch can never contain a pair an
+    * earlier batch member would create) misses the state list; the
+    * recursion halts at `batch` keeps or window exhaustion — then fold
+    * the kept merges over the corpus state in one list_reduce pass. */
+  private def bpeBatchedScanSql(k: Int, batch: Int, window: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""${pairCountsSql(s"bp$k", prev)},
+       |bc$k AS MATERIALIZED (SELECT w1, w2, n_pair,
+       |        row_number() OVER (ORDER BY n_pair DESC, w1, w2) AS rnk
+       |      FROM bp$k QUALIFY rnk <= $window),
+       |bg$k AS (
+       |  SELECT 0 AS rnk, CAST([] AS VARCHAR[]) AS used, 0 AS n_kept,
+       |         CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+       |         CAST(NULL AS BIGINT) AS n_pair, FALSE AS kept
+       |  UNION ALL
+       |  SELECT c.rnk,
+       |    CASE WHEN x.ok THEN list_concat(g.used, [c.w1, c.w2, c.w1 || chr(1) || c.w2]) ELSE g.used END,
+       |    CASE WHEN x.ok THEN g.n_kept + 1 ELSE g.n_kept END,
+       |    c.w1, c.w2, c.n_pair, x.ok
+       |  FROM bg$k g JOIN bc$k c ON c.rnk = g.rnk + 1 AND g.n_kept < $batch,
+       |  LATERAL (SELECT NOT list_has_any(g.used, [c.w1, c.w2, c.w1 || chr(1) || c.w2]) AS ok) x),
+       |bs$k AS MATERIALIZED (SELECT w1, w2, n_pair,
+       |        CAST(row_number() OVER (ORDER BY rnk) AS INT) AS seq
+       |      FROM bg$k WHERE kept),
+       |${listReduceApplySql(s"s$k", prev, s"bs$k")},
+       |bt$k AS MATERIALIZED (SELECT CAST(sum(length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens_after FROM s$k)""".stripMargin
+  }
+
+  /** Full batched-trainer replay over `scans` scans (WITH RECURSIVE
+    * head — the greedy-selection CTEs need it; everything else is
+    * ordinary). Shares w/s0 with the sequential replay via
+    * delimitedStateSql and the pair counts via pairCountsSql. */
+  private def bpeBatchedCtesOver(wWhere: String, scans: Int, batch: Int,
+      window: Int): String = {
+    val head =
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |           FROM documents __WWHERE__),
+        |""".stripMargin.replace("__WWHERE__", wWhere) +
+        delimitedStateSql("s0", "w", materialized = true)
+    (head +: (1 to scans).map(bpeBatchedScanSql(_, batch, window))).mkString(",\n")
+  }
+
+  /** Batched-trainer output: one row per learned merge with its scan,
+    * in-scan seq, selection-time pair count, and the scan-end symbol
+    * count. */
+  private def bpeBatchedTrainSql(scans: Int, batch: Int, window: Int): String =
+    bpeBatchedCtesOver("", scans, batch, window) + "\n" +
+      (1 to scans).map { k =>
+        s"""SELECT CAST($k AS INT) AS scan, seq, w1, w2, n_pair, bt$k.n_tokens_after
+           |FROM bs$k CROSS JOIN bt$k""".stripMargin
+      }.mkString(
+        "SELECT CAST(row_number() OVER (ORDER BY scan, seq) AS BIGINT) AS merge_idx,\n" +
+          "       scan, seq, w1, w2, n_pair, n_tokens_after\nFROM (\n",
+        "\nUNION ALL\n", "\n)\nORDER BY merge_idx")
+
+  /** Batched hold-out encode replay: batched training on the even
+    * split, then per scan one list_reduce fold of that scan's kept
+    * merges over the odd documents' state — the SQL mirror of
+    * TextAnalysis.bpeEncodeHoldoutBatched (whose chunked projection
+    * applies the same merges in the same order). */
+  private def bpeBatchedHoldoutSql(scans: Int, batch: Int,
+      window: Int): String = {
+    val train = bpeBatchedCtesOver("WHERE doc_id % 2 = 0", scans, batch, window)
+    val oddWords =
+      """(SELECT doc_id,
+        |               list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |             FROM documents WHERE doc_id % 2 = 1)""".stripMargin
+    val h0 = delimitedStateSql("h0", oddWords)
+    val hs = (1 to scans).map(k => listReduceApplySql(s"h$k", s"h${k - 1}", s"bs$k"))
+    (train +: h0 +: hs).mkString(",\n") +
+      s"""
+         |SELECT doc_id,
+         |  CAST((length(s) - length(replace(s, chr(1), '')))
+         |     + (length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens,
+         |  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_merges,
+         |  CAST((length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens_after,
+         |  replace(array_to_string(list_filter(string_split(s, chr(2)), x -> x != ''), ' '),
+         |          chr(1), '_') AS encoded
+         |FROM h$scans
+         |ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1349,6 +1467,14 @@ object SparkEntry {
         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
         |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
         |ORDER BY round""".stripMargin),
+    // bpeTrainBatched(scans=8, batch=64, window=4096): per scan, rank
+    // the pair counts, replay the greedy disjoint selection as a
+    // recursive CTE (state = used-symbol list), fold the kept merges
+    // over the corpus in one list_reduce pass
+    "text_bpe_train_batched" -> bpeBatchedTrainSql(8, 64, 4096),
+    // bpeEncodeHoldoutBatched: batched training on even doc_ids, then
+    // each scan's kept merges fold over the odd split in learned order
+    "text_bpe_holdout_batched" -> bpeBatchedHoldoutSql(8, 64, 4096),
     // bpeEncode(rounds=5): the SAME 5-round replay as text_bpe_train
     // (identical s0..s5 chain), but the final projection reads the
     // ENCODED corpus state s5 per document — counts off the delimited

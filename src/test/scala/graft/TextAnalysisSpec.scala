@@ -672,6 +672,89 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  test("batched bpe selection: greedy keeps disjoint footprints, excludes produced-symbol collisions") {
+    val g = "\u0001"
+    // hand-computed window, ranked (n_pair DESC, w1, w2):
+    //  1 (b,c)    kept — rank 1 always survives
+    //  2 (a,b)    excluded: shares operand b with KEPT rank 1
+    //  3 (c,d)    excluded: shares operand c with KEPT rank 1
+    //  4 (b⊔c,z)  excluded: its operand IS rank 1's PRODUCED symbol —
+    //             applying (b,c) first would create occurrences this
+    //             scan never counted
+    //  5 (e,f)    kept — footprint disjoint from every KEPT pair
+    //  6 (a,q)    KEPT: conflicts only with the EXCLUDED rank 2 —
+    //             greedy checks against kept pairs, not the window
+    //             (the order-free dominance variant would drop it; on
+    //             Zipfian text that costs ~4× fewer merges per scan)
+    //  7 (q,r)    excluded: shares q with KEPT rank 6
+    //  8 (h,h)    kept — self-pair, footprint {h, h⊔h}
+    val cands = Seq(
+      ("b", "c", 9L), ("a", "b", 7L), ("c", "d", 7L),
+      (s"b${g}c", "z", 5L), ("e", "f", 4L), ("a", "q", 2L), ("q", "r", 2L),
+      ("h", "h", 1L))
+    val kept = graft.operators.TextAnalysis.selectDisjointBatch(cands, batch = 10)
+    assert(kept === Seq(("b", "c", 9L), ("e", "f", 4L), ("a", "q", 2L),
+      ("h", "h", 1L)))
+    // the batch cap takes the FIRST n kept in rank order
+    assert(graft.operators.TextAnalysis.selectDisjointBatch(cands, 2)
+      === Seq(("b", "c", 9L), ("e", "f", 4L)))
+  }
+
+  test("batched bpe with batch=1 reproduces the sequential trainer merge for merge") {
+    val seq5 = TextAnalysis.bpeTrain(spark, sf, rounds = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(5)))
+    val b1 = TextAnalysis.bpeTrainBatched(spark, sf, scans = 5, batch = 1,
+      window = 64).collect()
+      .map(r => (r.getInt(1), r.getString(3), r.getString(4), r.getLong(5),
+        r.getLong(6)))
+    assert(seq5.nonEmpty && b1.toSeq === seq5.toSeq)
+  }
+
+  test("batched bpe trainer invariants: contiguous indexes, per-scan footprint disjointness, shrinking corpus") {
+    val g = "\u0001"
+    val rows = TextAnalysis.bpeTrainBatched(spark, sf, scans = 3, batch = 8,
+      window = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq, "merge_idx contiguous")
+    rows.groupBy(_._2).foreach { case (scan, rs) =>
+      assert(rs.map(_._3).toSeq.sorted === (1 to rs.length).toSeq, s"scan $scan seq")
+      // kept pairs of one scan are pairwise footprint-disjoint
+      val fps = rs.map(r => Set(r._4, r._5, r._4 + g + r._5))
+      for (i <- fps.indices; j <- 0 until i)
+        assert(!fps(i).exists(fps(j).contains), s"scan $scan pair $i vs $j")
+    }
+    // scan-end symbol counts strictly decrease (every scan merges >= 1)
+    val perScan = rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.head._7)
+    perScan.zip(perScan.drop(1)).foreach { case (a, b) => assert(b < a) }
+  }
+
+  test("chunked merge application: chunk boundaries do not change the encode") {
+    def run(chunk: Int) = TextAnalysis.bpeEncodeHoldoutBatched(spark, sf,
+      scans = 2, batch = 32, window = 128, chunk = chunk)
+      .collect().map(_.toString).toSeq
+    val lazySingle = run(chunk = 64) // single-group lazy projection path
+    assert(lazySingle.nonEmpty)
+    assert(run(chunk = 7) === lazySingle, "uneven chunk boundary")
+    assert(run(chunk = 1) === lazySingle, "merge-at-a-time replay")
+  }
+
+  test("bpe codegen-depth regression: the 256-merge default encodes through bounded projections") {
+    // defaults: 4 scans x 64-pair batches = up to 256 learned merges,
+    // applied <= 64 per projection — the regime the k-deep foldLeft of
+    // the unbatched holdout encoder could not survive near k~10^3
+    val train = TextAnalysis.bpeTrainBatched(spark, sf).collect()
+    assert(train.length >= 100, s"expected a deep vocabulary, got ${train.length}")
+    val enc = TextAnalysis.bpeEncodeHoldoutBatched(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"doc ${r.getLong(0)} token conservation")
+    }
+  }
+
   test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
     val docs = Seq(
       (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
