@@ -23,6 +23,9 @@ object SparkEntry {
     // --- reference surface (SURVEY.md §2.1, O1-O12) ---
     "wordcount_topk" -> ((s, d) => WordCount.topK(s, d, 100)),
     "wordcount_full" -> ((s, d) => WordCount.full(s, d)),
+    // O2/O3 end-to-end: same counts, but ingested through a real
+    // on-disk newline-delimited text file via spark.read.text
+    "wordcount_textfile" -> ((s, d) => WordCount.fullFromTextFile(s, d)),
     "events_heavy_users" -> ((s, d) => SkewTools.heavyUsers(s, d)),
     "letter_buckets" -> ((s, d) => WordCount.letterBuckets(s, d)),
     // --- relational surface (SURVEY.md §7.2 PR3; absent in reference §2.3) ---
@@ -532,6 +535,15 @@ object SparkEntry {
         |WHERE regexp_matches(word, '^[a-z]')
         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin,
     "wordcount_full" ->
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '[ \n]')) AS word FROM documents)
+        |WHERE regexp_matches(word, '^[a-z]')
+        |GROUP BY word ORDER BY word ASC""".stripMargin,
+    // fullFromTextFile: the Spark side counts over the .txt spool of
+    // documents.text read back via spark.read.text; the oracle counts
+    // from the documents view directly — a hash match proves the text
+    // file round-trip preserved the token multiset (O2/O3 evidence)
+    "wordcount_textfile" ->
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '[ \n]')) AS word FROM documents)
         |WHERE regexp_matches(word, '^[a-z]')

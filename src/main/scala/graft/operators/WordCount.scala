@@ -104,11 +104,32 @@ object WordCount {
       .toSeq
   }
 
+  /** Full word counts over the corpus via the reference's LITERAL input
+    * modality (O2/O3 end to end): `documents.text` is spooled once per
+    * corpus fingerprint to a newline-delimited `.txt` artifact (one doc
+    * per line — the driver corpus is single-line; embedded newlines
+    * would merely split a doc across lines, which the `[ \n]` tokenizer
+    * is indifferent to), and the ENTIRE wordcount then runs over
+    * `spark.read.text` — chunked scan, split-boundary repair, and line
+    * reading all exercised on a real on-disk text file. Oracle-wired:
+    * the DuckDB side replays the same counts from the `documents` view,
+    * so a hash match proves the text round-trip preserves the token
+    * multiset — the evidence the unit-only `countsFromTextFile` path
+    * could not give the driver. */
+  def fullFromTextFile(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = graft.sources.ArtifactCache.readOrWriteText(
+      spark, "wordcount-txt", "v1", s"$sfDir/documents.parquet")(
+      Tables.documents(spark, sfDir).select("text"))
+    wordsOf(corpus, "value")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("word"))
+  }
+
   /** Word counts over an arbitrary newline-delimited text file — the exact
     * ingestion path of the reference (O2/O3: `spark.read.text` replaces
     * the hand-rolled chunked scan + split-boundary repair,
-    * `slave.cc:76-134`). Not oracle-wired (no text corpus in the
-    * harness); exercised by unit tests. */
+    * `slave.cc:76-134`). Library form behind [[fullFromTextFile]]'s
+    * oracle-wired corpus entry; exercised directly by unit tests. */
   def countsFromTextFile(spark: SparkSession, path: String, k: Int): DataFrame =
     spark.read.text(path)
       .select(tokens(col("value")).as("word"))

@@ -69,7 +69,34 @@ object ArtifactCache {
     * location keyed by (`name`, `params`, fingerprint of `tablePath`),
     * computed at most once per JVM and reusable across sessions. */
   def readOrWrite(spark: SparkSession, name: String, params: String,
-      tablePath: String)(df: => DataFrame): DataFrame = {
+      tablePath: String)(df: => DataFrame): DataFrame =
+    spark.read.parquet(computeOnce(spark, name, params, tablePath) { out =>
+      materialize(spark, out)(df): Unit
+    })
+
+  /** Text-format sibling of [[readOrWrite]] for corpora whose CONTRACT
+    * is a newline-delimited text file (the reference's literal input
+    * modality, `slave.cc:56`): the frame's single string column writes
+    * as raw lines and reads back via `spark.read.text`. Same keying,
+    * same one-writer-per-JVM and completed-artifact (`_SUCCESS`)
+    * discipline as the parquet path. */
+  def readOrWriteText(spark: SparkSession, name: String, params: String,
+      tablePath: String)(df: => DataFrame): DataFrame =
+    spark.read.text(computeOnce(spark, name, params, tablePath) { out =>
+      val path = new org.apache.hadoop.fs.Path(out)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        df.write.mode("overwrite").text(out)
+    })
+
+  /** The shared keyed-location + single-writer mechanics of the two
+    * readOrWrite formats: resolve the (name, params, fingerprint)
+    * location, reclaim stale fingerprints of the same key, and run
+    * `write` at most once per JVM (per-key future; a failed write
+    * clears the slot so a retry recomputes). Returns the artifact
+    * path once the write — this thread's or a racer's — completes. */
+  private def computeOnce(spark: SparkSession, name: String, params: String,
+      tablePath: String)(write: String => Unit): String = {
     val keyHash = md5(s"$name|$params").take(16)
     val fp = fingerprint(spark, tablePath)
     val base = java.nio.file.Paths.get(
@@ -84,7 +111,7 @@ object ArtifactCache {
         val dir = base.toFile
         if (dir.isDirectory)
           dir.listFiles().filter(_.getName != fp).foreach(deleteRecursively)
-        materialize(spark, out)(df)
+        write(out)
         fut.complete(out)
       } catch { case e: Throwable =>
         inFlight.remove(key, fut)
@@ -92,7 +119,7 @@ object ArtifactCache {
         throw e
       }
     }
-    spark.read.parquet((if (prev == null) fut else prev).join())
+    (if (prev == null) fut else prev).join()
   }
 
   /** Detach a result frame from its upstream resources: eagerly

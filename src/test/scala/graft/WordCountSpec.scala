@@ -81,6 +81,16 @@ class WordCountSpec extends SparkSpec {
     assert(viaFile === viaTable)
   }
 
+  test("oracle-wired textfile wordcount equals the table wordcount, warm and cold") {
+    val viaTable = WordCount.full(spark, sf).as[(String, Long)].collect().toSeq
+    val viaFile = WordCount.fullFromTextFile(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(viaFile.nonEmpty && viaFile === viaTable)
+    // second call reuses the cached .txt artifact (same result)
+    assert(WordCount.fullFromTextFile(spark, sf)
+      .as[(String, Long)].collect().toSeq === viaTable)
+  }
+
   test("text-file ingestion path (O2/O3) matches in-memory tokenization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wc").toFile
     val f = new java.io.File(dir, "corpus.txt")
