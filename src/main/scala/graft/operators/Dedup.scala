@@ -934,13 +934,14 @@ object Dedup {
     * is merely NEAR another is out of scope by construction.
     * The oracle replays both candidate sources. */
   def editDistancePairsOf(docs: DataFrame, simThreshold: Double = 0.8,
-      candThreshold: Double = 0.3, n: Int = 3): DataFrame = {
+      candThreshold: Double = 0.3, n: Int = 3,
+      dedupBlocks: Boolean = true): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
     val sh = rareShingles(canonShingleHashes(members, canonDocs, n), 1000000)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     editDistanceVerify(docs, members,
       canonicalPairsFrom(sh, sizes, candThreshold).select("doc_a", "doc_b"),
-      sizes.select("doc_id"), simThreshold, n)
+      sizes.select("doc_id"), simThreshold, n, dedupBlocks)
   }
 
   /** Shared verifier tail, operating ENTIRELY at raw-canonical level
@@ -972,11 +973,14 @@ object Dedup {
     * oracle's levenshtein returned NULL and filtered them — ADVICE r9). */
   private def editDistanceVerify(docs: DataFrame, members: DataFrame,
       canonCands: DataFrame, eligible: DataFrame,
-      simThreshold: Double, n: Int): DataFrame = {
+      simThreshold: Double, n: Int,
+      dedupBlocks: Boolean = true): DataFrame = {
     // canonical attribute frame: one row per DISTINCT raw text; the
-    // normalized text is consumed by both DP join sides, so checkpoint
-    // to run normText + tokenization once (at cluster scale this frame
-    // is the natural stored artifact of the verify stage)
+    // normalized text is consumed by both join sides of either scoring
+    // mode (plus the fallback's fp map), so checkpoint to run normText
+    // + tokenization once — measured: leaving it lazy re-derives the
+    // corpus-scan subtree ~4× in the direct plan and costs more than
+    // every stage the direct mode saves (2.45 s vs 1.75 s at sf0.1).
     val txtC = docs
       .join(members.select(col("canon_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
@@ -994,34 +998,61 @@ object Dedup {
       .join(renamed(byFp, "cid" -> "oc", "fp" -> "fp"), Seq("fp"))
       .select(least(col("sc"), col("oc")).as("ca"),
         greatest(col("sc"), col("oc")).as("cb"))
-    val cands = intra.unionByName(cross).unionByName(shortRaw).distinct()
-      .join(renamed(canon, "cid" -> "ca", "fp" -> "fp_a", "len" -> "len_a"), Seq("ca"))
-      .join(renamed(canon, "cid" -> "cb", "fp" -> "fp_b", "len" -> "len_b"), Seq("cb"))
-      .filter(col("fp_a").isNotNull && col("fp_b").isNotNull)
-      .withColumn("fp_lo", least(col("fp_a"), col("fp_b")))
-      .withColumn("fp_hi", greatest(col("fp_a"), col("fp_b")))
-    // one DP per distinct cross-fingerprint text pair; same-fp blocks
-    // are edit_dist 0 by definition (no DP at all)
-    val canonOf = canon.filter(col("fp").isNotNull)
-      .groupBy("fp").agg(min("cid").as("mid"))
-    val scored = cands.filter(col("fp_a") =!= col("fp_b"))
-      .select("fp_lo", "fp_hi").distinct()
-      .join(renamed(canonOf, "fp" -> "fp_lo", "mid" -> "mid_lo"), Seq("fp_lo"))
-      .join(renamed(canonOf, "fp" -> "fp_hi", "mid" -> "mid_hi"), Seq("fp_hi"))
-      .join(renamed(txtC, "cid" -> "mid_lo", "t" -> "t_lo"), Seq("mid_lo"))
-      .join(renamed(txtC, "cid" -> "mid_hi", "t" -> "t_hi"), Seq("mid_hi"))
-      .select(col("fp_lo"), col("fp_hi"),
-        levenshtein(col("t_lo"), col("t_hi")).as("dist"))
-    // score + threshold-filter at block level, THEN expand survivors:
-    // a block that fails the similarity cut never touches the member map
-    val survivors = cands.join(scored, Seq("fp_lo", "fp_hi"), "left_outer")
-      .select(col("ca"), col("cb"),
-        when(col("fp_a") === col("fp_b"), lit(0))
-          .otherwise(col("dist")).as("edit_dist"),
-        when(col("fp_a") === col("fp_b"), lit(1.0)).otherwise(
-          rd(lit(1.0) - col("dist").cast("double") /
-            greatest(col("len_a"), col("len_b"), lit(1)), 4)).as("edit_sim"))
-      .filter(col("edit_sim") >= simThreshold)
+    val candIds = intra.unionByName(cross).unionByName(shortRaw).distinct()
+    val survivors = if (dedupBlocks) {
+      val cands = candIds
+        .join(renamed(canon, "cid" -> "ca", "fp" -> "fp_a", "len" -> "len_a"), Seq("ca"))
+        .join(renamed(canon, "cid" -> "cb", "fp" -> "fp_b", "len" -> "len_b"), Seq("cb"))
+        .filter(col("fp_a").isNotNull && col("fp_b").isNotNull)
+        .withColumn("fp_lo", least(col("fp_a"), col("fp_b")))
+        .withColumn("fp_hi", greatest(col("fp_a"), col("fp_b")))
+      // one DP per distinct cross-fingerprint text pair; same-fp blocks
+      // are edit_dist 0 by definition (no DP at all)
+      val canonOf = canon.filter(col("fp").isNotNull)
+        .groupBy("fp").agg(min("cid").as("mid"))
+      val scored = cands.filter(col("fp_a") =!= col("fp_b"))
+        .select("fp_lo", "fp_hi").distinct()
+        .join(renamed(canonOf, "fp" -> "fp_lo", "mid" -> "mid_lo"), Seq("fp_lo"))
+        .join(renamed(canonOf, "fp" -> "fp_hi", "mid" -> "mid_hi"), Seq("fp_hi"))
+        .join(renamed(txtC, "cid" -> "mid_lo", "t" -> "t_lo"), Seq("mid_lo"))
+        .join(renamed(txtC, "cid" -> "mid_hi", "t" -> "t_hi"), Seq("mid_hi"))
+        .select(col("fp_lo"), col("fp_hi"),
+          levenshtein(col("t_lo"), col("t_hi")).as("dist"))
+      // score + threshold-filter at block level, THEN expand survivors:
+      // a block that fails the similarity cut never touches the member map
+      cands.join(scored, Seq("fp_lo", "fp_hi"), "left_outer")
+        .select(col("ca"), col("cb"),
+          when(col("fp_a") === col("fp_b"), lit(0))
+            .otherwise(col("dist")).as("edit_dist"),
+          when(col("fp_a") === col("fp_b"), lit(1.0)).otherwise(
+            rd(lit(1.0) - col("dist").cast("double") /
+              greatest(col("len_a"), col("len_b"), lit(1)), 4)).as("edit_sim"))
+        .filter(col("edit_sim") >= simThreshold)
+    } else {
+      // DIRECT scoring (the adaptive small-duplication cut, r11): texts
+      // join straight onto the candidate pairs and the DP runs once per
+      // CANDIDATE pair — on a corpus whose exact-duplication is trivial
+      // the distinct-text-pair dedup (canonOf/mid indirection, the
+      // left_outer score join-back, the eager txtC checkpoint) saves no
+      // DPs and costs ~6 extra stages of pure plan overhead. Identical
+      // output by construction: same candidate sources, same NULL-text
+      // drop, same same-fp short-circuit, same rounding.
+      val attrs = txtC.select(col("cid"), col("t"), md5(col("t")).as("fp"),
+        length(col("t")).as("len"))
+      candIds
+        .join(renamed(attrs,
+          "cid" -> "ca", "t" -> "t_a", "fp" -> "fp_a", "len" -> "len_a"), Seq("ca"))
+        .join(renamed(attrs,
+          "cid" -> "cb", "t" -> "t_b", "fp" -> "fp_b", "len" -> "len_b"), Seq("cb"))
+        .filter(col("fp_a").isNotNull && col("fp_b").isNotNull)
+        .withColumn("dist", when(col("fp_a") === col("fp_b"), lit(0))
+          .otherwise(levenshtein(col("t_a"), col("t_b"))))
+        .select(col("ca"), col("cb"), col("dist").as("edit_dist"),
+          when(col("fp_a") === col("fp_b"), lit(1.0)).otherwise(
+            rd(lit(1.0) - col("dist").cast("double") /
+              greatest(col("len_a"), col("len_b"), lit(1)), 4)).as("edit_sim"))
+        .filter(col("edit_sim") >= simThreshold)
+    }
     // member expansion: survivors are block-disjoint (a member pair
     // determines its raw-group pair uniquely), so no distinct is needed;
     // the tiny survivor frame broadcasts against the linear member map
@@ -1051,7 +1082,22 @@ object Dedup {
     editDistanceVerify(Tables.documents(spark, sfDir), members,
       materializedCanonicalPairs(spark, sfDir, candThreshold, n)
         .select("doc_a", "doc_b"),
-      eligible, simThreshold, n)
+      eligible, simThreshold, n,
+      // MEASURED, NOT ASSUMED (r11): an adaptive low-duplication cut to
+      // a "direct" scoring variant (skip the per-distinct-text-pair DP
+      // dedup — canonOf/mid indirection + left_outer score join-back)
+      // was built, differential-spec'd, and benched at sf0.1 in an
+      // isolated min-of-grid: block 1.93 s vs direct 2.22 s. The
+      // hypothesis that the block machinery is the 1× overhead is
+      // FALSE — the shared txtC checkpoint + artifact passes dominate
+      // both variants, and the direct plan is strictly worse because
+      // the normalized TEXT rides both candidate joins instead of
+      // staying inside the tiny scored subplan (the same
+      // hashes-not-text discipline that makes block mode the 100 TB
+      // shape). The direct variant remains a spec'd library option
+      // (editDistancePairsOf(dedupBlocks = false)); the corpus entry
+      // is block-always.
+      dedupBlocks = true)
   }
 
   // --- Duplicate clustering (connected components over near-dup pairs) ---

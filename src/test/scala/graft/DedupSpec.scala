@@ -515,6 +515,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.values.forall(_ === 1.0), "identical normalized texts score edit_sim 1.0")
   }
 
+  test("edit-distance direct path equals the block-dedup path, with and without clones") {
+    // clone-heavy fixture: exact-dup groups (intra pairs), a near-dup
+    // pair, short-doc fallback pairs — every candidate source exercised
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // clone of 1
+      (3L, "the quick brown fox jumps over the lazy dog tonite"),  // near-dup
+      (4L, "hi"), (5L, "hi"),                                      // short clones
+      (6L, "completely unrelated words about other topics entirely")
+    ).toDF("doc_id", "text")
+    val block = Dedup.editDistancePairsOf(docs, dedupBlocks = true)
+      .collect().map(_.toString).toSeq
+    val direct = Dedup.editDistancePairsOf(docs, dedupBlocks = false)
+      .collect().map(_.toString).toSeq
+    assert(block.nonEmpty && direct === block)
+    // and on the real corpus (trivial duplication — the regime the
+    // adaptive corpus entry routes to the direct plan)
+    val sfBlock = Dedup.editDistancePairs(spark, sf).collect().map(_.toString).toSeq
+    val sfDirect = Dedup.editDistancePairsOf(
+      graft.sources.Tables.documents(spark, sf), dedupBlocks = false)
+      .collect().map(_.toString).toSeq
+    assert(sfBlock.nonEmpty && sfDirect === sfBlock)
+  }
+
   test("dup-span merge: overlapping grams coalesce, touching spans merge, gapped spans stay apart") {
     val docs = Seq(
       // two shared regions: "a b c d e f" (grams pos 0,1 with doc 2 ->
