@@ -1,24 +1,56 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Dev tool: amplify a test-data directory by key-offset self-union —
-  * copy i lives in its own key universe (keys += i·10⁹), so joins stay
-  * referentially intact while every table grows by the factor. Bounded
-  * dims (region, nation) are NOT amplified, matching their real-world
-  * scaling. Used to stress-test plans beyond the largest provided SF
-  * (would this survive 10×?) — point graft.Bench at the output.
+/** Dev tool: amplify a test-data directory, two modes.
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor>
+  * UNIFORM (default): key-offset self-union — copy i lives in its own
+  * key universe (keys += i·10⁹), so joins stay referentially intact
+  * while every table grows by the factor. Bounded dims (region, nation)
+  * are NOT amplified, matching their real-world scaling. This is the
+  * clone-amplification grid every 25×/100× capstone uses.
+  *
+  * SKEW (`skew` as 4th arg): Zipf-style HOT-KEY amplification — the 1%
+  * of entities whose key ≡ 0 (mod 100) are amplified ×factor while the
+  * rest of the corpus stays at 1 copy, and — crucially — the ENTITY key
+  * of every copy stays IDENTICAL (only the row-identity key is
+  * offset), so the result is a few keys owning most of the data rather
+  * than more keys. factor=1000 puts ~91% of rows on 1% of keys. This
+  * is the adversarial distribution the uniform grid cannot produce:
+  * uniform cloning keeps every group the same relative size, so a plan
+  * can pass 100× uniform and still die on one hot user/doc/supplier at
+  * cluster scale. Per table:
+  *   - events:     hot user_id → ×factor rows, fresh event_id, SAME
+  *                 user (hot groupBy/session/state keys);
+  *   - documents:  hot doc_id → ×factor clones, fresh doc_id, SAME
+  *                 text (hot shingles + giant exact-dup groups);
+  *   - embeddings: hot vec_id → ×factor clones, fresh vec_id, SAME
+  *                 vector (giant vector groups);
+  *   - orders:     orders of hot custkeys → ×factor, fresh o_orderkey,
+  *                 SAME o_custkey (hot customer join key);
+  *   - lineitem:   lines of those hot orders follow their order copies
+  *                 (l_orderkey tracks the copied order; l_suppkey /
+  *                 l_partkey stay, so supplier/part join keys skew by
+  *                 the same factor);
+  *   - dims (region, nation, customer, supplier, part): unchanged.
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [skew]
   */
 object ScaleUp {
   private val KeyOffset = 1000000000L
 
+  /** 1% hot-entity predicate — key ≡ 0 (mod 100). Deterministic and
+    * oracle-replayable (the driver keys are dense sequential ids). */
+  private def hot(key: Column): Column = key % 100 === 0
+
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorStr) = args
-    val factor = factorStr.toInt
+    val (src, out, factor, skewMode) = args match {
+      case Array(s, o, f)         => (s, o, f.toInt, false)
+      case Array(s, o, f, "skew") => (s, o, f.toInt, true)
+      case _ => sys.error("usage: ScaleUp <srcSfDir> <outDir> <factor> [skew]")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,7 +59,7 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    def guardUniverse(df: DataFrame, keyCols: Seq[String]): Unit = {
       // universes must not overlap: a source key >= KeyOffset would
       // silently cross-link copies and corrupt every join downstream
       val maxCols = keyCols.map(max)
@@ -36,6 +68,10 @@ object ScaleUp {
         .head().getLong(0)
       require(maxKey < KeyOffset,
         s"source keys reach $maxKey >= offset $KeyOffset; raise KeyOffset")
+    }
+
+    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      guardUniverse(df, keyCols)
       (0 until factor).map { i =>
         keyCols.foldLeft(df) { (d, k) =>
           d.withColumn(k, col(k) + lit(i * KeyOffset))
@@ -43,23 +79,71 @@ object ScaleUp {
       }.reduce(_ unionByName _)
     }
 
-    val plans: Seq[(String, DataFrame)] = Seq(
-      "region" -> Tables.region(spark, src),                       // bounded dim
-      "nation" -> Tables.nation(spark, src),                       // bounded dim
-      "customer" -> amplify(Tables.customer(spark, src), Seq("c_custkey")),
-      "supplier" -> amplify(Tables.supplier(spark, src), Seq("s_suppkey")),
-      "part" -> amplify(Tables.part(spark, src), Seq("p_partkey")),
-      "orders" -> amplify(Tables.orders(spark, src), Seq("o_orderkey", "o_custkey")),
-      "lineitem" -> amplify(Tables.lineitem(spark, src),
-        Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      "events" -> amplify(Tables.events(spark, src), Seq("event_id", "user_id")),
-      "documents" -> amplify(Tables.documents(spark, src), Seq("doc_id")),
-      "embeddings" -> amplify(Tables.embeddings(spark, src), Seq("vec_id")))
+    /** Hot rows explode to `factor` copies (copy i offsets ONLY the
+      * row-identity keys by i·10⁹; the entity key is untouched), cold
+      * rows stay single — one pass, no factor-way union. */
+    def skewAmplify(df: DataFrame, hotOn: Column,
+        rowKeys: Seq[String]): DataFrame = {
+      guardUniverse(df, rowKeys)
+      df.withColumn("__n", when(hotOn, lit(factor.toLong)).otherwise(lit(1L)))
+        .select(col("*"), explode(sequence(lit(0L), col("__n") - 1)).as("__i"))
+        .drop("__n")
+        .pipe { d =>
+          rowKeys.foldLeft(d)((dd, k) =>
+            dd.withColumn(k, col(k) + col("__i") * lit(KeyOffset)))
+        }
+        .drop("__i")
+    }
+
+    val plans: Seq[(String, DataFrame)] =
+      if (!skewMode) Seq(
+        "region" -> Tables.region(spark, src),                       // bounded dim
+        "nation" -> Tables.nation(spark, src),                       // bounded dim
+        "customer" -> amplify(Tables.customer(spark, src), Seq("c_custkey")),
+        "supplier" -> amplify(Tables.supplier(spark, src), Seq("s_suppkey")),
+        "part" -> amplify(Tables.part(spark, src), Seq("p_partkey")),
+        "orders" -> amplify(Tables.orders(spark, src), Seq("o_orderkey", "o_custkey")),
+        "lineitem" -> amplify(Tables.lineitem(spark, src),
+          Seq("l_orderkey", "l_partkey", "l_suppkey")),
+        "events" -> amplify(Tables.events(spark, src), Seq("event_id", "user_id")),
+        "documents" -> amplify(Tables.documents(spark, src), Seq("doc_id")),
+        "embeddings" -> amplify(Tables.embeddings(spark, src), Seq("vec_id")))
+      else {
+        // lineitem copies must track their order's copied key: tag each
+        // line with its order's custkey (broadcast of the orders keys),
+        // then explode hot lines in lockstep with the order copies
+        val orderKeys = Tables.orders(spark, src)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+        val lineWithCust = Tables.lineitem(spark, src)
+          .join(broadcast(orderKeys), Seq("l_orderkey"))
+        Seq(
+          "region" -> Tables.region(spark, src),
+          "nation" -> Tables.nation(spark, src),
+          "customer" -> Tables.customer(spark, src),
+          "supplier" -> Tables.supplier(spark, src),
+          "part" -> Tables.part(spark, src),
+          "orders" -> skewAmplify(Tables.orders(spark, src),
+            hot(col("o_custkey")), Seq("o_orderkey")),
+          "lineitem" -> skewAmplify(lineWithCust,
+            hot(col("o_custkey")), Seq("l_orderkey")).drop("o_custkey"),
+          "events" -> skewAmplify(Tables.events(spark, src),
+            hot(col("user_id")), Seq("event_id")),
+          "documents" -> skewAmplify(Tables.documents(spark, src),
+            hot(col("doc_id")), Seq("doc_id")),
+          "embeddings" -> skewAmplify(Tables.embeddings(spark, src),
+            hot(col("vec_id")), Seq("vec_id")))
+      }
 
     plans.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     spark.stop()
+  }
+
+  /** Tiny pipe helper (Dataset.transform with nicer call-site syntax
+    * inside the one-pass skew explode). */
+  private implicit class Piped(private val df: DataFrame) extends AnyVal {
+    def pipe(f: DataFrame => DataFrame): DataFrame = f(df)
   }
 }

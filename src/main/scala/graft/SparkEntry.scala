@@ -167,6 +167,10 @@ object SparkEntry {
     "events_sessionize" -> (Events.sessionize _),
     "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
     "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
+    // the LINEAR attribution interface: one latest-click state row per
+    // user, one output row per attributed purchase — skew-safe where
+    // the all-pairs join above is quadratic on a hot user
+    "stream_last_click" -> (graft.streaming.EventStream.lastClickViaStream _),
     "stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
     "stream_static_enrich" -> (graft.streaming.EventStream.staticEnrichViaStream _),
     "stream_doc_dedup" -> (graft.streaming.EventStream.docDedupViaStream _),
@@ -2920,6 +2924,26 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // last-click attribution: each purchase's LATEST click at-or-before
+    // it within the hour (ts ties -> largest click_id) — the linear
+    // batch answer the streaming one-click-per-user state reproduces
+    "stream_last_click" ->
+      """WITH j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |    floor((p.value) * 1e4 + 0.5) / 1e4 AS purchase_value,
+        |    c.event_id AS click_id, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT event_id, user_id, ts, value FROM events
+        |        WHERE event_type = 'purchase') p
+        |  JOIN (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id
+        |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT purchase_id, user_id, purchase_ts, purchase_value,
+        |       click_id, click_ts
+        |FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
     "events_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,

@@ -145,6 +145,14 @@ object Similarity {
     lloydTrain(normalizedEmbeddings(spark, sfDir),
       numCentroids, iters, _.filter(col("vec_id") < numCentroids))
 
+  /** Test seam for the hand-computed golden (the oracle REPLAYS this
+    * loop, so a shared algorithmic bug would pass the replay — the
+    * golden pins the semantics independently): the standard
+    * first-C-vectors seed over an arbitrary (vec_id, e, nrm) frame. */
+  private[graft] def lloydTrainOf(emb: DataFrame, numCentroids: Int,
+      iters: Int): DataFrame =
+    lloydTrain(emb, numCentroids, iters, _.filter(col("vec_id") < numCentroids))
+
   /** The Lloyd loop itself, parameterized by the centroid seeding rule
     * (full-corpus training seeds `vec_id < C`; incremental training
     * seeds the C lowest ids of its snapshot — identical when ids are

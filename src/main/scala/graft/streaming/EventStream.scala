@@ -638,6 +638,89 @@ object EventStream {
       }
   }
 
+  case class LastClick(click_id: Long, click_ts: Timestamp)
+
+  /** Microsecond-precision epoch of a Timestamp — getTime alone is
+    * millis and silently truncates the corpus's microsecond stamps
+    * (caught by the oracle compare: .884882 read back as .884000). */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  case class Attribution(purchase_id: Long, user_id: Long,
+      purchase_ts: Timestamp, purchase_value: Double,
+      click_id: Long, click_ts: Timestamp)
+
+  /** LAST-CLICK attribution — the LINEAR production interface to the
+    * click→purchase question, and the skew-sweep fix for the all-pairs
+    * join's hot-key blowup (r11): on the skewed-1000× corpus a single
+    * user holds ~10⁶ events, and [[clickPurchaseJoin]] — whose contract
+    * is EVERY (click, purchase) pair within the window — owes ~10¹¹
+    * output rows on that one key (observed: the symmetric-hash-join
+    * task pinned a core scanning the hot key's state list per probe
+    * row; the drain never finishes). This operator answers what an
+    * attribution pipeline actually asks — each purchase's LATEST click
+    * at-or-before it within the window — with state = ONE (click_id,
+    * ts) per user and output = one row per attributed purchase, both
+    * linear at any skew.
+    *
+    * Semantics (single-sourced with the DuckDB oracle): per user,
+    * events process in event-time order (ties: clicks before purchases
+    * at the same timestamp, then event_id asc — so a same-ts click is
+    * attributable and the LARGEST click_id wins a ts tie); a purchase
+    * emits iff the latest click so far lies in [purchase_ts − window,
+    * purchase_ts]. Cross-batch the state carries the max-(ts, id)
+    * click, so late PURCHASES attribute correctly; a click arriving
+    * after a purchase it should have attributed is the documented
+    * single-pass trade (the finite AvailableNow drain sees the corpus
+    * as one in-order batch, where the operator equals the batch SQL). */
+  def lastClickAttribution(events: Dataset[Ev],
+      windowMinutes: Int = 60): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val winUs = windowMinutes * 60000000L
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[LastClick]) =>
+          val sorted = evs.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          sorted.foreach { e =>
+            if (e.event_type == "click") {
+              if (last.forall(l => micros(l.click_ts) < micros(e.ts) ||
+                  (micros(l.click_ts) == micros(e.ts) && l.click_id <= e.event_id)))
+                last = Some(LastClick(e.event_id, e.ts))
+            } else {
+              last.filter(l => micros(l.click_ts) >= micros(e.ts) - winUs)
+                .foreach { l =>
+                  out += Attribution(e.event_id, uid, e.ts, e.value,
+                    l.click_id, l.click_ts)
+                }
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Driver-contract entry for last-click attribution: the corpus
+    * events drained through [[lastClickAttribution]]. Row-scaled (one
+    * row per attributed purchase) → parquet spool. */
+  def lastClickViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Deterministic.rd
+    val out = lastClickAttribution(corpusEventsSource(spark, sfDir).as[Ev])
+      .toDF()
+      .withColumn("purchase_value", rd(col("purchase_value"), 4))
+    runToCompletion(spark, out, "graft_stream_lastclick", OutputMode.Append(),
+      partitions = drainPartitions(sfDir),
+      stateProvider = drainStateProvider(sfDir),
+      rowScaled = true)
+      .orderBy("purchase_id")
+  }
+
   /** Custom stateful operator: running per-user event count + value sum,
     * emitting the updated running totals every micro-batch. State is one
     * small case class per user — O(users) memory across the cluster. */

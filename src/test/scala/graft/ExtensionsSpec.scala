@@ -58,4 +58,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(0) === 0L)
     assert(rows(1) === 97L)
   }
+
+  test("winnowing sketch golden: hand-computed Karp-Rabin window minima") {
+    // The DuckDB oracle REPLAYS the same k-gram/window-min algorithm, so
+    // a shared semantic bug would pass the replay — these literals pin
+    // the semantics by hand. Base 131, mod 2^31-1, k=2, w=2:
+    //   h("ab") = 97*131 + 98 = 12805
+    //   h("ba") = 98*131 + 97 = 12935
+    //   h("cb") = 99*131 + 98 = 13067
+    import extSpark.implicits._
+    val out = Seq("aba", "abab", "cba", "ab").toDF("s")
+      .select(graft.functions.WinnowingSketch
+        .winnowing_sketch(col("s"), 2, 2).as("v"))
+      .as[Seq[Long]].collect()
+    assert(out(0) === Seq(12805L), "one window over [ab, ba] -> min 12805")
+    assert(out(1) === Seq(12805L, 12805L), "[ab,ba],[ba,ab] both min at ab")
+    assert(out(2) === Seq(12935L), "[cb, ba] -> min is the later gram")
+    assert(out(3) === Seq(12805L), "fewer grams than the window: one spanning window")
+  }
 }

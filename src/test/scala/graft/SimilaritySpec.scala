@@ -103,6 +103,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall below target: $recall")
   }
 
+  test("lloyd k-means golden: hand-computed assignment, qavg means, fixed point") {
+    // The DuckDB oracle REPLAYS this training loop (same seeds, same
+    // rd(cosine,6) ranking, same qavg means), so a shared algorithmic
+    // bug would replay cleanly — this fixture pins the semantics by
+    // hand. Seeds = v0 (1,0), v1 (0,1); v2 (0.75,0.25) has cosine
+    // 0.75/sqrt(0.625) = 0.948683 to c0 vs 0.316228 to c1 -> c0, and
+    // v3 mirrors to c1. qavg means (exact in 1e-6 units): c0 =
+    // [(1+0.75)/2, (0+0.25)/2] = [0.875, 0.125], c1 = [0.125, 0.875].
+    // Iteration 2 reassigns identically, so these centroids are a
+    // FIXED POINT of the loop.
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.75f, 0.25f)), (3L, Array(0.25f, 0.75f)))
+      .toDF("vec_id", "e")
+      .withColumn("nrm", VectorOps.l2Norm(col("e")))
+    val cent = Similarity.lloydTrainOf(emb, 2, 2).orderBy("cent_id").collect()
+    assert(cent.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(cent(0).getSeq[Double](1) === Seq(0.875, 0.125))
+    assert(cent(1).getSeq[Double](1) === Seq(0.125, 0.875))
+    // n_cent = sqrt(0.875^2 + 0.125^2) = sqrt(0.78125)
+    assert(math.abs(cent(0).getDouble(2) - math.sqrt(0.78125)) < 1e-12)
+    assert(math.abs(cent(1).getDouble(2) - math.sqrt(0.78125)) < 1e-12)
+  }
+
   test("trained centroids are deterministic and improve within-cluster fit") {
     val c1 = Similarity.trainedCentroids(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap

@@ -422,6 +422,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("last-click attribution: latest-click state, ts ties, window cutoff, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.lastClickAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("lca_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 0.0),   // later click wins
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 0.0),   // ts tie: larger id wins
+        Ev(10, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0),
+        Ev(11, ts("2024-01-01 12:00:00"), 1, "purchase", 7.0), // > 1h after click: dropped
+        Ev(20, ts("2024-01-01 09:00:00"), 2, "purchase", 1.0), // user 2 has no click
+        // same-ts click and purchase: click processes first, attributable
+        Ev(30, ts("2024-01-01 10:00:00"), 3, "click", 0.0),
+        Ev(31, ts("2024-01-01 10:00:00"), 3, "purchase", 2.0))
+      q.processAllAvailable()
+      // cross-batch: the latest-click STATE carries; a later purchase
+      // within the window of the remembered click still attributes
+      mem.addData(Ev(12, ts("2024-01-01 10:40:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("lca_out").orderBy("purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4)))
+      assert(rows.toSeq === Seq((10L, 3L), (12L, 3L), (31L, 30L)),
+        "purchase->click: tie-winning click 3 attributes 10 and cross-batch 12; " +
+          "same-ts click 30 attributes 31; out-of-window 11 and clickless 20 drop")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
