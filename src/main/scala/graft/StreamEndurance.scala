@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Dev tool: the multi-restart streaming endurance run at ARBITRARY
+  * scale — the unit-scale spec (`StreamingSpec` "multi-restart
+  * endurance") proves the kill/resume choreography on sf0.001; this
+  * main replays the same protocol against a scaled events table (point
+  * it at a ScaleUp output) with the RocksDB state-store provider
+  * pinned, so recovery is proven where state is big enough to matter
+  * (the r10 100× sweep showed the in-heap store OOMs near 183 MB of
+  * source; recovery must be exercised under the provider a cluster
+  * would actually run).
+  *
+  * Protocol: slice the events table into 6 time-ordered files (+ a
+  * far-future sentinel so append mode flushes every real session),
+  * then `cycles` kill/resume rounds over a maxFilesPerTrigger=1
+  * session-window drain — after every kill the parquet sink must show
+  * no duplicated session and monotonically growing committed output
+  * (the `_spark_metadata` commit log is the exactly-once mechanism
+  * asserted) — then a final `drainToCompletion` (sentinel re-injection
+  * heals the restored-watermark trap the unit spec discovered), and
+  * the sink must equal the batch session aggregation over all input.
+  *
+  * Usage: runMain graft.StreamEndurance <sfDir> [cycles]
+  * Prints one JSON line: {"endurance":"pass", ...} and exits non-zero
+  * on any violated invariant.
+  */
+object StreamEndurance {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cycles = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the point of the scaled run: recovery under the provider a
+      // cluster runs for big state, not the in-heap default
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-end25-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-end25-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-end25-ckpt").toString
+    val t0 = System.nanoTime()
+    try {
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).collect()
+        .flatMap(r => Array(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      val nSlices = 6
+      val bounds = (0 to nSlices).map(i => lo + (hi - lo) * i / nSlices)
+      var sentinelSeq = 0
+      def sentinel(extraHours: Int): org.apache.spark.sql.DataFrame =
+        Seq((-999L - sentinelSeq, new Timestamp(hi + extraHours * 3600 * 1000L),
+          -999L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+      (0 until nSlices).foreach { i =>
+        val fromBound =
+          if (i == 0) lit(true) else $"ts" > lit(new Timestamp(bounds(i)))
+        val base = ev.filter(fromBound)
+          .filter($"ts" <= lit(new Timestamp(bounds(i + 1))))
+        val s = if (i == nSlices - 1) base.unionByName(sentinel(2)) else base
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-end25-sl$i").toString
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // FileStreamSource discovers by mtime; pin strictly increasing
+        // stamps so discovery order = event-time order
+        require(dest.toFile.setLastModified((i + 1) * 60000L))
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      }
+      val schema = spark.read.parquet(inDir).schema
+      def startQuery(availableNow: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val w = graft.streaming.EventStream.sessionAgg(src).writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+        (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500)))
+          .start()
+      }
+      def sinkSessions(): Long =
+        scala.util.Try {
+          val s = spark.read.parquet(outDir).filter($"user_id" >= 0)
+          val n = s.count()
+          val d = s.distinct().count()
+          require(n == d, s"duplicated session rows after a kill: $n vs $d distinct")
+          n
+        }.getOrElse(0L)
+      var committedSoFar = 0L
+      var cyclesWithInput = 0
+      for (c <- 1 to cycles) {
+        val q = startQuery(availableNow = false)
+        try {
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          while (q.recentProgress.forall(_.numInputRows == 0) &&
+              System.nanoTime() < deadline) Thread.sleep(100)
+          if (q.recentProgress.exists(_.numInputRows > 0)) cyclesWithInput += 1
+        } finally q.stop() // kill mid-drain
+        val n = sinkSessions()
+        require(n >= committedSoFar,
+          s"committed output shrank after cycle $c: $n < $committedSoFar")
+        committedSoFar = n
+        System.err.println(s"[endurance] cycle $c: $n committed sessions")
+      }
+      require(cyclesWithInput >= 2,
+        "endurance needs at least two cycles that genuinely resumed mid-input")
+      // final drain with sentinel re-injection: a kill landing exactly
+      // after the sentinel's batch commits restores the PRE-sentinel
+      // watermark on resume; drainToCompletion heals it by injecting a
+      // fresh, later sentinel and re-draining
+      graft.streaming.EventStream.drainToCompletion(
+        () => startQuery(availableNow = true),
+        injectSentinel = { attempt =>
+          sentinelSeq += 1
+          val tmp = java.nio.file.Files.createTempDirectory("graft-end25-sent").toString
+          sentinel(2 + 2 * attempt).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = java.nio.file.Paths.get(inDir,
+            f"sentinel-$attempt%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          require(dest.toFile.setLastModified((nSlices + 1 + attempt) * 60000L))
+          graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+        },
+        // the newest sentinel's own open session never flushes
+        residualStateRows = 1L)
+      val streamed = spark.read.parquet(outDir).filter($"user_id" >= 0)
+      val batch = graft.streaming.EventStream.sessionAgg(
+          spark.read.parquet(inDir)).filter($"user_id" >= 0)
+      val sn = streamed.count()
+      val missing = batch.exceptAll(streamed).count()
+      val extra = streamed.exceptAll(batch).count()
+      require(missing == 0 && extra == 0,
+        s"final sink != batch sessions: $missing missing, $extra extra of $sn")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"endurance":"pass","cycles":$cycles,"sessions":$sn,""" +
+        s""""provider":"rocksdb","sf":"$sfDir","sec":${math.round(sec * 10) / 10.0}}""")
+    } finally {
+      Seq(inDir, outDir, ckpt).foreach(d =>
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
+      spark.stop()
+    }
+  }
+}

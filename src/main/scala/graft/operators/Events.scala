@@ -152,12 +152,44 @@ object Events {
     * then filters exactly — candidates are bounded by bucket occupancy,
     * not by per-user event counts squared. */
   def nearbyEventPairs(spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 5): DataFrame = {
+      gapMinutes: Int = 5,
+      maxCandidatePairs: Long = defaultCandidateBudget): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("us"))
       .withColumn("bucket", expr(s"us div ${gapUs}L"))
+    // OUTPUT-CONTRACT guard (r11 skew sweep): the bucket join bounds
+    // candidates by OCCUPANCY, and on a Zipf corpus occupancy is the
+    // hazard — the skewed-1000× grid put ~10⁶ same-timestamp events on
+    // one (user, bucket) and this query ground for 272 s producing
+    // ~3×10⁹ pairs that ARE its contract. Price the candidate count
+    // exactly from the (user, bucket) histogram (Σ nₐ·n_b over adjacent
+    // buckets — occupancy-sized frames, no event join) and refuse past
+    // budget; the linear answers are [[interarrival]] (consecutive
+    // gaps) / [[sessionize]]. Memoized per (corpus, gap): the stat a
+    // catalog would keep.
+    val key = (graft.sources.ArtifactCache.fingerprint(
+      spark, s"$sfDir/events.parquet"), gapMinutes)
+    val est = candidateEstimateCache.computeIfAbsent(key, _ => {
+      val occ = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val occB = occ.select(col("user_id"), col("n").as("n_b"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+          .as("bucket"))
+      occ.join(occB, Seq("user_id", "bucket"))
+        .agg(coalesce(sum(col("n") * col("n_b")), lit(0L)))
+        .head().getLong(0)
+    })
+    if (est > maxCandidatePairs)
+      throw new PairExplosionException(
+        s"nearbyEventPairs(gap=${gapMinutes}m) would examine ~$est candidate " +
+          s"pairs (budget $maxCandidatePairs, override via " +
+          "SPARK_GRAFT_MAX_PAIRS or the maxCandidatePairs parameter). " +
+          "All pairs within a gap is quadratic in per-bucket occupancy BY " +
+          "CONTRACT; on skewed corpora consume the linear interfaces " +
+          "instead: Events.interarrival (consecutive gaps) or " +
+          "Events.sessionize.")
     val a = ev.select(col("user_id"), col("event_id").as("event_a"),
       col("us").as("us_a"), col("bucket"))
     val b = ev.select(col("user_id"), col("event_id").as("event_b"),
@@ -170,6 +202,16 @@ object Events {
         (col("us_b") - col("us_a")).as("diff_us"))
       .orderBy("user_id", "event_a", "event_b")
   }
+
+  /** Candidate budget shared with the dedup pair views' convention
+    * (same env override) — see [[Dedup.defaultPairBudget]]'s rationale.
+    * Candidates, not output: the bound prices the JOIN's examined
+    * pairs, the quantity that exploded on the skew grid. */
+  private def defaultCandidateBudget: Long =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "50000000").toLong
+
+  private val candidateEstimateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
 
   /** Unpivot (wide → long): per-returnflag metric columns melted into
     * (returnflag, metric, value) rows — the inverse of pivot. */

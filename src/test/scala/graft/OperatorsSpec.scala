@@ -20,6 +20,16 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("range-join candidate guard: tiny budget refuses before the join, default admits") {
+    val admitted = Events.nearbyEventPairs(spark, sf).count()
+    assert(admitted > 0)
+    val e = intercept[graft.operators.PairExplosionException] {
+      Events.nearbyEventPairs(spark, sf, maxCandidatePairs = 0L).count()
+    }
+    assert(e.getMessage.contains("candidate"))
+    assert(e.getMessage.contains("interarrival"))
+  }
+
   test("stratified sample: deterministic and proportionally correct") {
     val s1 = Events.stratifiedSample(spark, sf).collect().map(_.toString).toSeq
     val s2 = Events.stratifiedSample(spark, sf).collect().map(_.toString).toSeq
