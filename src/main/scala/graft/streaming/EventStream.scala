@@ -671,37 +671,59 @@ object EventStream {
     * click, so late PURCHASES attribute correctly; a click arriving
     * after a purchase it should have attributed is the documented
     * single-pass trade (the finite AvailableNow drain sees the corpus
-    * as one in-order batch, where the operator equals the batch SQL). */
+    * as one in-order batch, where the operator equals the batch SQL).
+    * State EVICTS by event-time timeout once the watermark passes the
+    * stored click by 2×window — bounded by recently-active users, not
+    * by every user ever seen. */
   def lastClickAttribution(events: Dataset[Ev],
       windowMinutes: Int = 60): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     val winUs = windowMinutes * 60000000L
+    val winMs = windowMinutes * 60000L
     events
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastClick, Attribution](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[LastClick]) =>
-          val sorted = evs.toSeq.sortBy(e =>
-            (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
-          var last = state.getOption
-          val out = Seq.newBuilder[Attribution]
-          sorted.foreach { e =>
-            if (e.event_type == "click") {
-              if (last.forall(l => micros(l.click_ts) < micros(e.ts) ||
-                  (micros(l.click_ts) == micros(e.ts) && l.click_id <= e.event_id)))
-                last = Some(LastClick(e.event_id, e.ts))
-            } else {
-              last.filter(l => micros(l.click_ts) >= micros(e.ts) - winUs)
-                .foreach { l =>
-                  out += Attribution(e.event_id, uid, e.ts, e.value,
-                    l.click_id, l.click_ts)
-                }
+          if (state.hasTimedOut) {
+            // the stored click is > 2×window behind the watermark: no
+            // in-order purchase can attribute to it anymore — evict, so
+            // state is bounded by RECENTLY-ACTIVE users, not all users
+            // ever seen (the 100 TB posture; inert on a finite
+            // AvailableNow drain, which times nothing out)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e =>
+              (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Attribution]
+            sorted.foreach { e =>
+              if (e.event_type == "click") {
+                if (last.forall(l => micros(l.click_ts) < micros(e.ts) ||
+                    (micros(l.click_ts) == micros(e.ts) && l.click_id <= e.event_id)))
+                  last = Some(LastClick(e.event_id, e.ts))
+              } else {
+                last.filter(l => micros(l.click_ts) >= micros(e.ts) - winUs)
+                  .foreach { l =>
+                    out += Attribution(e.event_id, uid, e.ts, e.value,
+                      l.click_id, l.click_ts)
+                  }
+              }
             }
+            last.foreach { l =>
+              state.update(l)
+              // 2×window past the click (clamped above the watermark,
+              // which setTimeoutTimestamp requires): late purchases up
+              // to the lateness allowance still find the click
+              state.setTimeoutTimestamp(math.max(
+                l.click_ts.getTime + 2L * winMs,
+                state.getCurrentWatermarkMs() + winMs))
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 

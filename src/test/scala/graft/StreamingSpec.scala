@@ -429,20 +429,26 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("lca_out")
       .outputMode("append").start()
     try {
+      // batch 1 tops out at 10:30 so its watermark (10:20) stays BELOW
+      // batch 2's on-time purchase — with event-time state eviction the
+      // operator inherits the standard late-row drop, so a "cross-batch"
+      // fixture must actually be on time
       mem.addData(
         Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
         Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 0.0),   // later click wins
         Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 0.0),   // ts tie: larger id wins
         Ev(10, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0),
-        Ev(11, ts("2024-01-01 12:00:00"), 1, "purchase", 7.0), // > 1h after click: dropped
         Ev(20, ts("2024-01-01 09:00:00"), 2, "purchase", 1.0), // user 2 has no click
         // same-ts click and purchase: click processes first, attributable
         Ev(30, ts("2024-01-01 10:00:00"), 3, "click", 0.0),
         Ev(31, ts("2024-01-01 10:00:00"), 3, "purchase", 2.0))
       q.processAllAvailable()
       // cross-batch: the latest-click STATE carries; a later purchase
-      // within the window of the remembered click still attributes
-      mem.addData(Ev(12, ts("2024-01-01 10:40:00"), 1, "purchase", 9.0))
+      // within the window of the remembered click still attributes,
+      // while one past the window (12:30 vs click 10:10) drops
+      mem.addData(
+        Ev(12, ts("2024-01-01 10:40:00"), 1, "purchase", 9.0),
+        Ev(11, ts("2024-01-01 12:30:00"), 1, "purchase", 7.0))
       q.processAllAvailable()
       val rows = spark.table("lca_out").orderBy("purchase_id").collect()
         .map(r => (r.getLong(0), r.getLong(4)))
