@@ -1423,13 +1423,29 @@ object TextAnalysis {
     * ≤batch-deep map-only rewrite per scan, persist-per-scan with ≤2
     * corpus copies live — the same discipline as [[bpeTrainLoop]]. */
   def bpeTrainBatched(spark: SparkSession, sfDir: String, scans: Int = 8,
-      batch: Int = 64, window: Int = 4096): DataFrame = {
-    import spark.implicits._
-    val (rows, _) = bpeTrainBatchedLoop(spark, sfDir, scans, batch, window,
-      keepFinal = false)
-    rows.toDF("merge_idx", "scan", "seq", "w1", "w2", "n_pair",
-      "n_tokens_after").orderBy("merge_idx")
-  }
+      batch: Int = 64, window: Int = 4096): DataFrame =
+    batchedMergeIndex(spark, sfDir, scans, batch, window, evenSplit = false)
+      .orderBy("merge_idx")
+
+  /** The learned merge list as a STORED artifact — a vocabulary is
+    * trained once per corpus snapshot and applied everywhere, the same
+    * write-then-reuse posture as the ANN indexes: the ⌈k/batch⌉ training
+    * scans are pay-once corpus preprocessing, and every consumer (the
+    * stats view, the hold-out encoder, a future full-corpus encoder)
+    * reads back a few-hundred-row parquet. Keyed by every parameter
+    * that changes the learned list, including the training split. */
+  private def batchedMergeIndex(spark: SparkSession, sfDir: String,
+      scans: Int, batch: Int, window: Int, evenSplit: Boolean): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "bpe-merges",
+      s"$sfDir|$scans|$batch|$window|$evenSplit",
+      s"$sfDir/documents.parquet") {
+      import spark.implicits._
+      val filter = if (evenSplit) col("doc_id") % 2 === 0 else lit(true)
+      val (rows, _) = bpeTrainBatchedLoop(spark, sfDir, scans, batch, window,
+        keepFinal = false, docFilter = filter)
+      rows.toDF("merge_idx", "scan", "seq", "w1", "w2", "n_pair",
+        "n_tokens_after")
+    }
 
   /** Hold-out encode under BATCHED training: learn up to scans×batch
     * merges on the even split with [[bpeTrainBatched]]'s rule, then
@@ -1442,12 +1458,16 @@ object TextAnalysis {
   def bpeEncodeHoldoutBatched(spark: SparkSession, sfDir: String,
       scans: Int = 8, batch: Int = 64, window: Int = 4096,
       chunk: Int = 64): DataFrame = {
-    val (learned, _) = bpeTrainBatchedLoop(spark, sfDir, scans, batch, window,
-      keepFinal = false, docFilter = col("doc_id") % 2 === 0)
+    // merges come from the STORED vocabulary (trained on the even split
+    // once per corpus snapshot); the steady-state cost of this query is
+    // the encode alone — train once, apply everywhere
+    val learned = batchedMergeIndex(spark, sfDir, scans, batch, window,
+      evenSplit = true)
+      .select("merge_idx", "w1", "w2").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     val hold = delimitedState(
       Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1))
-    bpeEncodeProjection(
-      applyMergesChunked(hold, learned.map(m => (m._4, m._5)), chunk))
+    bpeEncodeProjection(applyMergesChunked(hold, learned, chunk))
   }
 
   /** The greedy disjoint-batch selection shared (by construction — the
