@@ -101,6 +101,7 @@ object SparkEntry {
     "text_bpe_train_batched" -> ((s, d) => TextAnalysis.bpeTrainBatched(s, d)),
     "text_bpe_holdout_batched" ->
       ((s, d) => TextAnalysis.bpeEncodeHoldoutBatched(s, d)),
+    "text_bpe_apply_batched" -> ((s, d) => TextAnalysis.bpeEncodeBatched(s, d)),
     "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "corpus_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "corpus_df_spectrum" -> ((s, d) => TextAnalysis.docFrequencySpectrum(s, d)),
@@ -136,6 +137,10 @@ object SparkEntry {
     // in the corpus at any duplication level (the all-pairs view above
     // owes k²/2 rows per k-clone group — both contracts ship)
     "dedup_semantic_keepers" -> ((s, d) => Dedup.semanticDedupKeepers(s, d)),
+    // the guard's pricing made observable: exact would-be expansion of
+    // both all-pairs views, no expansion executed (oracle counts the
+    // replayed member-level pair tables independently)
+    "dedup_pair_budgets" -> ((s, d) => Dedup.pairExpansionReport(s, d)),
     "text_decontamination" -> ((s, d) => Dedup.decontaminate(s, d)),
     "text_bloom_decontamination" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -531,6 +536,20 @@ object SparkEntry {
          |FROM h$scans
          |ORDER BY doc_id""".stripMargin
   }
+
+  /** Exact all-pairs embedding threshold join replay — shared by the
+    * dedup_embedding oracle and the pair-budgets count so the two can
+    * never drift. */
+  private val embeddingPairsOracleSql: String =
+    """SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    floor((list_sum(list_transform(range(1, 65),
+      |            i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
+      |               * CAST(list_extract(b.embedding, i) AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))) * 1e4 + 0.5) / 1e4 AS cosine
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wordcount_topk" ->
@@ -1491,6 +1510,20 @@ object SparkEntry {
     // bpeEncodeHoldoutBatched: batched training on even doc_ids, then
     // each scan's kept merges fold over the odd split in learned order
     "text_bpe_holdout_batched" -> bpeBatchedHoldoutSql(8, 64, 4096),
+    // bpeEncodeBatched: the full-corpus encode equals the batched
+    // trainer's final rewritten state s8 (replay-equivalence: scan k's
+    // merges apply to exactly the state scan k trained on)
+    "text_bpe_apply_batched" -> (bpeBatchedCtesOver("", 8, 64, 4096) +
+      """
+        |SELECT doc_id,
+        |  CAST((length(s) - length(replace(s, chr(1), '')))
+        |     + (length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens,
+        |  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_merges,
+        |  CAST((length(s) - length(replace(s, chr(2), ''))) // 2 AS BIGINT) AS n_tokens_after,
+        |  replace(array_to_string(list_filter(string_split(s, chr(2)), x -> x != ''), ' '),
+        |          chr(1), '_') AS encoded
+        |FROM s8
+        |ORDER BY doc_id""".stripMargin),
     // bpeEncode(rounds=5): the SAME 5-round replay as text_bpe_train
     // (identical s0..s5 chain), but the final projection reads the
     // ENCODED corpus state s5 per document — counts off the delimited
@@ -2777,16 +2810,18 @@ object SparkEntry {
         |SELECT doc_a, doc_b, hamming FROM cross_p
         |UNION ALL SELECT doc_a, doc_b, hamming FROM intra
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_embedding" ->
-      """SELECT vec_a, vec_b, cosine FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    floor((list_sum(list_transform(range(1, 65),
-        |            i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
-        |               * CAST(list_extract(b.embedding, i) AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))) * 1e4 + 0.5) / 1e4 AS cosine
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding" -> embeddingPairsOracleSql,
+    // the guard's pricing formula hash-verified: DuckDB counts BOTH
+    // replayed member-level pair tables independently; the Spark side
+    // prices them from canonical survivors x group histogram without
+    // expanding a single pair
+    "dedup_pair_budgets" ->
+      (s"""SELECT 'embedding' AS view, CAST(count(*) AS BIGINT) AS expanded_pairs
+         |FROM ($embeddingPairsOracleSql)
+         |UNION ALL
+         |SELECT 'semantic' AS view, CAST(count(*) AS BIGINT) AS expanded_pairs
+         |FROM (${semanticDedupOracle(2, 0.3)})
+         |ORDER BY view""".stripMargin),
     // lshTopK: full replay of the SRP signature path — plane entries
     // are the seeded-md5 uniform shifted to [-0.5, 0.5) (exact multiples
     // of 2^-32), each signature bit the sign of the QUANTIZED integer

@@ -57,15 +57,7 @@ object Dedup {
   private def guardedSurvivors(survivors: DataFrame, members: DataFrame,
       maxExpandedPairs: Long, what: String): DataFrame = {
     val checked = survivors.localCheckpoint()
-    val sizes = members.groupBy("canon_id").agg(count(lit(1)).as("n"))
-    val expanded = checked.select("ca", "cb")
-      .join(renamed(sizes, "canon_id" -> "ca", "n" -> "n_a"), Seq("ca"))
-      .join(renamed(sizes, "canon_id" -> "cb", "n" -> "n_b"), Seq("cb"))
-      .select(expr(
-        "CASE WHEN ca = cb THEN n_a * (n_a - 1) DIV 2 ELSE n_a * n_b END")
-        .as("pairs"))
-      .agg(coalesce(sum("pairs"), lit(0L)).as("p"))
-      .head().getLong(0)
+    val expanded = expandedPairCount(checked, members)
     if (expanded > maxExpandedPairs)
       throw new PairExplosionException(
         s"$what would expand to $expanded member pairs " +
@@ -76,6 +68,46 @@ object Dedup {
           "Dedup.semanticDedupKeepers (one verdict per vector) or " +
           "Dedup.nearDupClusters / TextAnalysis.keepBestPerCluster.")
     checked
+  }
+
+  /** The guard's pricing formula, shared with [[pairExpansionReport]]
+    * (whose DuckDB oracle hash-verifies it against an independent count
+    * of the replayed member-level pair tables): exact expanded
+    * member-pair cardinality of a canonical survivor relation. */
+  private def expandedPairCount(survivors: DataFrame,
+      members: DataFrame): Long = {
+    val sizes = members.groupBy("canon_id").agg(count(lit(1)).as("n"))
+    survivors.select("ca", "cb")
+      .join(renamed(sizes, "canon_id" -> "ca", "n" -> "n_a"), Seq("ca"))
+      .join(renamed(sizes, "canon_id" -> "cb", "n" -> "n_b"), Seq("cb"))
+      .select(expr(
+        "CASE WHEN ca = cb THEN n_a * (n_a - 1) DIV 2 ELSE n_a * n_b END")
+        .as("pairs"))
+      .agg(coalesce(sum("pairs"), lit(0L)).as("p"))
+      .head().getLong(0)
+  }
+
+  /** The guard made OBSERVABLE (and oracle-checked): one row per
+    * all-pairs dedup view with the EXACT member-pair cardinality its
+    * expansion would produce, computed by the guard's own pricing
+    * (canonical survivors × duplicate-group histogram) WITHOUT
+    * executing any expansion. The DuckDB oracle counts the replayed
+    * member-level pair tables independently, so a hash match proves
+    * the refusal arithmetic — the number a pipeline operator would log
+    * before deciding between the pair view and the linear keeper /
+    * cluster interfaces. */
+  def pairExpansionReport(spark: SparkSession, sfDir: String,
+      embThreshold: Double = 0.35, numBlocks: Int = 8,
+      semThreshold: Double = 0.3, numCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (mSem, sSem) = semanticCanonicalSurvivors(spark, sfDir,
+      semThreshold, numCentroids, iters)
+    val (mEmb, sEmb) = embeddingCanonicalSurvivors(spark, sfDir,
+      embThreshold, numBlocks)
+    Seq(("embedding", expandedPairCount(sEmb, mEmb)),
+        ("semantic", expandedPairCount(sSem, mSem)))
+      .toDF("view", "expanded_pairs").orderBy("view")
   }
 
   /** Distinct word n-gram shingles per document, hashed to 64-bit.
@@ -1428,6 +1460,35 @@ object Dedup {
     // surviving canonical pair expands to its member pairs at output —
     // identical rows to the member-level join, because cosine is a
     // symmetric pure function of the coordinates.
+    val (members, survivors) =
+      embeddingCanonicalSurvivors(spark, sfDir, threshold, numBlocks)
+    // OUTPUT-CONTRACT guard (r11): the blocked join above is the
+    // scale-safe compute; what remains quadratic is this view's OWN
+    // output when duplication is heavy (measured p=1.29 on the 25→100×
+    // clone pair). The guard materializes the canonical survivors,
+    // prices the expansion exactly against the group histogram, and
+    // refuses past the budget — the linear production interfaces are
+    // [[semanticDedupKeepers]] / [[nearDupClusters]].
+    guardedSurvivors(survivors, members, maxExpandedPairs,
+      s"embeddingNearDupPairsBlocked(threshold=$threshold)")
+      .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
+      .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
+      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
+        .otherwise(lit(true)))
+      .select(least(col("m_a"), col("m_b")).as("vec_a"),
+        greatest(col("m_a"), col("m_b")).as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Shared canonical stage of the exact embedding threshold join: the
+    * member map plus the surviving canonical pair relation — the
+    * block-replicated cross pairs UNION the self pairs that carry every
+    * exact-duplicate group. One definition so the guarded pair view and
+    * [[pairExpansionReport]] can never drift. */
+  private def embeddingCanonicalSurvivors(spark: SparkSession,
+      sfDir: String, threshold: Double, numBlocks: Int)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.VectorOps
     val emb = VectorOps.normalizedEmbeddings(spark, sfDir)
     val (members, canon) = VectorOps.exactVectorGroups(emb)
     val canonBlocked = canon.select(col("canon_id").as("vec_id"), col("e"),
@@ -1438,22 +1499,7 @@ object Dedup {
       rd(VectorOps.cosine(col("e"), col("nrm"), col("e"), col("nrm")), 4)
         .as("cosine"))
       .filter(col("cosine") >= threshold)
-    // OUTPUT-CONTRACT guard (r11): the blocked join above is the
-    // scale-safe compute; what remains quadratic is this view's OWN
-    // output when duplication is heavy (measured p=1.29 on the 25→100×
-    // clone pair). The guard materializes the canonical survivors,
-    // prices the expansion exactly against the group histogram, and
-    // refuses past the budget — the linear production interfaces are
-    // [[semanticDedupKeepers]] / [[nearDupClusters]].
-    guardedSurvivors(cross.unionByName(self), members, maxExpandedPairs,
-      s"embeddingNearDupPairsBlocked(threshold=$threshold)")
-      .join(renamed(members, "vec_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
-      .join(renamed(members, "vec_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
-      .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
-        .otherwise(lit(true)))
-      .select(least(col("m_a"), col("m_b")).as("vec_a"),
-        greatest(col("m_a"), col("m_b")).as("vec_b"), col("cosine"))
-      .orderBy("vec_a", "vec_b")
+    (members, cross.unionByName(self))
   }
 
   /** Pruning diagnostics for the exact embedding threshold join — the

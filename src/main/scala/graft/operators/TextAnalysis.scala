@@ -1470,6 +1470,25 @@ object TextAnalysis {
     bpeEncodeProjection(applyMergesChunked(hold, learned, chunk))
   }
 
+  /** FULL-CORPUS encode under the stored batched vocabulary — the
+    * consumer that "tokenizes everything": read the merge artifact
+    * (trained on the whole corpus), replay it over every document
+    * through the chunked projection. Replay-equivalence to the
+    * trainer's final state holds scan by scan: within a scan the kept
+    * merges are footprint-disjoint (order-free), and across scans the
+    * replay applies scan k's merges to exactly the state scan k was
+    * trained on. Same output shape as [[bpeEncode]]. */
+  def bpeEncodeBatched(spark: SparkSession, sfDir: String,
+      scans: Int = 8, batch: Int = 64, window: Int = 4096,
+      chunk: Int = 64): DataFrame = {
+    val learned = batchedMergeIndex(spark, sfDir, scans, batch, window,
+      evenSplit = false)
+      .select("merge_idx", "w1", "w2").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeProjection(applyMergesChunked(
+      delimitedState(Tables.documents(spark, sfDir)), learned, chunk))
+  }
+
   /** The greedy disjoint-batch selection shared (by construction — the
     * SQL oracle replays the same sequential fold as a single-row
     * recursive CTE over the ranked window, carrying the used-symbol

@@ -118,6 +118,15 @@ class DedupSpec extends SparkSpec {
       maxExpandedPairs = embPairs).count() === embPairs)
   }
 
+  test("pair-budget report prices exactly what the views expand to, without expanding") {
+    val report = Dedup.pairExpansionReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.keySet === Set("embedding", "semantic"))
+    assert(report("embedding") ===
+      Dedup.embeddingNearDupPairsBlocked(spark, sf).count())
+    assert(report("semantic") === Dedup.semanticDedupPairs(spark, sf).count())
+  }
+
   test("blocked embedding pairs plan has no product join") {
     val plan = Dedup.embeddingNearDupPairsBlocked(spark, sf)
       .queryExecution.executedPlan.toString

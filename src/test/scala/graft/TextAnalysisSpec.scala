@@ -755,6 +755,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("batched full-corpus encode: every doc present, token conservation, merges applied") {
+    val enc = TextAnalysis.bpeEncodeBatched(spark, sf).collect()
+    assert(enc.length.toLong ===
+      graft.sources.Tables.documents(spark, sf).count())
+    enc.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"doc ${r.getLong(0)} token conservation")
+    }
+    assert(enc.map(_.getLong(2)).sum > 0, "the vocabulary must actually apply")
+  }
+
   test("bpe merge fold: repeated-token runs merge floor(run/2) times") {
     val docs = Seq(
       (1L, Seq("a", "a", "a", "a", "a")), // 5-run -> 2 merges
