@@ -137,6 +137,11 @@ object SparkEntry {
     // in the corpus at any duplication level (the all-pairs view above
     // owes k²/2 rows per k-clone group — both contracts ship)
     "dedup_semantic_keepers" -> ((s, d) => Dedup.semanticDedupKeepers(s, d)),
+    // the BOUNDED pair form: top-m same-cell neighbors per vector —
+    // ≤ N·m output rows at any duplication, so 100×+ corpora get pairs
+    // without raising the budget (candidates cut to m+1 lowest ids per
+    // partner group at canonical level; never expands member pairs)
+    "dedup_semantic_topm" -> ((s, d) => Dedup.semanticDedupTopM(s, d)),
     // the guard's pricing made observable: exact would-be expansion of
     // both all-pairs views, no expansion executed (oracle counts the
     // replayed member-level pair tables independently)
@@ -171,7 +176,8 @@ object SparkEntry {
     "layout_compaction_plan" -> ((s, d) => Layout.compactionPlan(s, d)),
     "events_sessionize" -> (Events.sessionize _),
     "stream_sessionize" -> (graft.streaming.EventStream.sessionizeViaStream _),
-    "stream_click_attribution" -> (graft.streaming.EventStream.clickAttributionViaStream _),
+    "stream_click_attribution" ->
+      ((s, d) => graft.streaming.EventStream.clickAttributionViaStream(s, d)),
     // the LINEAR attribution interface: one latest-click state row per
     // user, one output row per attributed purchase — skew-safe where
     // the all-pairs join above is quadratic on a hot user
@@ -219,6 +225,10 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Events.stratifiedSample(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    // the code-currency form: candidates scored via symmetric PQ (SDC
+    // table lookups over the stored code index, ~6× less join payload
+    // than float vectors), exact rerank on each vector's shortlist only
+    "ann_knn_join_pq" -> ((s, d) => Similarity.knnJoinPq(s, d)),
     "events_distinct_rollup" -> ((s, d) => Events.distinctUsersViaSketchRollup(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
@@ -2213,6 +2223,7 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "ann_knn_join" -> knnJoinOracle(2, 3),
+    "ann_knn_join_pq" -> knnJoinPqOracle(2, 3, 6, 96),
     // events_distinct_rollup: HLL sketch estimates differ per engine ->
     // rows-only check; AsOfJoinSpec bounds error <5% and asserts the
     // union-of-daily-sketches estimate equals the direct sketch (the
@@ -2334,6 +2345,7 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_semantic" -> semanticDedupOracle(2, 0.3),
     "dedup_semantic_keepers" -> semanticKeepersOracle(2, 0.3),
+    "dedup_semantic_topm" -> semanticTopMOracle(2, 0.3, 5),
     "embedding_prototypicality" -> prototypicalityOracle(2),
     // PQ: per-subspace k-means + encoding + ADC replayed end-to-end;
     // every subspace-ordered double sum is list_sum(list(x ORDER BY m))
@@ -3417,6 +3429,45 @@ object SparkEntry {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Top-m oracle: replay the SAME member-level within-cell pair table
+    * as [[semanticDedupOracle]], SYMMETRIZE it (each pair is a neighbor
+    * of both ends), and take the per-vector top-m cut on (cosine desc,
+    * neighbor_id asc) — the member-level statement of what the Spark
+    * side computes at canonical level with the m+1-lowest-ids candidate
+    * cut. A hash match proves the cut is exact, not approximate. */
+  private def semanticTopMOracle(iters: Int, threshold: Double,
+      m: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n WHERE vec_id < 16),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |pairs AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(va.embedding, i) AS DOUBLE) * CAST(list_extract(vb.embedding, i) AS DOUBLE))) / (va.nrm * vb.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |  FROM assigned a
+       |    JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN n va ON va.vec_id = a.vec_id
+       |    JOIN n vb ON vb.vec_id = b.vec_id),
+       |nbrs AS (SELECT keep_id AS vec_id, dup_id AS neighbor_id, cosine
+       |         FROM pairs WHERE cosine >= $threshold
+       |         UNION ALL
+       |         SELECT dup_id, keep_id, cosine
+       |         FROM pairs WHERE cosine >= $threshold)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM nbrs)
+       |WHERE rank <= $m ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Prototypicality oracle: replay training + assignment, score each
     * vector against its own cell centroid, rank within the cell on the
     * ROUNDED cosine (ties by vec_id) — identical tie-breaks to Spark. */
@@ -3468,12 +3519,13 @@ object SparkEntry {
        |    CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
        |    GROUP BY s.m, a.code, p.pos) GROUP BY m, cent_id)""".stripMargin
 
-  /** Shared prefix: subvector view, codebook training (`iters` Lloyd
-    * steps), final codes, reconstructed norms and per-query ADC lookup
-    * tables — everything up to the scored candidate set. All sums that
-    * Spark folds left-to-right over subspace order are `list_sum(list(x
-    * ORDER BY m))` here, so the doubles agree bitwise. */
-  private def pqAdcPrefix(iters: Int): String = {
+  /** Codes-only prefix: subvector view, codebook training (`iters`
+    * Lloyd steps), final codes and reconstructed norms — the stored-
+    * index replay shared by the ADC queries and the SDC kNN join. All
+    * sums that Spark folds left-to-right over subspace order are
+    * `list_sum(list(x ORDER BY m))` here, so the doubles agree
+    * bitwise. */
+  private def pqCodesPrefix(iters: Int): String = {
     val training = (0 until iters).map { t =>
       s"${pqAssignCte(s"pa$t", s"pc$t")},\n${pqMeanCte(s"pc${t + 1}", s"pa$t")}"
     }.mkString(",\n")
@@ -3490,7 +3542,14 @@ object SparkEntry {
        |c2 AS (SELECT m, cent_id, list_sum(list_transform(cvec, x -> x * x)) AS c2 FROM $cbFinal),
        |vhat AS (SELECT a.vec_id, sqrt(list_sum(list(c.c2 ORDER BY a.m))) AS nrm_hat
        |         FROM codes a JOIN c2 c ON a.m = c.m AND a.code = c.cent_id
-       |         GROUP BY a.vec_id),
+       |         GROUP BY a.vec_id)""".stripMargin
+  }
+
+  /** ADC prefix: [[pqCodesPrefix]] plus per-query lookup tables and the
+    * full-corpus scored candidate set (queries = vec_id < 20). */
+  private def pqAdcPrefix(iters: Int): String = {
+    val cbFinal = s"pc$iters"
+    s"""${pqCodesPrefix(iters)},
        |lut AS (SELECT s.vec_id AS query_id, s.m, c.cent_id,
        |          list_sum(list_transform(range(1, 9), i -> list_extract(s.sv, i) * list_extract(c.cvec, i))) AS pdot
        |        FROM sub s JOIN $cbFinal c ON s.m = c.m WHERE s.vec_id < 20),
@@ -3774,6 +3833,64 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM pairs)
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.knnJoinPq]]: the PQ
+    * codes prefix (training + encoding + reconstructed norms, shared
+    * with the ADC oracles), the coarse quantizer at C = max(16, ⌈√N⌉)
+    * (ivc/iva names — the pq prefix owns c2), every vector's nprobe
+    * probes, the SDC sub-centroid dot table, symmetric code scoring
+    * over probed cells, the per-vector shortlist cut, and the exact
+    * rerank — every stage bit-replayed. */
+  private def knnJoinPqOracle(iters: Int, k: Int, nprobe: Int,
+      shortlist: Int): String = {
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"iva$t", s"ivc$t")},\n${ivfMeanCte(s"ivc${t + 1}", s"iva$t")}"
+    }.mkString(",\n")
+    val cFinal = s"ivc$iters"
+    s"""${pqCodesPrefix(iters)},
+       |ivc0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm FROM n
+       |       WHERE vec_id < greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+       |$training,
+       |${ivfAssignCte("assigned", cFinal)},
+       |probes AS (SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfCsim("v.embedding", "v.nrm")} DESC, c.cent_id ASC) AS prn
+       |    FROM n v, $cFinal c)
+       |  WHERE prn <= $nprobe),
+       |sdot AS (SELECT a.m, a.cent_id AS cu, b.cent_id AS cv,
+       |           list_sum(list_transform(range(1, 9), i -> list_extract(a.cvec, i) * list_extract(b.cvec, i))) AS d
+       |         FROM pc$iters a JOIN pc$iters b ON a.m = b.m),
+       |candp AS (SELECT p.vec_id, a.vec_id AS neighbor_id
+       |          FROM probes p
+       |          JOIN assigned a ON a.cluster = p.cluster AND a.vec_id != p.vec_id),
+       |sdc AS (SELECT cp.vec_id, cp.neighbor_id,
+       |          floor((list_sum(list(s.d ORDER BY ca.m)) / (any_value(va.nrm_hat) * any_value(vb.nrm_hat))) * 1e4 + 0.5) / 1e4 AS approx_cos
+       |        FROM candp cp
+       |          JOIN codes ca ON ca.vec_id = cp.vec_id
+       |          JOIN codes cb ON cb.vec_id = cp.neighbor_id AND cb.m = ca.m
+       |          JOIN sdot s ON s.m = ca.m AND s.cu = ca.code AND s.cv = cb.code
+       |          JOIN vhat va ON va.vec_id = cp.vec_id
+       |          JOIN vhat vb ON vb.vec_id = cp.neighbor_id
+       |        GROUP BY cp.vec_id, cp.neighbor_id),
+       |short AS (SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY approx_cos DESC, neighbor_id ASC) AS srn
+       |    FROM sdc)
+       |  WHERE srn <= $shortlist),
+       |rer AS (SELECT s.vec_id, s.neighbor_id,
+       |          floor((list_sum(list_transform(range(1, 65), i -> CAST(list_extract(q.embedding, i) AS DOUBLE) * CAST(list_extract(v.embedding, i) AS DOUBLE))) / (q.nrm * v.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
+       |        FROM short s
+       |          JOIN n q ON q.vec_id = s.vec_id
+       |          JOIN n v ON v.vec_id = s.neighbor_id)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM rer)
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 

@@ -24,7 +24,23 @@ import java.sql.Timestamp
   * heals the restored-watermark trap the unit spec discovered), and
   * the sink must equal the batch session aggregation over all input.
   *
-  * Usage: runMain graft.StreamEndurance <sfDir> [cycles]
+  * MODES: `sessions` (default) drains the session-window aggregation —
+  * merge-heavy MULTI-row state per user; `lastclick` drains
+  * [[graft.streaming.EventStream.lastClickAttribution]] — the
+  * `flatMapGroupsWithState` single-row-per-user state with event-time
+  * timeout EVICTION, whose skew hazard is one user holding ~10⁶ events
+  * (run this mode against a `ScaleUp … skew` output so recovery is
+  * proven with a giant hot-key group in play). In lastclick mode the
+  * final sink must equal the EXACT batch window replay of the
+  * operator's semantics (running max-(ts, id) click per user in
+  * (ts, clicks-first, id) order; purchase attributes iff that click is
+  * within [p.ts − window, p.ts]) — bit-equal, both directions. Output
+  * emits immediately in append mode (not watermark-held), so the final
+  * drain needs no sentinel healing; the far-future sentinel still
+  * rides the last slice so the watermark passes every click by 2×window
+  * and the EVICTION branch fires across a checkpoint boundary.
+  *
+  * Usage: runMain graft.StreamEndurance <sfDir> [cycles] [lastclick]
   * Prints one JSON line: {"endurance":"pass", ...} and exits non-zero
   * on any violated invariant.
   */
@@ -32,6 +48,7 @@ object StreamEndurance {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val cycles = if (args.length > 1) args(1).toInt else 3
+    val lastClickMode = args.contains("lastclick")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -52,8 +69,16 @@ object StreamEndurance {
     try {
       val ev = graft.sources.Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val Array(lo, hi) = ev.agg(min("ts"), max("ts")).collect()
+      // getTime is MILLISECOND-truncated while corpus timestamps carry
+      // microseconds: a raw `ts <= Timestamp(hi)` upper bound would
+      // silently exclude every event above the truncated max — always
+      // including the true max — from all slices (and the final
+      // stream-vs-batch check reads the same sliced input, so the
+      // shrink would be invisible). Round hi UP by 1 ms so the last
+      // slice is inclusive of the true maximum event time.
+      val Array(lo, hi0) = ev.agg(min("ts"), max("ts")).collect()
         .flatMap(r => Array(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      val hi = hi0 + 1
       val nSlices = 6
       val bounds = (0 to nSlices).map(i => lo + (hi - lo) * i / nSlices)
       var sentinelSeq = 0
@@ -82,7 +107,12 @@ object StreamEndurance {
       def startQuery(availableNow: Boolean) = {
         val src = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
-        val w = graft.streaming.EventStream.sessionAgg(src).writeStream
+        val transformed =
+          if (lastClickMode)
+            graft.streaming.EventStream.lastClickAttribution(
+              src.as[graft.streaming.EventStream.Ev]).toDF()
+          else graft.streaming.EventStream.sessionAgg(src)
+        val w = transformed.writeStream
           .format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt).outputMode("append")
         (if (availableNow)
@@ -95,8 +125,13 @@ object StreamEndurance {
         scala.util.Try {
           val s = spark.read.parquet(outDir).filter($"user_id" >= 0)
           val n = s.count()
-          val d = s.distinct().count()
-          require(n == d, s"duplicated session rows after a kill: $n vs $d distinct")
+          // exactly-once invariant after a kill, per mode: attribution
+          // emits ONE row per purchase (purchase_id is the row key);
+          // sessions have no single-column key — whole-row distinct
+          val d = if (lastClickMode)
+            s.select("purchase_id").distinct().count()
+          else s.distinct().count()
+          require(n == d, s"duplicated sink rows after a kill: $n vs $d distinct")
           n
         }.getOrElse(0L)
       var committedSoFar = 0L
@@ -117,41 +152,87 @@ object StreamEndurance {
       }
       require(cyclesWithInput >= 2,
         "endurance needs at least two cycles that genuinely resumed mid-input")
-      // final drain with sentinel re-injection: a kill landing exactly
-      // after the sentinel's batch commits restores the PRE-sentinel
-      // watermark on resume; drainToCompletion heals it by injecting a
-      // fresh, later sentinel and re-draining
-      graft.streaming.EventStream.drainToCompletion(
-        () => startQuery(availableNow = true),
-        injectSentinel = { attempt =>
-          sentinelSeq += 1
-          val tmp = java.nio.file.Files.createTempDirectory("graft-end25-sent").toString
-          sentinel(2 + 2 * attempt).coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dest = java.nio.file.Paths.get(inDir,
-            f"sentinel-$attempt%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dest)
-          require(dest.toFile.setLastModified((nSlices + 1 + attempt) * 60000L))
-          graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
-        },
-        // the newest sentinel's own open session never flushes
-        residualStateRows = 1L)
+      if (lastClickMode) {
+        // attribution rows emit immediately in append mode — one
+        // AvailableNow pass drains everything; no sentinel healing
+        // needed (the last slice's far-future sentinel has already
+        // advanced the watermark past every click + 2×window, so the
+        // EVICTION branch fires here, across the checkpoint boundary)
+        val q = startQuery(availableNow = true)
+        q.awaitTermination()
+      } else {
+        // final drain with sentinel re-injection: a kill landing exactly
+        // after the sentinel's batch commits restores the PRE-sentinel
+        // watermark on resume; drainToCompletion heals it by injecting a
+        // fresh, later sentinel and re-draining
+        graft.streaming.EventStream.drainToCompletion(
+          () => startQuery(availableNow = true),
+          injectSentinel = { attempt =>
+            sentinelSeq += 1
+            val tmp = java.nio.file.Files.createTempDirectory("graft-end25-sent").toString
+            sentinel(2 + 2 * attempt).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dest = java.nio.file.Paths.get(inDir,
+              f"sentinel-$attempt%03d.parquet")
+            java.nio.file.Files.move(part.toPath, dest)
+            require(dest.toFile.setLastModified((nSlices + 1 + attempt) * 60000L))
+            graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+          },
+          // the newest sentinel's own open session never flushes
+          residualStateRows = 1L)
+      }
       val streamed = spark.read.parquet(outDir).filter($"user_id" >= 0)
-      val batch = graft.streaming.EventStream.sessionAgg(
+      val batch =
+        if (lastClickMode)
+          lastClickBatchReplay(spark.read.parquet(inDir), windowMinutes = 60)
+        else graft.streaming.EventStream.sessionAgg(
           spark.read.parquet(inDir)).filter($"user_id" >= 0)
       val sn = streamed.count()
-      val missing = batch.exceptAll(streamed).count()
-      val extra = streamed.exceptAll(batch).count()
+      val missing = batch.exceptAll(streamed.select(batch.columns.map(col): _*)).count()
+      val extra = streamed.select(batch.columns.map(col): _*).exceptAll(batch).count()
       require(missing == 0 && extra == 0,
-        s"final sink != batch sessions: $missing missing, $extra extra of $sn")
+        s"final sink != batch replay: $missing missing, $extra extra of $sn")
+      val mode = if (lastClickMode) "lastclick" else "sessions"
       val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"endurance":"pass","cycles":$cycles,"sessions":$sn,""" +
+      println(s"""{"endurance":"pass","mode":"$mode","cycles":$cycles,"rows":$sn,""" +
         s""""provider":"rocksdb","sf":"$sfDir","sec":${math.round(sec * 10) / 10.0}}""")
     } finally {
       Seq(inDir, outDir, ckpt).foreach(d =>
         graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
       spark.stop()
     }
+  }
+
+  /** Exact batch replay of [[graft.streaming.EventStream.lastClickAttribution]]
+    * over TIME-ORDERED input (which the sliced drain delivers by
+    * construction): per user, the running max-(ts_us, event_id) click
+    * in (ts_us, clicks-before-purchases, event_id) processing order —
+    * one window pass, the same statement as the operator's in-batch
+    * fold — and a purchase emits iff that click lies within
+    * [p.ts − window, p.ts]. The upper bound is structural here (the
+    * running max only sees rows ordered at-or-before the purchase);
+    * on ordered slices the cross-batch drop trade never fires, so
+    * stream output must equal this replay EXACTLY. */
+  private def lastClickBatchReplay(events: org.apache.spark.sql.DataFrame,
+      windowMinutes: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winUs = windowMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy("us", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      // struct comparison is lexicographic in field order, so max picks
+      // the (ts, id)-largest click; its wall-clock ts rides as a payload
+      .withColumn("lc", max(when(col("kind") === 0,
+        struct(col("us").as("cus"), col("event_id").as("cid"),
+          col("ts").as("cts")))).over(w))
+      .filter(col("kind") === 1 && col("lc").isNotNull &&
+        col("lc.cus") >= col("us") - winUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"),
+        col("lc.cid").as("click_id"), col("lc.cts").as("click_ts"))
   }
 }

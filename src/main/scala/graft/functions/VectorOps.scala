@@ -86,4 +86,25 @@ object VectorOps {
     tagged.unpersist(blocking = false)
     (members, canon)
   }
+
+  /** The STORED form of [[exactVectorGroups]] over the corpus embedding
+    * table — the collapse is corpus PREPROCESSING (the very artifact an
+    * exact-dedup stage produces), so pay the vector-wide window + two
+    * materializations once per corpus snapshot and have every
+    * canonical-granularity consumer (semantic/embedding dedup views,
+    * keepers, top-m, the block-pruning report) read the two slim parquet
+    * halves back. Before r12 each of those queries re-ran the window +
+    * localCheckpoints per call — ~0.4 s of pure re-preprocessing at
+    * fixture scale, and a full vector shuffle at 100 TB. Callers that
+    * collapse a FILTERED frame (embedding decontamination excludes the
+    * eval split first) keep the per-call form. */
+  def vectorGroupsIndex(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (DataFrame, DataFrame) =
+    // sfDir MUST be in params: the cache's stale-fingerprint sweep
+    // reclaims sibling fingerprints of the same (name, params) key, so
+    // omitting the corpus path would make two corpora in one JVM evict
+    // each other's collapse (caught by DedupSpec's clone-corpus tests)
+    graft.sources.ArtifactCache.readOrWritePair(spark, "vector-groups",
+      sfDir, s"$sfDir/embeddings.parquet")(
+      exactVectorGroups(normalizedEmbeddings(spark, sfDir)))
 }

@@ -207,7 +207,7 @@ object Events {
     * (same env override) — see [[Dedup.defaultPairBudget]]'s rationale.
     * Candidates, not output: the bound prices the JOIN's examined
     * pairs, the quantity that exploded on the skew grid. */
-  private def defaultCandidateBudget: Long =
+  private[graft] def defaultCandidateBudget: Long =
     sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "50000000").toLong
 
   private val candidateEstimateCache =

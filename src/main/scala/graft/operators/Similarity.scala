@@ -393,6 +393,124 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** kNN join over the IVF layout scored by SYMMETRIC product-quantized
+    * distance (FAISS "SDC") with exact rerank — the code-currency form
+    * of [[knnJoin]], attacking its slowest-100×-line cost structure.
+    * [[knnJoin]]'s candidate stage shuffles and scores FLOAT VECTORS:
+    * every (probe cell × posting list) pair carries two 64-float arrays
+    * (~520 B/row) through the join and pays a 64-multiply dot per
+    * candidate. Here the candidate stage touches only the stored PQ
+    * code index — 8 small codes + 1 double per side (~80 B/row, ~6×
+    * less shuffle) — and scores each candidate with 8 lookups into the
+    * SDC TABLE: the 8×16×16 matrix of sub-centroid dot products
+    * sdot[m][cu][cv] = cvecₘ,cu · cvecₘ,cv, precomputed from the
+    * 128-row stored codebook and shipped as a literal (2 048 doubles).
+    * approx_cos(u,v) = Σₘ sdot[m][uₘ][vₘ] / (‖û‖·‖v̂‖) — both sides
+    * reconstructed, which is what distinguishes SDC from the
+    * query-side-exact ADC of [[pqTopK]] (an ADC kNN join would need a
+    * per-VECTOR lookup table: N × 8×16 doubles ≈ 1 KB/vector riding
+    * the join, more than the vectors themselves). Float vectors are
+    * touched only by the exact rerank of each vector's `shortlist`
+    * top candidates — N·shortlist id-joined rows, never the candidate
+    * product. Recall = probe recall × shortlist recall; both measured
+    * in SimilaritySpec against [[knnJoin]] and the true exact kNN.
+    *
+    * SHORTLIST SIZING, measured (SimilaritySpec): this synthetic corpus
+    * is deliberately near-uniform — neighbor cosines crowd into
+    * 0.35–0.5, inside PQ's double-quantization noise — so SDC barely
+    * discriminates and shortlist recall vs [[knnJoin]] climbs slowly:
+    * 0.40 / 0.57 / 0.77 / 0.95 at 12 / 24 / 48 / 96 on the ~130
+    * candidates per vector at fixture scale. The default is therefore
+    * 96 (recall ≥ 0.9 with margin). The dial is ABSOLUTE while the
+    * candidate count grows as nprobe·√N, so the reranked fraction
+    * FALLS with scale (~7% at 100×), and clone-amplified or genuinely
+    * clustered corpora — where true neighbors are code-identical — are
+    * the favorable case. Same worst-case caveat as the LSH section: no
+    * similarity gap, no cheap discrimination.
+    *
+    * Ranking/tie conventions are the suite's (rounded score desc, id
+    * asc), so the DuckDB oracle replays coarse + PQ training, the SDC
+    * table, probing, shortlisting and rerank bit-for-bit. */
+  def knnJoinPq(spark: SparkSession, sfDir: String, k: Int = 3,
+      nprobe: Int = 6, shortlist: Int = 96, trainIters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val numCentroids = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+    val codes = pqCodesIndex(spark, sfDir, trainIters)
+    // SDC table from the stored codebook: collect 128 rows (bounded by
+    // construction), dot every same-subspace centroid pair LTR over the
+    // 8 dims — the identical summation order as the oracle's list_sum,
+    // on training means that are already cross-engine exact. Shipped as
+    // ONE flat 2048-double array literal indexed m·K² + cu·K + cv
+    // (cent ids are 0..15 by construction — k-means seeds keep their
+    // ids; a sub-cluster that empties leaves an unreferenced 0.0 slot,
+    // never a shifted index) so each lookup is a codegen'd constant-
+    // array access — the first cut's per-element map lookups inside
+    // transform/aggregate HOFs cost 5× the whole exact-scored join at
+    // fixture scale (7.3 s vs 1.3 s, BENCH probe), all per-candidate
+    // interpretation overhead.
+    val cbRows = pqCodebookIndex(spark, sfDir, trainIters)
+      .select(col("m"), col("cent_id"), col("cvec")).collect()
+    val sdotArr = new Array[Double](PqM * PqK * PqK)
+    cbRows.foreach { r =>
+      val m = r.getInt(0); val cu = r.getLong(1).toInt
+      val vu = r.getSeq[Double](2)
+      cbRows.foreach { s =>
+        if (s.getInt(0) == m) {
+          val cv = s.getLong(1).toInt
+          val vv = s.getSeq[Double](2)
+          sdotArr(m * PqK * PqK + cu * PqK + cv) =
+            vu.iterator.zip(vv.iterator).map { case (a, b) => a * b }
+              .foldLeft(0.0)(_ + _)
+        }
+      }
+    }
+    val sdotLit = lit(sdotArr)
+    // the 8 lookups unrolled left-to-right (same summation order as the
+    // aggregate fold and the oracle's list_sum) — a static expression
+    // whole-stage codegen compiles to straight array indexing
+    val sdcSum = (0 until PqM).map { m =>
+      element_at(sdotLit,
+        lit(m * PqK * PqK + 1) +
+          element_at(col("codes"), m + 1).cast("int") * PqK +
+          element_at(col("codes_n"), m + 1).cast("int"))
+    }.reduceLeft(_ + _)
+    // probe side: every vector's nprobe nearest cells, carrying CODES
+    // (not floats) into the candidate join
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+      .join(codes, Seq("vec_id"))
+    val nbr = codes
+      .join(assignmentIndex(spark, sfDir, numCentroids, trainIters), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("codes").as("codes_n"),
+        col("nrm_hat").as("nrm_hat_n"), col("cluster"))
+    val wS = Window.partitionBy("vec_id").orderBy(desc("approx_cos"), asc("neighbor_id"))
+    val short = probes.join(nbr, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        rd(sdcSum / (col("nrm_hat") * col("nrm_hat_n")), 4).as("approx_cos"))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+    // exact rerank: float vectors fetched by id for shortlist rows only
+    val q = emb.select(col("vec_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("e").as("e_c"), col("nrm").as("n_c"))
+    val wr = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    short.select("vec_id", "neighbor_id")
+      .join(q, Seq("vec_id")).join(c, Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        rd(cosine(col("e_q"), col("n_q"), col("e_c"), col("n_c")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Prototypicality profile (the SSL-prototypes pruning signal,
     * Sorscher et al. 2022 "Beyond neural scaling laws"): each vector's
     * cosine to its OWN cell centroid, plus its rank within the cell.

@@ -70,9 +70,51 @@ object ArtifactCache {
     * computed at most once per JVM and reusable across sessions. */
   def readOrWrite(spark: SparkSession, name: String, params: String,
       tablePath: String)(df: => DataFrame): DataFrame =
-    spark.read.parquet(computeOnce(spark, name, params, tablePath) { out =>
-      materialize(spark, out)(df): Unit
-    })
+    readBack(name)(spark.read.parquet(
+      computeOnce(spark, name, params, tablePath) { out =>
+        materialize(spark, out)(df): Unit
+      }))
+
+  /** Two-output sibling of [[readOrWrite]] for artifacts cut from ONE
+    * shared computation (the vector-group collapse: a single window
+    * pass yields both the member map and the canonical table — caching
+    * them as independent artifacts would run that pass twice on a cold
+    * cache). `dfs` is forced at most once; each half lands in its own
+    * subdir with the usual completed-write (_SUCCESS) check, so a
+    * partial write (killed JVM) redoes both halves. */
+  def readOrWritePair(spark: SparkSession, name: String, params: String,
+      tablePath: String)(dfs: => (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) = {
+    val dir = computeOnce(spark, name, params, tablePath) { out =>
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def done(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$out/$sub/_SUCCESS"))
+      if (!done("a") || !done("b")) {
+        val (a, b) = dfs
+        a.write.mode("overwrite").parquet(s"$out/a")
+        b.write.mode("overwrite").parquet(s"$out/b")
+      }
+    }
+    readBack(name)(
+      (spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b")))
+  }
+
+  /** ONE-JVM INVARIANT, made diagnosable: the session cache lives in a
+    * shared temp location, and a SECOND concurrent graft JVM over the
+    * same corpus can reclaim/replace this JVM's artifact dir between
+    * our write and our read (its stale-fingerprint sweep, or its own
+    * in-flight write). The raw failure is an opaque PATH_NOT_FOUND
+    * that reads like an operator bug; name the actual cause. */
+  private def readBack[T](name: String)(read: => T): T =
+    try read catch { case e: Throwable =>
+      throw new IllegalStateException(
+        s"artifact '$name' unreadable immediately after its write " +
+          "completed — almost always a SECOND graft JVM (bench/verify/" +
+          "scale sweep) running concurrently and reclaiming the shared " +
+          "artifact cache. Run one graft JVM at a time (see README " +
+          "operations note).", e)
+    }
 
   /** Text-format sibling of [[readOrWrite]] for corpora whose CONTRACT
     * is a newline-delimited text file (the reference's literal input
@@ -82,12 +124,13 @@ object ArtifactCache {
     * discipline as the parquet path. */
   def readOrWriteText(spark: SparkSession, name: String, params: String,
       tablePath: String)(df: => DataFrame): DataFrame =
-    spark.read.text(computeOnce(spark, name, params, tablePath) { out =>
-      val path = new org.apache.hadoop.fs.Path(out)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-        df.write.mode("overwrite").text(out)
-    })
+    readBack(name)(spark.read.text(
+      computeOnce(spark, name, params, tablePath) { out =>
+        val path = new org.apache.hadoop.fs.Path(out)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+          df.write.mode("overwrite").text(out)
+      }))
 
   /** The shared keyed-location + single-writer mechanics of the two
     * readOrWrite formats: resolve the (name, params, fingerprint)

@@ -68,28 +68,34 @@ object EventStream {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** One live spool dir per drain PREFIX: a re-run of the same drain
-    * reclaims its predecessor's spool before writing, so a long bench
-    * sweep (warm + passes×reps re-runs of 4 row-scaled drains) holds at
-    * most one row-scaled output per drain on disk instead of
-    * accumulating GB-scale dirs until JVM exit. A single shutdown hook
-    * sweeps whatever is still registered at exit. The trade is
-    * documented at the call site: a prefix's RETURNED frame reads its
-    * spool lazily, so that frame is invalidated by the same prefix's
-    * next run — every registered consumer materializes (noop sink /
-    * parquet dump / assertion) before re-running, which is also the
-    * only sequencing Bench's serial drain phase produces. */
+  /** At most TWO live spool dirs per drain PREFIX — the new run's and
+    * its immediate predecessor's — so a long bench sweep (warm +
+    * passes×reps re-runs of 4 row-scaled drains) holds bounded
+    * row-scaled output per drain on disk instead of accumulating
+    * GB-scale dirs until JVM exit. Keeping exactly one generation back
+    * closes the dangling-frame hazard the old delete-on-next-call rule
+    * had: a prefix's RETURNED frame reads its spool lazily, and a
+    * caller that re-runs the drain while still holding the previous
+    * result (compare new vs old, say) would have found the old frame's
+    * files already deleted. Now the predecessor stays readable until
+    * the run AFTER next; only the grandparent is reclaimed. A single
+    * shutdown hook sweeps whatever is still registered at exit. */
   private val spoolDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[java.io.File]]()
   private lazy val spoolHook: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => spoolDirs.values.forEach(
-      graft.sources.ArtifactCache.deleteRecursively(_))))
+      _.foreach(graft.sources.ArtifactCache.deleteRecursively))))
 
   private def freshSpoolDir(prefix: String): String = {
     spoolHook
     val dir = java.nio.file.Files.createTempDirectory(s"graft-drain-$prefix-")
-    Option(spoolDirs.put(prefix, dir.toFile))
-      .foreach(graft.sources.ArtifactCache.deleteRecursively)
+    spoolDirs.compute(prefix, (_, old) => {
+      val prev = Option(old).getOrElse(Nil)
+      // reclaim everything OLDER than the immediate predecessor: the
+      // newest prior spool may still back a frame the caller holds
+      prev.drop(1).foreach(graft.sources.ArtifactCache.deleteRecursively)
+      dir.toFile :: prev.take(1)
+    })
     dir.toString
   }
 
@@ -410,8 +416,31 @@ object EventStream {
     * (a streaming self-join); purchase_value is rounded here, not in
     * the library operator, because rounding is a compare-convention of
     * the driver contract, not join semantics. */
-  def clickAttributionViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def clickAttributionViaStream(spark: SparkSession, sfDir: String,
+      maxCandidatePairs: Long = graft.operators.Events.defaultCandidateBudget): DataFrame = {
     import graft.functions.Deterministic.rd
+    // OUTPUT-CONTRACT guard (r12, closing the last unguarded quadratic):
+    // the symmetric hash join's contract is EVERY (click, purchase)
+    // pair per user within the window, and its per-key state scan is
+    // quadratic in hot-key occupancy — the r11 skewed sweep measured
+    // one user owing ~10¹¹ pairs and the drain never finishing; it had
+    // to be excluded BY HAND. Price the candidate count exactly from
+    // the (user, window-bucket) click/purchase histogram BEFORE any
+    // stream starts (occupancy-sized frames, no event join; memoized
+    // per corpus fingerprint like the range-join guard) and refuse
+    // past budget naming the linear interface, so the refusal now
+    // fires by mechanism.
+    val est = clickPurchaseCandidateCount(spark, sfDir)
+    if (est > maxCandidatePairs)
+      throw new graft.operators.PairExplosionException(
+        s"clickAttributionViaStream would examine ~$est candidate " +
+          s"(click, purchase) pairs (budget $maxCandidatePairs, override " +
+          "via SPARK_GRAFT_MAX_PAIRS or the maxCandidatePairs parameter). " +
+          "The all-pairs stream-stream join is quadratic in per-user " +
+          "occupancy BY CONTRACT; on skewed corpora consume the LINEAR " +
+          "attribution interface instead: EventStream.lastClickAttribution " +
+          "(stream_last_click) — one latest-click state row per user, one " +
+          "output row per attributed purchase.")
     val src = corpusEventsSource(spark, sfDir)
     val joined = clickPurchaseJoin(
       src.filter(col("event_type") === "click"),
@@ -422,6 +451,50 @@ object EventStream {
       stateProvider = drainStateProvider(sfDir),
       rowScaled = true) // one row per click→purchase match: grows with input
       .orderBy("click_id", "purchase_id")
+  }
+
+  private val attributionEstimateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
+
+  /** The stream-stream attribution join's guard price, memoized per
+    * (corpus fingerprint, window) — the stat a catalog would keep.
+    * See [[clickPurchaseCandidateCountOf]] for the arithmetic. */
+  private[graft] def clickPurchaseCandidateCount(spark: SparkSession,
+      sfDir: String, windowMinutes: Int = 60): Long = {
+    val key = (graft.sources.ArtifactCache.fingerprint(
+      spark, s"$sfDir/events.parquet"), windowMinutes)
+    attributionEstimateCache.computeIfAbsent(key, _ =>
+      clickPurchaseCandidateCountOf(
+        graft.sources.Tables.events(spark, sfDir), windowMinutes))
+  }
+
+  /** Candidate (click, purchase) pairs within ±window per user, priced
+    * EXACTLY from the (user, window-sized time bucket) click/purchase
+    * histograms: Σ over (u, b) of clicks(u,b) · (purchases(u,b−1) +
+    * purchases(u,b) + purchases(u,b+1)). Any pair with |purchase_ts −
+    * click_ts| ≤ window lands in adjacent buckets, so this bounds the
+    * join's output from above AND tracks the per-key state product that
+    * is the streaming hazard (the hot key's state list is scanned per
+    * probe row — on the skewed corpus all ~10⁶ clone events share ONE
+    * timestamp, i.e. one bucket, so the blowup is priced exactly). Cost
+    * is two occupancy-sized aggregates and an occupancy join — no
+    * event-level pair ever materializes. */
+  private[graft] def clickPurchaseCandidateCountOf(events: DataFrame,
+      windowMinutes: Int): Long = {
+    val winUs = windowMinutes * 60L * 1000000L
+    def hist(eventType: String) = events
+      .filter(col("event_type") === eventType)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${winUs}L").as("bucket"))
+      .groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+    val clicks = hist("click")
+    val purchases = hist("purchase")
+      .select(col("user_id"), col("n").as("n_p"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+          .as("bucket"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .agg(coalesce(sum(col("n") * col("n_p")), lit(0L)))
+      .head().getLong(0)
   }
 
   /** Fourth driver-contract streaming entry: keyed DE-DUPLICATION
@@ -667,11 +740,14 @@ object EventStream {
     * at the same timestamp, then event_id asc — so a same-ts click is
     * attributable and the LARGEST click_id wins a ts tie); a purchase
     * emits iff the latest click so far lies in [purchase_ts − window,
-    * purchase_ts]. Cross-batch the state carries the max-(ts, id)
-    * click, so late PURCHASES attribute correctly; a click arriving
-    * after a purchase it should have attributed is the documented
-    * single-pass trade (the finite AvailableNow drain sees the corpus
-    * as one in-order batch, where the operator equals the batch SQL).
+    * purchase_ts] — both bounds enforced against state, so a purchase
+    * arriving after a LATER click overwrote its proper click drops
+    * rather than mis-attributing forward in time. Cross-batch the
+    * state carries the max-(ts, id) click, so late PURCHASES attribute
+    * correctly; a click arriving after a purchase it should have
+    * attributed is the documented single-pass trade (the finite
+    * AvailableNow drain sees the corpus as one in-order batch, where
+    * the operator equals the batch SQL).
     * State EVICTS by event-time timeout once the watermark passes the
     * stored click by 2×window — bounded by recently-active users, not
     * by every user ever seen. */
@@ -706,7 +782,18 @@ object EventStream {
                     (micros(l.click_ts) == micros(e.ts) && l.click_id <= e.event_id)))
                   last = Some(LastClick(e.event_id, e.ts))
               } else {
-                last.filter(l => micros(l.click_ts) >= micros(e.ts) - winUs)
+                // BOTH window bounds: the lower cut is the attribution
+                // window; the UPPER cut (click at-or-before purchase)
+                // matters cross-batch, where state can hold a click
+                // LATER than an on-time purchase still inside the
+                // lateness allowance (purchase_ts ∈ [watermark, stored
+                // click_ts)) — without it that purchase would attribute
+                // to a FUTURE click, violating the contract and the
+                // oracle's c.ts <= p.ts predicate. Such a purchase now
+                // drops (its proper click was overwritten — the
+                // documented single-pass trade), never mis-attributes.
+                last.filter(l => micros(l.click_ts) <= micros(e.ts) &&
+                    micros(l.click_ts) >= micros(e.ts) - winUs)
                   .foreach { l =>
                     out += Attribution(e.event_id, uid, e.ts, e.value,
                       l.click_id, l.click_ts)

@@ -118,6 +118,70 @@ class DedupSpec extends SparkSpec {
       maxExpandedPairs = embPairs).count() === embPairs)
   }
 
+  test("semantic top-m equals the symmetrized pair view's per-vector cut; output bounded by m") {
+    import org.apache.spark.sql.expressions.Window
+    // the member-level statement of the contract: symmetrize the
+    // all-pairs view, cut top-5 per vector on (cosine desc, id asc) —
+    // the canonical-level candidate pruning must reproduce it exactly
+    val pairs = Dedup.semanticDedupPairs(spark, sf)
+      .select(col("keep_id"), col("dup_id"), col("cosine"))
+    val sym = pairs.select(col("keep_id").as("vec_id"),
+        col("dup_id").as("neighbor_id"), col("cosine"))
+      .unionByName(pairs.select(col("dup_id").as("vec_id"),
+        col("keep_id").as("neighbor_id"), col("cosine")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    val expected = sym.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("vec_id", "neighbor_id", "cosine", "rank")
+      .orderBy("vec_id", "rank")
+      .collect().map(_.toString).toSeq
+    val got = Dedup.semanticDedupTopM(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // bounded-output contract: never more than m rows per vector
+    val over = Dedup.semanticDedupTopM(spark, sf)
+      .groupBy("vec_id").count().filter(col("count") > 5).count()
+    assert(over === 0L)
+  }
+
+  test("semantic top-m candidate cut stays exact under clone-heavy duplication (group > m+1)") {
+    import org.apache.spark.sql.expressions.Window
+    // 5× clone-amplified corpus (ScaleUp's uniform device: same vector,
+    // offset vec_id) with m = 2: duplicate groups of 5 exceed the m+1 = 3
+    // candidate window, so the pruning genuinely discards group members
+    // — the cut must still reproduce the member-level top-m exactly
+    // (only a group's lowest ids can rank, since clones share cosines)
+    val dir = java.nio.file.Files.createTempDirectory("graft-topm-clones-").toString
+    try {
+      val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      (0 until 5).map(i => base.withColumn("vec_id",
+          col("vec_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val pairs = Dedup.semanticDedupPairs(spark, dir)
+        .select(col("keep_id"), col("dup_id"), col("cosine"))
+      val sym = pairs.select(col("keep_id").as("vec_id"),
+          col("dup_id").as("neighbor_id"), col("cosine"))
+        .unionByName(pairs.select(col("dup_id").as("vec_id"),
+          col("keep_id").as("neighbor_id"), col("cosine")))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("neighbor_id"))
+      val expected = sym.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 2)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+        .orderBy("vec_id", "rank")
+        .collect().map(_.toString).toSeq
+      val got = Dedup.semanticDedupTopM(spark, dir, m = 2)
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+      // clone groups really are neighbors: every clone's rank-1 neighbor
+      // is a cosine-1.0 row (its own group), so the self-group m+1 slot
+      // logic is exercised, not vacuous
+      assert(got.count(_.contains(",1.0,1]")) > 0)
+    } finally graft.sources.ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("pair-budget report prices exactly what the views expand to, without expanding") {
     val report = Dedup.pairExpansionReport(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -40,7 +40,11 @@ class PlanLintSpec extends SparkSpec {
     "embedding_decontamination", "ann_incremental_assign",
     "ann_index_health", "ann_recall_curve", "ann_topk_ivfpq",
     "ann_topk_ivfpq_rerank", "stats_equidepth_histogram",
-    "stats_equidepth_histogram_approx", "ann_knn_join")
+    "stats_equidepth_histogram_approx", "ann_knn_join",
+    // same probe-stage product as ann_knn_join (corpus × broadcast
+    // C≈√N centroids); the candidate stage is an equi-join on cluster
+    // over CODE currency and the rerank an id equi-join
+    "ann_knn_join_pq")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {
@@ -51,6 +55,117 @@ class PlanLintSpec extends SparkSpec {
         (name, bad)
     }.filter(_._2).map(_._1)
     assert(offenders.isEmpty, s"product joins in: $offenders")
+  }
+
+  // --- broadcast-contract lint (r12): dimension tables broadcast,
+  // fact tables never — so a stats regression (or a testdata refresh
+  // that inflates a dim past the threshold) cannot silently flip the
+  // flagship joins into shuffle joins, or worse, broadcast a fact.
+
+  import org.apache.spark.sql.execution.SparkPlan
+
+  /** Flatten a physical plan including through AQE wrappers (before
+    * execution the adaptive plan is the initial physical plan). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Parquet table names scanned anywhere under `p`. */
+  private def scannedTables(p: SparkPlan): Set[String] =
+    flatten(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+    }.flatten.toSet
+
+  /** True when the subtree REDUCES its input (aggregate/limit/window) —
+    * a broadcast of such a frame is a derived small relation (a profile,
+    * a threshold report), not a raw table broadcast. */
+  private def reduces(p: SparkPlan): Boolean =
+    flatten(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.window.WindowExec => true
+      case _ => false
+    }
+
+  private val factTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  private val flagshipJoins = Seq("q3_shipping_priority", "q5_region_revenue",
+    "q7_nation_trade", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q18_large_orders", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "q14_promo_share")
+
+  /** Plan the flagship joins as a 100 TB cluster would see them:
+    * autoBroadcastJoinThreshold = −1 disables every STATS-driven
+    * broadcast (at sf0.001 all ten tables sit under the default 10 MB
+    * threshold, so fixture-scale plans legitimately broadcast filtered
+    * facts — a shape that says nothing about scale). What remains
+    * broadcast under −1 is exactly what the OPERATOR CODE hints — the
+    * contract these lints pin. */
+  private def atScalePlans: Seq[(String, SparkPlan)] = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try flagshipJoins.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+    finally spark.conf.set(key, prev)
+  }
+
+  test("flagship joins never hint a fact table onto the broadcast build side") {
+    // with stats broadcast off, any surviving BroadcastExchange is a
+    // code-level broadcast() hint; a RAW fact there (no aggregate/limit
+    // reducing it first) would OOM executors at 100 TB no matter what
+    // the stats say — the one mistake the threshold can't undo
+    val offenders = atScalePlans.flatMap { case (name, plan) =>
+      flatten(plan).collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if !reduces(b.child) &&
+              scannedTables(b.child).exists(factTables) =>
+          s"$name -> ${scannedTables(b.child).filter(factTables).mkString(",")}"
+      }
+    }
+    assert(offenders.isEmpty, s"hinted raw fact broadcasts in: $offenders")
+  }
+
+  test("bounded-dim joins broadcast nation/region by hint, without stats help") {
+    // the intended build side, pinned BY HINT per the documented
+    // contract (Relational.scala header): the BOUNDED dims — region (5
+    // rows) and nation (25 rows), fixed at ANY scale factor — are
+    // always broadcast() in code; the scaling dims (customer/supplier/
+    // part/orders) are stats/AQE territory and deliberately NOT pinned
+    // (q3/q14/q18/q21 join only those — asserting a hint there would
+    // pin the WRONG plan for 100 TB). A future edit that drops a
+    // nation/region hint (silently flipping q5/q8/q10 into full
+    // shuffle joins at scale) fails here by name.
+    val dims = Set("region", "nation")
+    val boundedDimJoins = Set("q2_min_cost_supplier", "q5_region_revenue",
+      "q7_nation_trade", "q8_market_share", "q9_product_profit",
+      "q10_returned_items")
+    val missing = atScalePlans
+      .filter { case (n, _) => boundedDimJoins(n) }
+      .filterNot { case (_, plan) =>
+        flatten(plan).exists {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            val build = b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              case _ => b.left
+            }
+            scannedTables(build).exists(dims)
+          case _ => false
+        }
+      }.map(_._1)
+    assert(missing.isEmpty,
+      s"bounded-dim joins without a hinted nation/region broadcast build side: $missing")
   }
 
   test("every query's plan builds and has output columns") {

@@ -80,6 +80,49 @@ class SimilaritySpec extends SparkSpec {
     assert(recall12 >= recall - 1e-9, s"recall must be monotone in nprobe: $recall12 < $recall")
   }
 
+  test("PQ kNN join: structure sound, shortlist loss vs exact-scored join bounded, recall monotone in shortlist") {
+    val knnPq = Similarity.knnJoinPq(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(knnPq.nonEmpty)
+    assert(knnPq.forall(r => r._1 != r._2), "no self neighbors")
+    knnPq.groupBy(_._1).foreach { case (v, rows) =>
+      val ranked = rows.sortBy(_._4)
+      assert(ranked.map(_._4).toSeq === (1 to ranked.length), s"vec $v ranks contiguous")
+      assert(ranked.length <= 3, s"vec $v at most k rows")
+      val cos = ranked.map(_._3).toSeq
+      assert(cos === cos.sorted.reverse, s"vec $v cosine non-increasing")
+    }
+    val got = knnPq.map(r => (r._1, r._2)).toSet
+    // vs the exact-scored join over the SAME probes: isolates the PQ
+    // shortlist loss (probe recall cancels out). The near-uniform
+    // fixture is SDC's worst case — the measured dial (0.40 / 0.57 /
+    // 0.77 / 0.95 at shortlist 12 / 24 / 48 / 96) sized the default at
+    // 96; gate at 0.9 so a scoring regression is visible
+    val exactJoin = Similarity.knnJoin(spark, sf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsExactJoin = exactJoin.intersect(got).size.toDouble / exactJoin.size
+    info(f"PQ kNN-join recall@3 vs exact-scored join (default shortlist): $vsExactJoin%.3f")
+    assert(vsExactJoin >= 0.9, s"PQ shortlist loss too high: $vsExactJoin")
+    // a SHALLOW shortlist must still behave (structure + the measured
+    // floor band), and the deep default must not fall below it —
+    // recall is monotone in shortlist (exact rerank of a candidate
+    // SUPERSET, consistent tie-breaks)
+    val shallow = Similarity.knnJoinPq(spark, sf, k = 3, shortlist = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsExactShallow = exactJoin.intersect(shallow).size.toDouble / exactJoin.size
+    info(f"PQ kNN-join recall@3 at shortlist=24: $vsExactShallow%.3f")
+    assert(vsExactJoin >= vsExactShallow - 1e-9,
+      s"recall must be monotone in shortlist: $vsExactJoin < $vsExactShallow")
+    // vs the TRUE exact kNN (brute force over every vector): compounds
+    // probe recall (the knnJoin dial, ~0.63 here) with shortlist recall
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 3, numQueries = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsBrute = brute.intersect(got).size.toDouble / brute.size
+    info(f"PQ kNN-join recall@3 vs true exact kNN: $vsBrute%.3f")
+    assert(vsBrute >= 0.5, s"recall@3 too low: $vsBrute")
+  }
+
   test("LSH top-k recall vs brute force is at least 0.7") {
     val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

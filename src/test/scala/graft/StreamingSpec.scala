@@ -265,8 +265,11 @@ class StreamingSpec extends SparkSpec {
     try {
       val ev = graft.sources.Tables.events(spark, sf)
         .select("event_id", "ts", "user_id", "event_type", "value")
+      // getTime is ms-truncated vs the corpus's microsecond stamps:
+      // round the max up 1 ms so the last slice includes the true
+      // maximum event (same rule as graft.StreamEndurance)
       val Array(lo, hi) = ev.agg(min("ts"), max("ts")).collect()
-        .flatMap(r => Array(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+        .flatMap(r => Array(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime + 1))
       // 6 even time slices + a far-future sentinel in the last file so
       // append mode flushes every real session at the end
       val nSlices = 6
@@ -456,6 +459,79 @@ class StreamingSpec extends SparkSpec {
         "purchase->click: tie-winning click 3 attributes 10 and cross-batch 12; " +
           "same-ts click 30 attributes 31; out-of-window 11 and clickless 20 drop")
     } finally q.stop()
+  }
+
+  test("last-click attribution never attributes FORWARD: on-time purchase below the stored click drops") {
+    // Cross-batch hazard (ADVICE r11): batch 1's last click (10:30)
+    // overwrites the 10:00 click; batch 2 delivers an ON-TIME purchase
+    // at 10:25 — above the restored watermark (10:20), below the stored
+    // click. With only the lower window bound it would attribute to the
+    // FUTURE 10:30 click, violating the latest-click-AT-OR-BEFORE
+    // contract (and the oracle's c.ts <= p.ts predicate). The fix drops
+    // it: its proper click (10:00) was overwritten — the documented
+    // single-pass trade — but no row may ever carry click_ts > purchase_ts.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.lastClickAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("lca_fwd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(10, ts("2024-01-01 10:25:00"), 1, "purchase", 5.0), // below stored click: drop
+        Ev(11, ts("2024-01-01 10:45:00"), 1, "purchase", 7.0)) // above it: attributes to 2
+      q.processAllAvailable()
+      val rows = spark.table("lca_fwd_out").orderBy("purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4)))
+      assert(rows.toSeq === Seq((11L, 2L)),
+        "purchase 10 must drop (stored click is in its future); 11 attributes normally")
+    } finally q.stop()
+  }
+
+  test("attribution-join guard prices candidates from the bucket histogram exactly") {
+    // user 1: 3 clicks in the 10:00 hour bucket; purchases 2 in-bucket
+    // + 1 in the adjacent 11:00 bucket → 3 × (2 + 1) = 9 candidates.
+    // user 2's click and purchase sit 3 buckets apart → contributes 0.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:50:00"), 1L, "click", 0.0),
+      (4L, ts("2024-01-01 10:20:00"), 1L, "purchase", 1.0),
+      (5L, ts("2024-01-01 10:40:00"), 1L, "purchase", 2.0),
+      (6L, ts("2024-01-01 11:30:00"), 1L, "purchase", 3.0),
+      (7L, ts("2024-01-01 09:30:00"), 2L, "click", 0.0),
+      (8L, ts("2024-01-01 12:30:00"), 2L, "purchase", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStream.clickPurchaseCandidateCountOf(ev, 60) === 9L)
+    // a same-timestamp hot key (the skew shape: clones share ONE
+    // bucket) prices as clicks × purchases exactly
+    val hot = Seq.tabulate(100)(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), 1L,
+          if (i < 40) "click" else "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStream.clickPurchaseCandidateCountOf(hot, 60) === 40L * 60L)
+  }
+
+  test("attribution-join guard: refusal by mechanism names the linear interface; estimate bounds output") {
+    // the corpus estimate must bound the true match count from above —
+    // the guard may over-price (3-bucket envelope) but never under-price
+    val est = EventStream.clickPurchaseCandidateCount(spark, sf)
+    val matches = EventStream.clickAttributionViaStream(spark, sf).count()
+    assert(est >= matches, s"estimate $est must bound $matches matches")
+    // a budget below the estimate refuses BEFORE any stream starts,
+    // from the guard (exception type), naming the linear escape hatch
+    val e = intercept[graft.operators.PairExplosionException] {
+      EventStream.clickAttributionViaStream(spark, sf,
+        maxCandidatePairs = est - 1).count()
+    }
+    assert(e.getMessage.contains("lastClickAttribution"))
+    assert(e.getMessage.contains("SPARK_GRAFT_MAX_PAIRS"))
+    // exactly at the estimate → admitted (the guard is > not >=)
+    assert(EventStream.clickAttributionViaStream(spark, sf,
+      maxCandidatePairs = est).count() === matches)
   }
 
   test("stream-static join enriches events with a broadcast dimension") {
