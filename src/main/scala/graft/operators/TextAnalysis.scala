@@ -1553,9 +1553,15 @@ object TextAnalysis {
   /** Shared scan loop of the batched trainer: per-merge stats rows plus
     * (optionally) the final rewritten corpus state. Row tuple:
     * (merge_idx, scan, seq, w1, w2, n_pair, n_tokens_after-of-scan). */
-  private def bpeTrainBatchedLoop(spark: SparkSession, sfDir: String,
+  private[graft] def bpeTrainBatchedLoop(spark: SparkSession, sfDir: String,
       scans: Int, batch: Int, window: Int, keepFinal: Boolean,
-      docFilter: Column = lit(true))
+      docFilter: Column = lit(true),
+      // probe hook (dev tooling + the keeps-growth spec): called once
+      // per completed scan with (scan, candidates-in-window, keeps,
+      // scan-seconds) — candidates < window ⇔ the ranked window saw the
+      // ENTIRE pair inventory, so keeps are genuinely disjointness- or
+      // batch-limited, never window-truncated
+      onScan: (Int, Int, Int, Double) => Unit = (_, _, _, _) => ())
       : (List[(Long, Int, Int, String, String, Long, Long)], Option[DataFrame]) = {
     val sep = "\u0002"
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1567,6 +1573,7 @@ object TextAnalysis {
     var mergeIdx = 0L
     var done = false
     for (k <- 1 to scans if !done) {
+      val scanT0 = System.nanoTime()
       // deterministic candidate window: TakeOrdered under the total
       // order (n_pair DESC, w1, w2) — the same order the oracle ranks
       val top = pairCounts(cur)
@@ -1590,6 +1597,7 @@ object TextAnalysis {
         mergeIdx += kept.size
         cur.unpersist(blocking = false)
         cur = rewritten
+        onScan(k, top.size, kept.size, (System.nanoTime() - scanT0) / 1e9)
       }
     }
     val fin = if (keepFinal) Some(cur.localCheckpoint()) else None

@@ -731,6 +731,33 @@ class TextAnalysisSpec extends SparkSpec {
     perScan.zip(perScan.drop(1)).foreach { case (a, b) => assert(b < a) }
   }
 
+  test("batched bpe keeps-per-scan: progress every scan, growth with the symbol inventory, no silent window cap") {
+    // drive the loop directly (not the cached artifact) so the probe
+    // hook fires; the same hook backs graft.BpeProbe's scan curve
+    val perScan = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
+    TextAnalysis.bpeTrainBatchedLoop(spark, sf, scans = 4, batch = 64,
+      window = 4096, keepFinal = false,
+      onScan = (k, cands, keeps, _) => perScan += ((k, cands, keeps)))
+    assert(perScan.size === 4, "all four scans must produce merges")
+    perScan.foreach { case (k, cands, keeps) =>
+      // progress: the rank-1 candidate is always kept
+      assert(keeps >= 1, s"scan $k kept nothing")
+      // the window is a safety valve, not a silent cap: a scan that
+      // keeps fewer than `batch` must have seen its ENTIRE candidate
+      // inventory (cands < window) — i.e. keeps were disjointness-
+      // limited, never window-truncated. BpeProbe reports the same
+      // invariant as window_capped_scans at 25×/100× scale.
+      assert(keeps === 64 || cands < 4096,
+        s"scan $k: $keeps keeps with a full $cands-candidate window — possible silent cap")
+    }
+    // glued symbols enrich the pair inventory, so disjointness-limited
+    // keeps GROW across scans (measured r11 at sf0.01: 17, 21, 28, 39,
+    // 44, 53, 56, 60) — pin the trend, not the exact curve
+    val keeps = perScan.map(_._3).toSeq
+    assert(keeps.max > keeps.head,
+      s"keeps never grew past the first scan: $keeps")
+  }
+
   test("chunked merge application: chunk boundaries do not change the encode") {
     def run(chunk: Int) = TextAnalysis.bpeEncodeHoldoutBatched(spark, sf,
       scans = 2, batch = 32, window = 128, chunk = chunk)
