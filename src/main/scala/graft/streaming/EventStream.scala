@@ -419,22 +419,32 @@ object EventStream {
   def clickAttributionViaStream(spark: SparkSession, sfDir: String,
       maxCandidatePairs: Long = graft.operators.Events.defaultCandidateBudget): DataFrame = {
     import graft.functions.Deterministic.rd
-    // OUTPUT-CONTRACT guard (r12, closing the last unguarded quadratic):
-    // the symmetric hash join's contract is EVERY (click, purchase)
-    // pair per user within the window, and its per-key state scan is
-    // quadratic in hot-key occupancy — the r11 skewed sweep measured
-    // one user owing ~10¹¹ pairs and the drain never finishing; it had
-    // to be excluded BY HAND. Price the candidate count exactly from
-    // the (user, window-bucket) click/purchase histogram BEFORE any
-    // stream starts (occupancy-sized frames, no event join; memoized
-    // per corpus fingerprint like the range-join guard) and refuse
-    // past budget naming the linear interface, so the refusal now
-    // fires by mechanism.
+    // TWO-PRICE guard (r12, closing the last unguarded quadratic). The
+    // join owes two different quadratic quantities, and skew can blow
+    // either one independently:
+    //  - OUTPUT: candidate (click, purchase) pairs within the window,
+    //    priced exactly from the (user, window-bucket) occupancy
+    //    histograms — what the sink must absorb.
+    //  - STATE SCAN: the symmetric hash join stores every row of a key
+    //    and scans the key's whole state list per probe row; the time
+    //    predicate is evaluated AFTER the scan, and watermark eviction
+    //    lags a finite drain's coarse batches — so the real streaming
+    //    cost is the WORST KEY's unwindowed clicks × purchases product,
+    //    serial on one core. The r12 skew measurement is the proof the
+    //    windowed price alone is not enough: windowed candidates 9.0 M
+    //    (admitted) while the hot keys' state products (~4×10⁸) pinned
+    //    the drain for 314 s.
+    // Both prices come from occupancy-sized aggregates BEFORE any
+    // stream starts (no event join; memoized per corpus fingerprint
+    // like the range-join guard); refuse past budget on EITHER, naming
+    // the linear interface, so the refusal fires by mechanism.
     val est = clickPurchaseCandidateCount(spark, sfDir)
-    if (est > maxCandidatePairs)
+    val stateProd = clickPurchaseStateProduct(spark, sfDir)
+    if (math.max(est, stateProd) > maxCandidatePairs)
       throw new graft.operators.PairExplosionException(
-        s"clickAttributionViaStream would examine ~$est candidate " +
-          s"(click, purchase) pairs (budget $maxCandidatePairs, override " +
+        s"clickAttributionViaStream would examine ~$est windowed candidate " +
+          s"(click, purchase) pairs with a worst-key state-scan product of " +
+          s"~$stateProd (budget $maxCandidatePairs, override " +
           "via SPARK_GRAFT_MAX_PAIRS or the maxCandidatePairs parameter). " +
           "The all-pairs stream-stream join is quadratic in per-user " +
           "occupancy BY CONTRACT; on skewed corpora consume the LINEAR " +
@@ -455,6 +465,37 @@ object EventStream {
 
   private val attributionEstimateCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
+  private val attributionStateProductCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Worst-key state-scan price, memoized per corpus fingerprint — see
+    * [[clickPurchaseStateProductOf]]. */
+  private[graft] def clickPurchaseStateProduct(spark: SparkSession,
+      sfDir: String): Long = {
+    val key = graft.sources.ArtifactCache.fingerprint(
+      spark, s"$sfDir/events.parquet")
+    attributionStateProductCache.computeIfAbsent(key, _ =>
+      clickPurchaseStateProductOf(
+        graft.sources.Tables.events(spark, sfDir))).longValue
+  }
+
+  /** The streaming join's per-key SERIAL cost: max over users of
+    * (total clicks × total purchases). Deliberately UNWINDOWED — the
+    * state a probe row scans is bounded only by watermark eviction,
+    * which lags a finite drain's coarse batches (and a hot key whose
+    * clones share timestamps keeps its whole history inside retention
+    * anyway), so the windowed candidate count can stay small while one
+    * key's state scan is quadratic: measured on the skewed-1000×
+    * corpus, 9.0 M windowed candidates vs ~4×10⁸ worst-key product and
+    * a 314 s single-core pin. One per-user aggregate, no event join. */
+  private[graft] def clickPurchaseStateProductOf(events: DataFrame): Long =
+    events.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .agg(coalesce(max(col("c") * col("p")), lit(0L)))
+      .head().getLong(0)
 
   /** The stream-stream attribution join's guard price, memoized per
     * (corpus fingerprint, window) — the stat a catalog would keep.

@@ -513,25 +513,41 @@ class StreamingSpec extends SparkSpec {
           if (i < 40) "click" else "purchase", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(EventStream.clickPurchaseCandidateCountOf(hot, 60) === 40L * 60L)
+    // and the state-scan price equals the same product on the hot shape
+    assert(EventStream.clickPurchaseStateProductOf(hot) === 40L * 60L)
+    // the two prices are DIFFERENT quantities: a click and purchase far
+    // apart in time produce ZERO windowed candidates but a state product
+    // of 1 (the purchase probe still scans the stored click) — the skew
+    // shape scaled down (9 M windowed vs ~4×10⁸ worst-key stored)
+    val apart = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 20:00:00"), 1L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStream.clickPurchaseCandidateCountOf(apart, 60) === 0L)
+    assert(EventStream.clickPurchaseStateProductOf(apart) === 1L)
   }
 
   test("attribution-join guard: refusal by mechanism names the linear interface; estimate bounds output") {
-    // the corpus estimate must bound the true match count from above —
-    // the guard may over-price (3-bucket envelope) but never under-price
-    val est = EventStream.clickPurchaseCandidateCount(spark, sf)
+    // the corpus guard price must bound the true match count from above
+    // (the windowed component alone already does; the state component
+    // can only raise it) — over-pricing allowed, under-pricing never
+    val price = math.max(
+      EventStream.clickPurchaseCandidateCount(spark, sf),
+      EventStream.clickPurchaseStateProduct(spark, sf))
     val matches = EventStream.clickAttributionViaStream(spark, sf).count()
-    assert(est >= matches, s"estimate $est must bound $matches matches")
-    // a budget below the estimate refuses BEFORE any stream starts,
+    assert(price >= matches, s"guard price $price must bound $matches matches")
+    // a budget below the price refuses BEFORE any stream starts,
     // from the guard (exception type), naming the linear escape hatch
     val e = intercept[graft.operators.PairExplosionException] {
       EventStream.clickAttributionViaStream(spark, sf,
-        maxCandidatePairs = est - 1).count()
+        maxCandidatePairs = price - 1).count()
     }
     assert(e.getMessage.contains("lastClickAttribution"))
     assert(e.getMessage.contains("SPARK_GRAFT_MAX_PAIRS"))
-    // exactly at the estimate → admitted (the guard is > not >=)
+    assert(e.getMessage.contains("state-scan product"))
+    // exactly at the price → admitted (the guard is > not >=)
     assert(EventStream.clickAttributionViaStream(spark, sf,
-      maxCandidatePairs = est).count() === matches)
+      maxCandidatePairs = price).count() === matches)
   }
 
   test("stream-static join enriches events with a broadcast dimension") {
