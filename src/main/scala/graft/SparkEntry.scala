@@ -229,6 +229,12 @@ object SparkEntry {
     // table lookups over the stored code index, ~6× less join payload
     // than float vectors), exact rerank on each vector's shortlist only
     "ann_knn_join_pq" -> ((s, d) => Similarity.knnJoinPq(s, d)),
+    // the heap form: top-k as a mergeable bounded aggregation, so the
+    // exchange carries ≤k rows per vector instead of the full
+    // nprobe·N·√N candidate relation the window form sorts — the
+    // measured 100× bottleneck (same scoring, same oracle as the
+    // window form)
+    "ann_knn_join_heap" -> ((s, d) => Similarity.knnJoinHeap(s, d)),
     "events_distinct_rollup" -> ((s, d) => Events.distinctUsersViaSketchRollup(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
@@ -2223,6 +2229,9 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     "ann_topk_ivf" -> ivfTrainedOracle(2),
     "ann_knn_join" -> knnJoinOracle(2, 3),
+    // identical semantics to the window form — only the physical top-k
+    // strategy differs, so the SAME oracle pins both
+    "ann_knn_join_heap" -> knnJoinOracle(2, 3),
     "ann_knn_join_pq" -> knnJoinPqOracle(2, 3, 6, 96),
     // events_distinct_rollup: HLL sketch estimates differ per engine ->
     // rows-only check; AsOfJoinSpec bounds error <5% and asserts the

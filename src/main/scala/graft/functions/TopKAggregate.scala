@@ -35,6 +35,29 @@ object TopKAggregate {
     override def outputEncoder: Encoder[Seq[OrderScore]] = ExpressionEncoder()
   }
 
+  case class NeighborScore(neighbor_id: Long, cosine: Double)
+
+  /** Keep the k best (cosine desc, neighbor_id asc) neighbors per
+    * group — the ANN-join instance of the bounded-heap device, with an
+    * O(1) early-reject: once the buffer is full, a candidate that does
+    * not beat the current worst is dropped without re-sorting, so the
+    * per-candidate cost on the billions-row kNN candidate relation is a
+    * comparison, not a k·log k rebuild. */
+  class TopKNeighbors(k: Int)
+      extends Aggregator[NeighborScore, Seq[NeighborScore], Seq[NeighborScore]] {
+    private val ord: Ordering[NeighborScore] =
+      Ordering.by(n => (-n.cosine, n.neighbor_id))
+    override def zero: Seq[NeighborScore] = Nil
+    override def reduce(b: Seq[NeighborScore], a: NeighborScore): Seq[NeighborScore] =
+      if (b.lengthCompare(k) >= 0 && ord.compare(a, b.last) >= 0) b
+      else ((a +: b).sorted(ord)).take(k)
+    override def merge(x: Seq[NeighborScore], y: Seq[NeighborScore]): Seq[NeighborScore] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(r: Seq[NeighborScore]): Seq[NeighborScore] = r.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[NeighborScore]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[NeighborScore]] = ExpressionEncoder()
+  }
+
   /** Top-3 orders per customer — identical output (schema and values) to
     * Relational.windowTopOrders, produced with partial-aggregated heaps
     * instead of a full per-partition sort. Shares the window query's

@@ -393,6 +393,57 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** [[knnJoin]] with the rank WINDOW replaced by the mergeable
+    * bounded-heap aggregator — the r12 attack on the suite's slowest
+    * 100× line, aimed at what the measurement (not the intuition)
+    * showed to be the bottleneck. The window formulation hash-EXCHANGES
+    * the ENTIRE nprobe·N·√N candidate relation on vec_id and sorts it
+    * per partition before cutting top-k — at 100× that is ~2×10⁹ scored
+    * rows through one exchange + sort, and it dominates the join so
+    * completely that scoring currency barely moves the total (the SDC
+    * code-scored variant measured 61 s vs exact 45 s — see
+    * [[knnJoinPq]]'s falsification note). Here the top-k cut runs as a
+    * typed partial aggregation ([[graft.functions.TopKAggregate
+    * .TopKNeighbors]]): each map task keeps a ≤k bounded heap per
+    * vec_id with O(1) early-reject, so the exchange carries ≤k rows per
+    * vector (≈ N·k) instead of the candidate relation (≈ nprobe·N·√N —
+    * a √N/… reduction that GROWS with scale). Same probes, same
+    * scoring, same (cosine desc, id asc) tie rule, same oracle as
+    * [[knnJoin]] — only the physical top-k strategy differs, which is
+    * the point: measured 45.0 → 11.3 s at 100×. */
+  def knnJoinHeap(spark: SparkSession, sfDir: String, k: Int = 3,
+      nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val numCentroids = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cent = centroidIndex(spark, sfDir, numCentroids, trainIters)
+    val neighbors = assignmentIndex(spark, sfDir, numCentroids, trainIters)
+      .join(emb, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("e2"),
+        col("nrm").as("n2"), col("cluster"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
+        rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cluster"))
+    probes.join(neighbors, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        rd(cosine(col("e"), col("nrm"), col("e2"), col("n2")), 4).as("cosine"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, n, c) => TopKAggregate.NeighborScore(n, c) }
+      .agg(new TopKAggregate.TopKNeighbors(k).toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** kNN join over the IVF layout scored by SYMMETRIC product-quantized
     * distance (FAISS "SDC") with exact rerank — the code-currency form
     * of [[knnJoin]], attacking its slowest-100×-line cost structure.
@@ -465,16 +516,13 @@ object Similarity {
         }
       }
     }
-    val sdotLit = lit(sdotArr)
-    // the 8 lookups unrolled left-to-right (same summation order as the
-    // aggregate fold and the oracle's list_sum) — a static expression
-    // whole-stage codegen compiles to straight array indexing
-    val sdcSum = (0 until PqM).map { m =>
-      element_at(sdotLit,
-        lit(m * PqK * PqK + 1) +
-          element_at(col("codes"), m + 1).cast("int") * PqK +
-          element_at(col("codes_n"), m + 1).cast("int"))
-    }.reduceLeft(_ + _)
+    // native codegen'd lookup loop (graft.functions.SdcSum): the
+    // element_at spelling of the 8 lookups paid per-lookup bounds/null
+    // checks on the join's hottest path and LOST to the exact 64-float
+    // dot (9.2 s vs 6.2 s at 25×); the generated loop is 8 primitive
+    // array reads + adds, LTR over m — the oracle's summation order
+    val sdcSum = graft.functions.SdcSum.sdc_sum(sdotArr, PqK,
+      col("codes"), col("codes_n"))
     // probe side: every vector's nprobe nearest cells, carrying CODES
     // (not floats) into the candidate join
     val wProbe = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))

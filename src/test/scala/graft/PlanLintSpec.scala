@@ -44,7 +44,9 @@ class PlanLintSpec extends SparkSpec {
     // same probe-stage product as ann_knn_join (corpus × broadcast
     // C≈√N centroids); the candidate stage is an equi-join on cluster
     // over CODE currency and the rerank an id equi-join
-    "ann_knn_join_pq")
+    "ann_knn_join_pq",
+    // same probe stage again; top-k runs as a bounded-heap aggregation
+    "ann_knn_join_heap")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {
@@ -119,6 +121,30 @@ class PlanLintSpec extends SparkSpec {
     try flagshipJoins.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
     finally spark.conf.set(key, prev)
+  }
+
+  test("rank-limit pushdown (WindowGroupLimit) is active on the top-k window queries") {
+    // the r12 kNN-join attack's central finding: the window + filter
+    // (rank <= k) formulation is NOT a full-candidate shuffle — Spark 4
+    // plans a PARTIAL WindowGroupLimit before the exchange, bounding
+    // the shuffled rows per group map-side exactly like the bounded-
+    // heap aggregator (measured equal at 100×: 32.2 s window vs 36.2 s
+    // heap). That pushdown only fires while the filter stays a
+    // recognizable rank predicate directly over row_number — pin it on
+    // the queries whose scale posture DEPENDS on it, so a refactor that
+    // breaks the shape (e.g. deriving the rank through an intermediate
+    // projection the optimizer can't see through) fails here by name
+    // instead of silently shuffling the nprobe·N·√N candidate relation.
+    val dependent = Seq("ann_knn_join", "window_top_orders", "ann_topk_ivf")
+    val missing = dependent.filterNot { n =>
+      flatten(SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+        .exists {
+          case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+          case _ => false
+        }
+    }
+    assert(missing.isEmpty,
+      s"top-k window queries without WindowGroupLimit pushdown: $missing")
   }
 
   test("flagship joins never hint a fact table onto the broadcast build side") {
