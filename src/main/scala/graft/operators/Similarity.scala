@@ -394,23 +394,24 @@ object Similarity {
   }
 
   /** [[knnJoin]] with the rank WINDOW replaced by the mergeable
-    * bounded-heap aggregator — the r12 attack on the suite's slowest
-    * 100× line, aimed at what the measurement (not the intuition)
-    * showed to be the bottleneck. The window formulation hash-EXCHANGES
-    * the ENTIRE nprobe·N·√N candidate relation on vec_id and sorts it
-    * per partition before cutting top-k — at 100× that is ~2×10⁹ scored
-    * rows through one exchange + sort, and it dominates the join so
-    * completely that scoring currency barely moves the total (the SDC
-    * code-scored variant measured 61 s vs exact 45 s — see
-    * [[knnJoinPq]]'s falsification note). Here the top-k cut runs as a
-    * typed partial aggregation ([[graft.functions.TopKAggregate
+    * bounded-heap aggregator ([[graft.functions.TopKAggregate
     * .TopKNeighbors]]): each map task keeps a ≤k bounded heap per
-    * vec_id with O(1) early-reject, so the exchange carries ≤k rows per
-    * vector (≈ N·k) instead of the candidate relation (≈ nprobe·N·√N —
-    * a √N/… reduction that GROWS with scale). Same probes, same
-    * scoring, same (cosine desc, id asc) tie rule, same oracle as
-    * [[knnJoin]] — only the physical top-k strategy differs, which is
-    * the point: measured 45.0 → 11.3 s at 100×. */
+    * vec_id with O(1) early-reject, so the exchange carries ≤k rows
+    * per vector (≈ N·k) instead of the candidate relation. The r12
+    * measurement is the interesting part: this DOES NOT beat the
+    * window form locally (36.2 s vs 32.2 s at 100×), because Spark 4
+    * already plans a PARTIAL WindowGroupLimit before the window's
+    * exchange for a recognizable `rank <= k` filter — the window form
+    * gets the same map-side top-k bound for free, and the typed
+    * aggregation pays object ser/de per candidate row on top. Kept
+    * registered as the EXPLICIT-strategy twin (same probes, scoring,
+    * tie rule, oracle): it does not depend on the optimizer
+    * recognizing the filter shape, and `PlanLintSpec` pins the
+    * WindowGroupLimit pushdown for the window-form queries whose scale
+    * posture silently relies on it. The remaining 100× cost in BOTH
+    * forms is the nprobe·N·√N candidate generation + scoring itself —
+    * the dial is nprobe (the ann_recall_curve trade), not top-k
+    * strategy or scoring currency ([[knnJoinPq]]'s falsification). */
   def knnJoinHeap(spark: SparkSession, sfDir: String, k: Int = 3,
       nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
     import spark.implicits._
@@ -481,7 +482,19 @@ object Similarity {
     *
     * Ranking/tie conventions are the suite's (rounded score desc, id
     * asc), so the DuckDB oracle replays coarse + PQ training, the SDC
-    * table, probing, shortlisting and rerank bit-for-bit. */
+    * table, probing, shortlisting and rerank bit-for-bit.
+    *
+    * MEASURED OUTCOME (r12, the edit-distance discipline): at THIS
+    * corpus's 64 dims the code currency does NOT beat the exact join —
+    * 61.2 s vs 45.0 s at 100× even with the native [[graft.functions
+    * .SdcSum]] scoring loop — because the bottleneck is the candidate
+    * relation's row pipeline, not the 64-FMA dot (shortlist depth
+    * 24 → 96 moves only 45.2 → 49.1 s, so the rerank isn't it either).
+    * The payload claim (~6× fewer candidate-stage BYTES) is real but
+    * priced at ~0 by a single-host shuffle; the regime where this form
+    * wins is network-priced shuffle and/or high-dim vectors (768-d
+    * pays 12× the dot flops, the SDC lookup stays 8 reads). Kept as
+    * the documented code-currency device with its recall gates. */
   def knnJoinPq(spark: SparkSession, sfDir: String, k: Int = 3,
       nprobe: Int = 6, shortlist: Int = 96, trainIters: Int = 2): DataFrame = {
     val emb = normalizedEmbeddings(spark, sfDir)
