@@ -31,7 +31,7 @@ object BpeProbe {
     val sfDir = args(0)
     val scans = if (args.length > 1) args(1).toInt else 32
     val batch = if (args.length > 2) args(2).toInt else 64
-    val window = if (args.length > 3) args(3).toInt else 4096
+    val window = if (args.length > 3) args(3).toInt else 32768
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

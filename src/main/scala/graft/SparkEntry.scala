@@ -1518,18 +1518,18 @@ object SparkEntry {
         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
         |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
         |ORDER BY round""".stripMargin),
-    // bpeTrainBatched(scans=8, batch=64, window=4096): per scan, rank
+    // bpeTrainBatched(scans=8, batch=64, window=32768): per scan, rank
     // the pair counts, replay the greedy disjoint selection as a
     // recursive CTE (state = used-symbol list), fold the kept merges
     // over the corpus in one list_reduce pass
-    "text_bpe_train_batched" -> bpeBatchedTrainSql(8, 64, 4096),
+    "text_bpe_train_batched" -> bpeBatchedTrainSql(8, 64, 32768),
     // bpeEncodeHoldoutBatched: batched training on even doc_ids, then
     // each scan's kept merges fold over the odd split in learned order
-    "text_bpe_holdout_batched" -> bpeBatchedHoldoutSql(8, 64, 4096),
+    "text_bpe_holdout_batched" -> bpeBatchedHoldoutSql(8, 64, 32768),
     // bpeEncodeBatched: the full-corpus encode equals the batched
     // trainer's final rewritten state s8 (replay-equivalence: scan k's
     // merges apply to exactly the state scan k trained on)
-    "text_bpe_apply_batched" -> (bpeBatchedCtesOver("", 8, 64, 4096) +
+    "text_bpe_apply_batched" -> (bpeBatchedCtesOver("", 8, 64, 32768) +
       """
         |SELECT doc_id,
         |  CAST((length(s) - length(replace(s, chr(1), '')))

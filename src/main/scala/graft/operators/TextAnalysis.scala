@@ -1421,9 +1421,24 @@ object TextAnalysis {
     * w2, n_pair) with the scan-end corpus symbol count repeated on the
     * scan's rows. Scale: ⌈k/batch⌉ wordcount-currency pair aggs + one
     * ≤batch-deep map-only rewrite per scan, persist-per-scan with ≤2
-    * corpus copies live — the same discipline as [[bpeTrainLoop]]. */
+    * corpus copies live — the same discipline as [[bpeTrainLoop]].
+    *
+    * WINDOW SIZING (r12, measured by `graft.BpeProbe`): the ranked
+    * window is a driver-memory safety valve (a collected (w1, w2,
+    * count) tuple per candidate, ~50 B each), and at 4096 it SILENTLY
+    * CAPPED keeps once the pair inventory outgrew it — at 25× the
+    * window filled from scan 5 and keeps collapsed to ~15/scan (the
+    * visible top-4096 is dominated by footprint collisions through hot
+    * symbols), 550 merges in 32 scans. At 32768 (the default since
+    * r12; ~1.6 MB collected) zero scans cap, keeps climb to the full
+    * batch (18, 26, 34, 41, 49, 55, 64, 64 at 25×) and scan time stays
+    * flat (~1.7 s/scan at 25×) — the window only bounds the DRIVER
+    * copy, never the distributed pair agg, so widening it costs
+    * nothing measurable. The probe reports `window_capped_scans` so a
+    * corpus that outgrows even this shows up as a number, not a
+    * slowdown mystery. */
   def bpeTrainBatched(spark: SparkSession, sfDir: String, scans: Int = 8,
-      batch: Int = 64, window: Int = 4096): DataFrame =
+      batch: Int = 64, window: Int = 32768): DataFrame =
     batchedMergeIndex(spark, sfDir, scans, batch, window, evenSplit = false)
       .orderBy("merge_idx")
 
@@ -1456,7 +1471,7 @@ object TextAnalysis {
     * with a materialization between keeps every stage inside
     * whole-stage codegen). Same output shape as [[bpeEncode]]. */
   def bpeEncodeHoldoutBatched(spark: SparkSession, sfDir: String,
-      scans: Int = 8, batch: Int = 64, window: Int = 4096,
+      scans: Int = 8, batch: Int = 64, window: Int = 32768,
       chunk: Int = 64): DataFrame = {
     // merges come from the STORED vocabulary (trained on the even split
     // once per corpus snapshot); the steady-state cost of this query is
@@ -1479,7 +1494,7 @@ object TextAnalysis {
     * replay applies scan k's merges to exactly the state scan k was
     * trained on. Same output shape as [[bpeEncode]]. */
   def bpeEncodeBatched(spark: SparkSession, sfDir: String,
-      scans: Int = 8, batch: Int = 64, window: Int = 4096,
+      scans: Int = 8, batch: Int = 64, window: Int = 32768,
       chunk: Int = 64): DataFrame = {
     val learned = batchedMergeIndex(spark, sfDir, scans, batch, window,
       evenSplit = false)
