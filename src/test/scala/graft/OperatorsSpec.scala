@@ -6,6 +6,32 @@ import graft.operators.{Events, Similarity}
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readOrWritePair: both halves cut from ONE forced computation, read back thereafter") {
+    import graft.sources.ArtifactCache
+    val dir = java.nio.file.Files.createTempDirectory("graft-pairart-").toString
+    try {
+      Seq((1L, "x")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$dir/t.parquet")
+      var forced = 0
+      def halves = {
+        forced += 1
+        (Seq((1L, 10L)).toDF("k", "a"), Seq((1L, "canon")).toDF("k", "c"))
+      }
+      // params carries the corpus dir — the keying rule the r12 clone
+      // tests caught (omitting it lets two corpora in one JVM evict
+      // each other's artifact through the stale-fingerprint sweep)
+      val (a1, b1) = ArtifactCache.readOrWritePair(spark, "spec-pair",
+        dir, s"$dir/t.parquet")(halves)
+      assert(forced === 1, "one forcing writes BOTH halves")
+      assert(a1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
+      assert(b1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "canon")))
+      val (a2, b2) = ArtifactCache.readOrWritePair(spark, "spec-pair",
+        dir, s"$dir/t.parquet")(halves)
+      assert(forced === 1, "a second call reads the stored halves back")
+      assert(a2.count() === 1 && b2.count() === 1)
+    } finally ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("range join: bucketed formulation equals naive quadratic join") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"))

@@ -123,6 +123,17 @@ class SimilaritySpec extends SparkSpec {
     assert(vsBrute >= 0.5, s"recall@3 too low: $vsBrute")
   }
 
+  test("heap kNN join equals the window form row for row") {
+    // identical semantics by contract (same probes, scoring, tie rule)
+    // — only the physical top-k strategy differs, so any divergence is
+    // a bug in the bounded-heap aggregator (ordering, early-reject, or
+    // merge), caught here at fixture scale before the shared oracle
+    val window = Similarity.knnJoin(spark, sf).collect().map(_.toString).toSeq
+    val heap = Similarity.knnJoinHeap(spark, sf).collect().map(_.toString).toSeq
+    assert(window.nonEmpty)
+    assert(heap === window)
+  }
+
   test("LSH top-k recall vs brute force is at least 0.7") {
     val brute = Similarity.bruteForceTopK(spark, sf, k = 10, numQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
