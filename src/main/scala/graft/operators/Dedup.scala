@@ -1714,19 +1714,30 @@ object Dedup {
       threshold: Double, numCentroids: Int, iters: Int): (DataFrame, DataFrame) = {
     import graft.functions.VectorOps
     val (members, canon) = VectorOps.vectorGroupsIndex(spark, sfDir)
-    val withVec = Similarity.assignmentIndex(spark, sfDir, numCentroids, iters)
-      .join(renamed(canon, "canon_id" -> "vec_id", "e" -> "e", "nrm" -> "nrm"),
-        Seq("vec_id"))
-    val a = renamed(withVec, "cluster" -> "cluster",
-      "vec_id" -> "ca", "e" -> "e_a", "nrm" -> "n_a")
-    val b = renamed(withVec, "cluster" -> "cluster",
-      "vec_id" -> "cb", "e" -> "e_b", "nrm" -> "n_b")
-    val survivors = a.join(b, Seq("cluster"))
-      .filter(col("ca") <= col("cb")) // = keeps self pairs: intra-group dup pairs
-      .select(col("cluster"), col("ca"), col("cb"),
-        rd(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
-          .as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // the canonical within-cell pair table is a pure function of
+    // (corpus, threshold, quantizer params) consumed by THREE queries
+    // (keepers, all-pairs, top-m) — store it like every other pair
+    // table (r12): the within-cell scoring join runs once per corpus
+    // snapshot; each consumer reads back a survivor-sized parquet.
+    // Bounded on disk: one row per surviving DISTINCT-vector pair,
+    // never member-expanded.
+    val survivors = graft.sources.ArtifactCache.readOrWrite(spark,
+      "semantic-survivors", s"$sfDir|$threshold|$numCentroids|$iters",
+      s"$sfDir/embeddings.parquet") {
+      val withVec = Similarity.assignmentIndex(spark, sfDir, numCentroids, iters)
+        .join(renamed(canon, "canon_id" -> "vec_id", "e" -> "e", "nrm" -> "nrm"),
+          Seq("vec_id"))
+      val a = renamed(withVec, "cluster" -> "cluster",
+        "vec_id" -> "ca", "e" -> "e_a", "nrm" -> "n_a")
+      val b = renamed(withVec, "cluster" -> "cluster",
+        "vec_id" -> "cb", "e" -> "e_b", "nrm" -> "n_b")
+      a.join(b, Seq("cluster"))
+        .filter(col("ca") <= col("cb")) // = keeps self pairs: intra-group dup pairs
+        .select(col("cluster"), col("ca"), col("cb"),
+          rd(VectorOps.cosine(col("e_a"), col("n_a"), col("e_b"), col("n_b")), 4)
+            .as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
     (members, survivors)
   }
 
