@@ -1530,15 +1530,24 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     import graft.functions.VectorOps
     val (members, canon) = VectorOps.vectorGroupsIndex(spark, sfDir)
-    val canonBlocked = canon.select(col("canon_id").as("vec_id"), col("e"),
-      col("nrm"), pmod(xxhash64(col("canon_id")), lit(numBlocks)).cast("int").as("g"))
-    val cross = embeddingPairsOverBlocks(spark, canonBlocked, threshold, numBlocks)
-      .select(col("vec_a").as("ca"), col("vec_b").as("cb"), col("cosine"))
-    val self = canon.select(col("canon_id").as("ca"), col("canon_id").as("cb"),
-      rd(VectorOps.cosine(col("e"), col("nrm"), col("e"), col("nrm")), 4)
-        .as("cosine"))
-      .filter(col("cosine") >= threshold)
-    (members, cross.unionByName(self))
+    // stored like the semantic survivor table (r12): the blocked exact
+    // scoring join — the Ω(distinct²) term the canonical collapse
+    // bounds — runs once per (corpus, threshold, blocks) and both
+    // consumers (guarded pair view, pair-budget report) read it back
+    val survivors = graft.sources.ArtifactCache.readOrWrite(spark,
+      "embedding-survivors", s"$sfDir|$threshold|$numBlocks",
+      s"$sfDir/embeddings.parquet") {
+      val canonBlocked = canon.select(col("canon_id").as("vec_id"), col("e"),
+        col("nrm"), pmod(xxhash64(col("canon_id")), lit(numBlocks)).cast("int").as("g"))
+      val cross = embeddingPairsOverBlocks(spark, canonBlocked, threshold, numBlocks)
+        .select(col("vec_a").as("ca"), col("vec_b").as("cb"), col("cosine"))
+      val self = canon.select(col("canon_id").as("ca"), col("canon_id").as("cb"),
+        rd(VectorOps.cosine(col("e"), col("nrm"), col("e"), col("nrm")), 4)
+          .as("cosine"))
+        .filter(col("cosine") >= threshold)
+      cross.unionByName(self)
+    }
+    (members, survivors)
   }
 
   /** Pruning diagnostics for the exact embedding threshold join — the
