@@ -36,7 +36,28 @@ import graft.sources.Tables
   *                 the same factor);
   *   - dims (region, nation, customer, supplier, part): unchanged.
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [skew]
+  * LONGDOC (`longdoc` as 4th arg): per-ROW length amplification — the
+  * third hazard axis, which neither clone grids nor key skew can
+  * produce: the 1% hot documents keep their doc_id and row count but
+  * their TEXT grows ×factor (factor segments, each the original text
+  * plus a unique ` s<i>` marker token so segments are near- but not
+  * exactly identical — the boilerplate-heavy crawl-dump shape). At
+  * factor=1000 a ~300-char snippet becomes a ~300 KB book-sized row.
+  * What it stresses that the other grids cannot:
+  *   - row-local quadratics (edit-distance DP is O(L²) PER PAIR — a
+  *     50k-token doc is 2.5G cells, where 100× cloning never leaves
+  *     ~60-token rows);
+  *   - single-row stragglers (a row cannot be split across tasks, so
+  *     one giant doc pins one core regardless of parallelism);
+  *   - per-doc array materialization (shingle/token/position arrays
+  *     built with transform(...) live in ONE row's memory);
+  *   - within-doc repetition (factor near-identical segments inside
+  *     one doc → position-level dup-span and winnowing occupancy).
+  * Only documents change; every other table copies through unchanged,
+  * so the full registry runs against the output dir. n_chars is
+  * recomputed to stay consistent with the grown text.
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [skew|longdoc]
   */
 object ScaleUp {
   private val KeyOffset = 1000000000L
@@ -46,11 +67,13 @@ object ScaleUp {
   private def hot(key: Column): Column = key % 100 === 0
 
   def main(args: Array[String]): Unit = {
-    val (src, out, factor, skewMode) = args match {
-      case Array(s, o, f)         => (s, o, f.toInt, false)
-      case Array(s, o, f, "skew") => (s, o, f.toInt, true)
-      case _ => sys.error("usage: ScaleUp <srcSfDir> <outDir> <factor> [skew]")
+    val (src, out, factor, mode) = args match {
+      case Array(s, o, f)            => (s, o, f.toInt, "uniform")
+      case Array(s, o, f, "skew")    => (s, o, f.toInt, "skew")
+      case Array(s, o, f, "longdoc") => (s, o, f.toInt, "longdoc")
+      case _ => sys.error("usage: ScaleUp <srcSfDir> <outDir> <factor> [skew|longdoc]")
     }
+    val skewMode = mode == "skew"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -95,8 +118,30 @@ object ScaleUp {
         .drop("__i")
     }
 
+    /** Hot docs grow ×factor in LENGTH (not count): factor segments,
+      * each the source text plus a unique marker token — near- but not
+      * exactly identical segments, built row-locally (no join). */
+    def longdocDocuments(docs: DataFrame): DataFrame = docs
+      .withColumn("text",
+        when(hot(col("doc_id")),
+          concat_ws(" ", transform(sequence(lit(0), lit(factor - 1)),
+            i => concat(col("text"), lit(" s"), i))))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
     val plans: Seq[(String, DataFrame)] =
-      if (!skewMode) Seq(
+      if (mode == "longdoc") Seq(
+        "region" -> Tables.region(spark, src),
+        "nation" -> Tables.nation(spark, src),
+        "customer" -> Tables.customer(spark, src),
+        "supplier" -> Tables.supplier(spark, src),
+        "part" -> Tables.part(spark, src),
+        "orders" -> Tables.orders(spark, src),
+        "lineitem" -> Tables.lineitem(spark, src),
+        "events" -> Tables.events(spark, src),
+        "documents" -> longdocDocuments(Tables.documents(spark, src)),
+        "embeddings" -> Tables.embeddings(spark, src))
+      else if (!skewMode) Seq(
         "region" -> Tables.region(spark, src),                       // bounded dim
         "nation" -> Tables.nation(spark, src),                       // bounded dim
         "customer" -> amplify(Tables.customer(spark, src), Seq("c_custkey")),

@@ -27,15 +27,28 @@ import org.apache.spark.sql.types._
   * directly (cent ids are 0..k−1 by construction); mismatched array
   * lengths sum the common prefix.
   */
-case class SdcSum(table: Array[Double], k: Int,
+case class SdcSum(table: IndexedSeq[Double], k: Int,
     left: Expression, right: Expression) extends BinaryExpression {
+  // `table` is an IndexedSeq, not Array: case-class equality on Array is
+  // reference equality, which would defeat semanticEquals / common-
+  // subexpression elimination for two SdcSum nodes built from the same
+  // stored dot table (two plans over one corpus snapshot)
 
   override def dataType: DataType = DoubleType
+
+  /** Flat primitive copy for the hot paths (interpreted loop + codegen
+    * reference object) — built once per expression instance. */
+  @transient private lazy val tableArr: Array[Double] = table.toArray
 
   private def intElem(e: Expression): Boolean = e.dataType match {
     case ArrayType(IntegerType, _) => true
     case _ => false
   }
+
+  // child dataTypes are fixed after binding — resolve the element-width
+  // dispatch once, not per array element per row (interpreted path)
+  @transient private lazy val leftIsInt = intElem(left)
+  @transient private lazy val rightIsInt = intElem(right)
 
   private def codeArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(IntegerType | LongType, _) => true
@@ -53,12 +66,13 @@ case class SdcSum(table: Array[Double], k: Int,
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val kk = k * k
+    val tbl = tableArr
     var s = 0.0
     var m = 0
     while (m < n) {
-      val cu = if (intElem(left)) x.getInt(m) else x.getLong(m).toInt
-      val cv = if (intElem(right)) y.getInt(m) else y.getLong(m).toInt
-      s += table(m * kk + cu * k + cv)
+      val cu = if (leftIsInt) x.getInt(m) else x.getLong(m).toInt
+      val cv = if (rightIsInt) y.getInt(m) else y.getLong(m).toInt
+      s += tbl(m * kk + cu * k + cv)
       m += 1
     }
     java.lang.Double.valueOf(s)
@@ -66,12 +80,12 @@ case class SdcSum(table: Array[Double], k: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val tbl = ctx.addReferenceObj("sdcTable", table, "double[]")
+      val tbl = ctx.addReferenceObj("sdcTable", tableArr, "double[]")
       val m = ctx.freshName("m")
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
-      val getA = if (intElem(left)) s"$a.getInt($m)" else s"(int) $a.getLong($m)"
-      val getB = if (intElem(right)) s"$b.getInt($m)" else s"(int) $b.getLong($m)"
+      val getA = if (leftIsInt) s"$a.getInt($m)" else s"(int) $a.getLong($m)"
+      val getB = if (rightIsInt) s"$b.getInt($m)" else s"(int) $b.getLong($m)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
@@ -91,6 +105,6 @@ object SdcSum {
   /** Column-API entry: sdc_sum over two code arrays with a flat
     * (M·k²)-entry dot table. */
   def sdc_sum(table: Array[Double], k: Int, a: Column, b: Column): Column =
-    GraftColumnBridge.column(SdcSum(table, k,
+    GraftColumnBridge.column(SdcSum(table.toIndexedSeq, k,
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -64,18 +64,25 @@ object Dedup {
     * dedup_semantic_keepers +0.36 s); later runs check the cached
     * number and hand the survivors straight to the expansion. At 100 TB
     * the memo is the catalog statistic a pipeline would store next to
-    * the pair table. */
+    * the pair table.
+    *
+    * PRECONDITION on memo hits: when the verdict is already cached the
+    * survivors frame is returned UN-checkpointed — sound only because
+    * every call site feeds artifact-backed survivors (a parquet scan of
+    * the stored canonical pair table), which the downstream expansion
+    * can re-read as cheaply as a checkpoint. A caller passing a live
+    * (unmaterialized) survivor pipeline must checkpoint it itself or
+    * accept recomputation per downstream read. */
   private def guardedSurvivors(survivors: DataFrame, members: DataFrame,
       maxExpandedPairs: Long, what: String, memoKey: String): DataFrame = {
-    val cached = pairCountCache.get(memoKey)
-    val (expanded, out) =
-      if (cached != null) (cached.longValue, survivors)
-      else {
-        val checked = survivors.localCheckpoint()
-        val e = expandedPairCount(checked, members)
-        pairCountCache.put(memoKey, e)
-        (e, checked)
-      }
+    // per-key future (graft.sources.Memo): racing sessions share ONE
+    // pricing run, and the Spark aggregate runs outside any map lock
+    var checked: DataFrame = null
+    val expanded = graft.sources.Memo.once(pairCountCache, memoKey) {
+      checked = survivors.localCheckpoint()
+      expandedPairCount(checked, members)
+    }
+    val out = if (checked != null) checked else survivors
     if (expanded > maxExpandedPairs)
       throw new PairExplosionException(
         s"$what would expand to $expanded member pairs " +
@@ -88,8 +95,7 @@ object Dedup {
     out
   }
 
-  private val pairCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val pairCountCache = graft.sources.Memo.newCache[String]
 
   /** One key shape for guard memos and [[pairExpansionReport]], so the
     * report warms the guards and vice versa: view name, every parameter
@@ -136,11 +142,11 @@ object Dedup {
     // itself is flat
     def priced(view: String, params: String,
         ms: => (DataFrame, DataFrame)): Long =
-      pairCountCache.computeIfAbsent(
-        pairMemoKey(spark, sfDir, view, params), _ => {
-          val (m, s) = ms
-          expandedPairCount(s, m)
-        }).longValue
+      graft.sources.Memo.once(pairCountCache,
+        pairMemoKey(spark, sfDir, view, params)) {
+        val (m, s) = ms
+        expandedPairCount(s, m)
+      }
     Seq(("embedding", priced("embedding", s"$embThreshold|$numBlocks",
           embeddingCanonicalSurvivors(spark, sfDir, embThreshold, numBlocks))),
         ("semantic", priced("semantic", s"$semThreshold|$numCentroids|$iters",

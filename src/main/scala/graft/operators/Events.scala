@@ -171,7 +171,7 @@ object Events {
     // catalog would keep.
     val key = (graft.sources.ArtifactCache.fingerprint(
       spark, s"$sfDir/events.parquet"), gapMinutes)
-    val est = candidateEstimateCache.computeIfAbsent(key, _ => {
+    val est = graft.sources.Memo.once(candidateEstimateCache, key) {
       val occ = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
         .localCheckpoint()
       val occB = occ.select(col("user_id"), col("n").as("n_b"),
@@ -180,7 +180,7 @@ object Events {
       occ.join(occB, Seq("user_id", "bucket"))
         .agg(coalesce(sum(col("n") * col("n_b")), lit(0L)))
         .head().getLong(0)
-    })
+    }
     if (est > maxCandidatePairs)
       throw new PairExplosionException(
         s"nearbyEventPairs(gap=${gapMinutes}m) would examine ~$est candidate " +
@@ -210,8 +210,10 @@ object Events {
   private[graft] def defaultCandidateBudget: Long =
     sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS", "50000000").toLong
 
+  // per-key future (graft.sources.Memo): the occupancy aggregate runs
+  // outside any map bin lock (the computeIfAbsent hazard — ADVICE r12)
   private val candidateEstimateCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
+    graft.sources.Memo.newCache[(String, Int)]
 
   /** Unpivot (wide → long): per-returnflag metric columns melted into
     * (returnflag, metric, value) rows — the inverse of pivot. */

@@ -105,15 +105,37 @@ object ArtifactCache {
     * same corpus can reclaim/replace this JVM's artifact dir between
     * our write and our read (its stale-fingerprint sweep, or its own
     * in-flight write). The raw failure is an opaque PATH_NOT_FOUND
-    * that reads like an operator bug; name the actual cause. */
+    * that reads like an operator bug; name the actual cause.
+    *
+    * Only PATH-GONE failures get the relabel: a schema mismatch, a bad
+    * path construction in a new caller, or a fatal error (OOM) must
+    * surface unchanged — relabeling those as "concurrent JVM" would
+    * actively misdirect debugging. */
   private def readBack[T](name: String)(read: => T): T =
-    try read catch { case e: Throwable =>
-      throw new IllegalStateException(
-        s"artifact '$name' unreadable immediately after its write " +
-          "completed — almost always a SECOND graft JVM (bench/verify/" +
-          "scale sweep) running concurrently and reclaiming the shared " +
-          "artifact cache. Run one graft JVM at a time (see README " +
-          "operations note).", e)
+    try read catch {
+      case scala.util.control.NonFatal(e) if pathGone(e, 0) =>
+        throw new IllegalStateException(
+          s"artifact '$name' unreadable immediately after its write " +
+            "completed — almost always a SECOND graft JVM (bench/verify/" +
+            "scale sweep) running concurrently and reclaiming the shared " +
+            "artifact cache. Run one graft JVM at a time (see README " +
+            "operations note).", e)
+    }
+
+  /** True iff the failure chain is file-/path-not-found shaped — the
+    * signature a reclaimed artifact dir leaves (AnalysisException
+    * PATH_NOT_FOUND on planning, FileNotFoundException from a task
+    * reading a deleted part file, either possibly wrapped). */
+  private[graft] def pathGone(e: Throwable, depth: Int = 0): Boolean =
+    if (e == null || depth > 16) false
+    else e match {
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException
+          if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+        true
+      case other =>
+        val cause = other.getCause
+        (cause ne other) && pathGone(cause, depth + 1)
     }
 
   /** Text-format sibling of [[readOrWrite]] for corpora whose CONTRACT

@@ -463,10 +463,13 @@ object EventStream {
       .orderBy("click_id", "purchase_id")
   }
 
+  // per-key futures (graft.sources.Memo): the pricing aggregates run
+  // outside any map bin lock — computeIfAbsent would hold it for the
+  // Spark job's duration and serialize unrelated keys in the same bin
   private val attributionEstimateCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
+    graft.sources.Memo.newCache[(String, Int)]
   private val attributionStateProductCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    graft.sources.Memo.newCache[String]
 
   /** Worst-key state-scan price, memoized per corpus fingerprint — see
     * [[clickPurchaseStateProductOf]]. */
@@ -474,9 +477,10 @@ object EventStream {
       sfDir: String): Long = {
     val key = graft.sources.ArtifactCache.fingerprint(
       spark, s"$sfDir/events.parquet")
-    attributionStateProductCache.computeIfAbsent(key, _ =>
+    graft.sources.Memo.once(attributionStateProductCache, key) {
       clickPurchaseStateProductOf(
-        graft.sources.Tables.events(spark, sfDir))).longValue
+        graft.sources.Tables.events(spark, sfDir))
+    }
   }
 
   /** The streaming join's per-key SERIAL cost: max over users of
@@ -504,9 +508,10 @@ object EventStream {
       sfDir: String, windowMinutes: Int = 60): Long = {
     val key = (graft.sources.ArtifactCache.fingerprint(
       spark, s"$sfDir/events.parquet"), windowMinutes)
-    attributionEstimateCache.computeIfAbsent(key, _ =>
+    graft.sources.Memo.once(attributionEstimateCache, key) {
       clickPurchaseCandidateCountOf(
-        graft.sources.Tables.events(spark, sfDir), windowMinutes))
+        graft.sources.Tables.events(spark, sfDir), windowMinutes)
+    }
   }
 
   /** Candidate (click, purchase) pairs within ±window per user, priced

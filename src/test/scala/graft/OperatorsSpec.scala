@@ -32,6 +32,53 @@ class OperatorsSpec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  test("Memo.once: one compute per key, shared by racers, retry after failure, re-entrant-safe") {
+    import graft.sources.Memo
+    val cache = Memo.newCache[String]
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 8 racers on one key: exactly one compute runs, all see its value
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = Memo.once(cache, "k") {
+            computes.incrementAndGet(); Thread.sleep(50); 42L
+          }
+        }))
+      assert(results.map(_.get()).toSet === Set(42L))
+      assert(computes.get() === 1, "racers share the one in-flight compute")
+    } finally pool.shutdown()
+    // re-entrant compute on the SAME map (the computeIfAbsent hazard —
+    // IllegalStateException "recursive update") must work
+    val nested = Memo.once(cache, "outer") { Memo.once(cache, "inner")(7L) + 1L }
+    assert(nested === 8L)
+    // a failed compute clears the slot so a retry recomputes
+    intercept[RuntimeException] {
+      Memo.once(cache, "flaky") { throw new RuntimeException("boom") }
+    }
+    assert(Memo.once(cache, "flaky")(5L) === 5L)
+    assert(Memo.peek(cache, "flaky") === Some(5L))
+    assert(Memo.peek(cache, "absent") === None)
+  }
+
+  test("readBack relabel fires only on path-gone failures (ADVICE r12)") {
+    import graft.sources.ArtifactCache.pathGone
+    assert(pathGone(new java.io.FileNotFoundException("/tmp/x part-0000")))
+    // wrapped cause (a task failure surfaces as SparkException(cause))
+    assert(pathGone(new RuntimeException("stage failed",
+      new java.io.FileNotFoundException("gone"))))
+    // planning-time missing root path
+    assert(pathGone(new org.apache.spark.sql.AnalysisException(
+      errorClass = "PATH_NOT_FOUND", messageParameters = Map("path" -> "/tmp/x"))))
+    // a schema mismatch / fatal error must NOT be relabeled as a
+    // concurrent-JVM reclaim — it would misdirect debugging
+    assert(!pathGone(new org.apache.spark.sql.AnalysisException(
+      errorClass = "UNRESOLVED_COLUMN.WITHOUT_SUGGESTION",
+      messageParameters = Map("objectName" -> "`nope`"))))
+    assert(!pathGone(new IllegalStateException("unrelated")))
+    assert(!pathGone(new OutOfMemoryError("heap").asInstanceOf[Throwable]))
+  }
+
   test("range join: bucketed formulation equals naive quadratic join") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
