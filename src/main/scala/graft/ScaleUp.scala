@@ -118,16 +118,41 @@ object ScaleUp {
         .drop("__i")
     }
 
-    /** Hot docs grow ×factor in LENGTH (not count): factor segments,
-      * each the source text plus a unique marker token — near- but not
-      * exactly identical segments, built row-locally (no join). */
-    def longdocDocuments(docs: DataFrame): DataFrame = docs
-      .withColumn("text",
-        when(hot(col("doc_id")),
-          concat_ws(" ", transform(sequence(lit(0), lit(factor - 1)),
-            i => concat(col("text"), lit(" s"), i))))
-          .otherwise(col("text")))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    /** Hot docs grow ×factor in LENGTH (not count): factor segments of
+      * a BASE text plus marker tokens. The base is the thousand-block
+      * head's text (doc_id rounded down to a multiple of 1000), so the
+      * ~10 hot docs of each thousand-block become book-length NEAR-
+      * duplicates of each other — identical segments except a per-doc
+      * ` d<offset>` marker — the "two editions of the same book" shape
+      * that makes candidate blocking admit long×long pairs (a long×
+      * short pair never passes a Jaccard blocker; two long editions
+      * always do, and THEY are where per-pair O(L²) verification
+      * detonates). Built with one broadcast join against the ≤|docs|/1000
+      * block-head table; segments are near- but not exactly identical
+      * both within a doc (s<i> varies) and across editions (d<off>
+      * varies), so exact-dedup collapses nothing. */
+    def longdocDocuments(docs: DataFrame): DataFrame = {
+      val heads = docs.filter(col("doc_id") % 1000 === 0)
+        .select(col("doc_id").as("base_id"), col("text").as("base_text"))
+      docs
+        .withColumn("base_id", col("doc_id") - (col("doc_id") % 1000))
+        .join(broadcast(heads), Seq("base_id"), "left")
+        .withColumn("text",
+          when(hot(col("doc_id")) && col("base_text").isNotNull,
+            concat(
+              concat_ws(" ", transform(sequence(lit(0), lit(factor - 1)),
+                i => concat(col("base_text"), lit(" s"), i))),
+              // the edition marker lives in ONE trailing region, not in
+              // every segment: editions must stay shingle-similar
+              // (jaccard ~0.999, well past any blocking threshold) so
+              // the long×long pair actually reaches verification —
+              // per-segment markers would dilute jaccard below the
+              // blocker and hide the hazard
+              lit(" edition d"), col("doc_id") % 1000))
+            .otherwise(col("text")))
+        .drop("base_id", "base_text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
 
     val plans: Seq[(String, DataFrame)] =
       if (mode == "longdoc") Seq(

@@ -157,6 +157,10 @@ object SparkEntry {
     "corpus_split_repair_converged" ->
       ((s, d) => TextAnalysis.splitRepairConverged(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    // chunk-grain dedup (r13): the linear interface the DP guard's
+    // refusal names for book-length near-duplicate editions
+    "dedup_chunk_keepers" -> ((s, d) => Dedup.chunkDedupKeepers(s, d)),
+    "dedup_chunk_rate" -> ((s, d) => Dedup.chunkDedupRate(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -2469,6 +2473,48 @@ object SparkEntry {
     // dupSpans(n=5): positional 5-grams joined as STRINGS where Spark
     // joins xxhash64 keys — same accepted-collision equivalence as the
     // decontamination oracle
+    // chunkDedupKeepers(chunkSize=32, overlap=0): stride-32 chunk cut
+    // (overlap 0 → every start below n is kept; an empty doc still
+    // yields its start-0 chunk), md5 chunk fingerprints, one row per
+    // DISTINCT chunk with occurrence count / doc spread / keeper
+    "dedup_chunk_keepers" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |        FROM t))
+        |SELECT chunk_fp, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
+        |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,
+    // chunkDedupRate: per-doc fraction of chunks shared with >= 1 OTHER
+    // doc (distinct-doc df, same semantics as text_dup_spans at chunk
+    // grain)
+    "dedup_chunk_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |        FROM t)),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id),
+        |shared AS (SELECT chunk_fp FROM (SELECT DISTINCT doc_id, chunk_fp FROM c)
+        |           GROUP BY chunk_fp HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, count(*) AS n_shared_chunks FROM c
+        |        WHERE chunk_fp IN (SELECT chunk_fp FROM shared) GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_chunks,
+        |  CAST(coalesce(d.n_shared_chunks, 0) AS BIGINT) AS n_shared_chunks,
+        |  floor((CAST(coalesce(d.n_shared_chunks, 0) AS DOUBLE) / tot.n_chunks) * 1e4 + 0.5) / 1e4 AS shared_frac
+        |FROM tot LEFT JOIN dup d ON tot.doc_id = d.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "text_dup_spans" ->
       """WITH w AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words

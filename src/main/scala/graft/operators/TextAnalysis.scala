@@ -996,10 +996,16 @@ object TextAnalysis {
     * start/slice arithmetic replays in DuckDB list functions, so the
     * oracle is hash-exact. */
   def chunkDocs(spark: SparkSession, sfDir: String,
-      chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+      chunkSize: Int = 32, overlap: Int = 8): DataFrame =
+    chunksOf(Tables.documents(spark, sfDir), chunkSize, overlap)
+
+  /** Library form of [[chunkDocs]] over any (doc_id, text) frame —
+    * also the chunk source for [[Dedup.chunkDedupKeepers]]. */
+  def chunksOf(docs: DataFrame,
+      chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("toks"),

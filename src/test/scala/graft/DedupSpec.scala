@@ -612,6 +612,102 @@ class DedupSpec extends SparkSpec {
     assert(sfBlock.nonEmpty && sfDirect === sfBlock)
   }
 
+  test("banded edit distance: exact distances for survivors, identical output across the sim boundary") {
+    // pairs straddling the 0.8 sim threshold: the band must return the
+    // EXACT distance for passers and only ever drop pairs the filter
+    // would reject anyway — verified against an unbanded replay here
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee"),
+      (2L, "aaaa bbbb cccc dddd eeeX"),  // dist 1 of 24 -> sim ~0.958: pass
+      (3L, "aaaa bbbb cccc XXXX XXXX"),  // dist 8 of 24 -> sim ~0.667: fail (in band question zone)
+      (4L, "aaaa bbbb cccc dddd"),       // shorter by 5 -> sim ~0.79: fail just under
+      (5L, "zzzz yyyy xxxx wwww vvvv")   // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairsOf(docs, simThreshold = 0.8, candThreshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    // unbanded replay in plain Spark
+    val t = docs.select($"doc_id", $"text")
+    val naive = t.toDF("a", "ta").crossJoin(t.toDF("b", "tb"))
+      .filter($"a" < $"b")
+      .select($"a", $"b", levenshtein($"ta", $"tb").as("d"),
+        (lit(1.0) - levenshtein($"ta", $"tb").cast("double") /
+          greatest(length($"ta"), length($"tb"))).as("sim"))
+      .filter($"sim" >= 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.keySet === naive.keySet,
+      s"banded survivors must equal unbanded survivors; got ${got.keySet} vs ${naive.keySet}")
+    got.foreach { case (k, (d, s)) =>
+      assert(d === naive(k), s"banded distance for $k must be EXACT")
+      assert(s >= 0.8 && d >= 0)
+    }
+  }
+
+  test("DP-cell guard: book-length edition pairs refuse by mechanism, default admits the corpus") {
+    // two long near-dup "editions" (identical 12k-char body, different
+    // tail) among snippets: shingle blocking admits the long x long
+    // pair, and its DP price alone (~12k x ~2.4k band) busts a small
+    // budget; the refusal must name the sub-document interfaces
+    val body = (0 until 400).map(i => s"w$i common body token").mkString(" ")
+    val docs = Seq(
+      (1L, s"$body edition one"),
+      (2L, s"$body edition two"),
+      (3L, "tiny unrelated snippet")
+    ).toDF("doc_id", "text")
+    val e = intercept[graft.operators.PairExplosionException] {
+      Dedup.editDistancePairsOf(docs, maxDpCells = 1000L).count()
+    }
+    assert(e.getMessage.contains("banded DP") && e.getMessage.contains("dupSpanMerge"))
+    // direct mode refuses under the same contract
+    val e2 = intercept[graft.operators.PairExplosionException] {
+      Dedup.editDistancePairsOf(docs, dedupBlocks = false, maxDpCells = 1000L).count()
+    }
+    assert(e2.getMessage.contains("banded DP"))
+    // generous budget: the banded DP scores the long pair exactly
+    val pairs = Dedup.editDistancePairsOf(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.99, "editions differ only in the tail")
+    // and the sf corpus admits at the default budget
+    assert(Dedup.editDistancePairs(spark, sf).count() > 0)
+  }
+
+  test("chunk dedup: keepers count copies and doc spread; rate counts only CROSS-doc sharing") {
+    // chunkSize 4 (stride 4, overlap 0) via the library forms:
+    //   doc 1: chunks [a b c d] [e f g h]
+    //   doc 2: chunks [a b c d] [x y z w]    (shares chunk 1 with doc 1)
+    //   doc 3: chunks [a b c d] [a b c d]    (internal repeat + cross share)
+    //   doc 4: chunks [q r s t]              (unique)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d a b c d"),
+      (4L, "q r s t")
+    ).toDF("doc_id", "text")
+    val keepers = Dedup.chunkDedupKeepersOf(docs, chunkSize = 4)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(keepers.size === 4, "4 distinct chunks: abcd, efgh, xyzw, qrst")
+    val md5abcd = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(keepers(md5abcd) === ((4L, 3L, 1L)),
+      "the shared chunk: 4 copies (doc 3 holds it twice), 3 docs, keeper doc 1")
+    assert(keepers.values.count(_ == ((1L, 1L, 1L))) === 1, "doc 1's unique tail chunk")
+    // rate: doc 3's internal repeat does NOT make a chunk 'shared' by
+    // itself — sharing is distinct-doc df > 1 (here it also cross-shares)
+    val rate = Dedup.chunkDedupRateOf(docs, chunkSize = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rate(1L) === ((2L, 1L, 0.5)))
+    assert(rate(2L) === ((2L, 1L, 0.5)))
+    assert(rate(3L) === ((2L, 2L, 1.0)), "both of doc 3's chunk slots are the cross-shared chunk")
+    assert(rate(4L) === ((1L, 0L, 0.0)))
+    // internal-only repetition stays unshared: a doc repeating ITS OWN
+    // unique chunk reports 0 shared
+    val solo = Seq((9L, "m n o p m n o p"), (10L, "u v w x")).toDF("doc_id", "text")
+    val soloRate = Dedup.chunkDedupRateOf(solo, chunkSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(soloRate(9L) === 0L)
+  }
+
   test("dup-span merge: overlapping grams coalesce, touching spans merge, gapped spans stay apart") {
     val docs = Seq(
       // two shared regions: "a b c d e f" (grams pos 0,1 with doc 2 ->
