@@ -161,6 +161,11 @@ object SparkEntry {
     // refusal names for book-length near-duplicate editions
     "dedup_chunk_keepers" -> ((s, d) => Dedup.chunkDedupKeepers(s, d)),
     "dedup_chunk_rate" -> ((s, d) => Dedup.chunkDedupRate(s, d)),
+    // content-defined chunking: boundaries declared by token content
+    // (md5 suffix rule), so insertions REALIGN instead of shifting
+    // every boundary — the shift-robust sibling of text_chunks
+    "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunkDocs(s, d)),
+    "dedup_cdc_keepers" -> ((s, d) => Dedup.cdcDedupKeepers(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -2488,6 +2493,69 @@ object SparkEntry {
         |  FROM (SELECT doc_id, toks,
         |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
         |        FROM t))
+        |SELECT chunk_fp, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
+        |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,
+    // cdcChunksOf(hexSuffix='0'): a token whose md5 ends in '0' closes
+    // the chunk; starts/ends arithmetic replayed with list HOFs and
+    // PARALLEL unnest (range/starts/ends align positionally)
+    "text_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(range(0, greatest(n, 1)),
+        |                i -> i < n AND right(md5(toks[i + 1]), 1) = '0') AS bpos
+        |  FROM x),
+        |s AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(list_concat([0], list_transform(bpos, b -> b + 1)),
+        |                s -> s = 0 OR s < n) AS starts
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id, toks, starts,
+        |    list_concat(list_transform(starts[2:], x -> x - 1), [n - 1]) AS ends
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, len(starts))) AS k,
+        |    unnest(starts) AS st,
+        |    unnest(ends) AS en
+        |  FROM e)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id, CAST(st AS INT) AS start_tok,
+        |  CAST(len(list_slice(toks, st + 1, en + 1)) AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, st + 1, en + 1), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // cdcDedupKeepers: keeper agg over the CDC chunk stream
+    "dedup_cdc_keepers" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(range(0, greatest(n, 1)),
+        |                i -> i < n AND right(md5(toks[i + 1]), 1) = '0') AS bpos
+        |  FROM x),
+        |s AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(list_concat([0], list_transform(bpos, b -> b + 1)),
+        |                s -> s = 0 OR s < n) AS starts
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id, toks, starts,
+        |    list_concat(list_transform(starts[2:], x -> x - 1), [n - 1]) AS ends
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, st + 1, en + 1), ' ')) AS chunk_fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(starts) AS st, unnest(ends) AS en
+        |        FROM e))
         |SELECT chunk_fp, count(*) AS n_copies,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
         |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,

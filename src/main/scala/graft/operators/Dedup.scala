@@ -964,13 +964,32 @@ object Dedup {
     * output is one row per distinct chunk — linear, never pairwise.
     * Keeper selection is min(doc_id), deterministic. */
   def chunkDedupKeepersOf(docs: DataFrame, chunkSize: Int = 32): DataFrame =
-    TextAnalysis.chunksOf(docs, chunkSize, overlap = 0)
-      .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
-      .groupBy("chunk_fp")
-      .agg(count(lit(1)).as("n_copies"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("keeper_doc"))
-      .orderBy("chunk_fp")
+    keeperAggOverChunks(TextAnalysis.chunksOf(docs, chunkSize, overlap = 0))
+
+  /** Shared keeper aggregation over any (doc_id, …, chunk_text) chunk
+    * stream — the one shuffle ships (16-byte md5, doc_id) pairs with
+    * map-side partial aggregation. */
+  private def keeperAggOverChunks(chunks: DataFrame): DataFrame = chunks
+    .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
+    .groupBy("chunk_fp")
+    .agg(count(lit(1)).as("n_copies"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      min(col("doc_id")).as("keeper_doc"))
+    .orderBy("chunk_fp")
+
+  /** CDC keeper table: [[chunkDedupKeepersOf]] over CONTENT-DEFINED
+    * chunks ([[TextAnalysis.cdcChunksOf]]) instead of stride chunks.
+    * The difference matters exactly when editions drift by insertion/
+    * deletion rather than substitution: a one-token prefix shifts every
+    * stride boundary (zero shared stride chunks) but realigns CDC
+    * boundaries at the first breakpoint, so the dedup still collapses
+    * everything after it — the shift-robustness spec pins this. */
+  def cdcDedupKeepersOf(docs: DataFrame, hexSuffix: String = "0"): DataFrame =
+    keeperAggOverChunks(TextAnalysis.cdcChunksOf(docs, hexSuffix))
+
+  def cdcDedupKeepers(spark: SparkSession, sfDir: String,
+      hexSuffix: String = "0"): DataFrame =
+    cdcDedupKeepersOf(Tables.documents(spark, sfDir), hexSuffix)
 
   def chunkDedupKeepers(spark: SparkSession, sfDir: String,
       chunkSize: Int = 32): DataFrame =

@@ -1020,6 +1020,54 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Content-defined chunking (CDC): chunk boundaries are declared by
+    * the CONTENT — a token whose md5 ends in `hexSuffix` closes the
+    * current chunk — so an insertion or deletion only perturbs the one
+    * chunk it lands in, and every later boundary REALIGNS. This is the
+    * property fixed-stride chunking ([[chunksOf]]) fundamentally lacks:
+    * prepend one token and every stride boundary shifts, so two
+    * otherwise-identical documents share ZERO stride chunks but all
+    * their CDC chunks after the first boundary (the rsync/LBFS
+    * gear-hash idea at token grain). One-hex suffix → breakpoint
+    * probability 1/16 → ~16-token expected chunks; no min/max bounds
+    * (documented trade: a pathological doc repeating one non-breaking
+    * token yields one giant chunk — bounds would need a stateful reset
+    * that breaks the row-local formulation).
+    *
+    * Entirely row-local: token md5 tests → breakpoint positions →
+    * start/end arrays → slices, all codegen HOFs, no shuffle, no UDF.
+    * md5 is the boundary hash precisely because BOTH engines have it —
+    * the DuckDB oracle replays the identical rule hash-for-hash.
+    * Output schema matches [[chunksOf]]. */
+  def cdcChunksOf(docs: DataFrame, hexSuffix: String = "0"): DataFrame = {
+    require(hexSuffix.nonEmpty && hexSuffix.forall("0123456789abcdef".contains(_)),
+      "hexSuffix must be lowercase hex")
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("bpos", expr(
+        s"""filter(sequence(0, greatest(n - 1, 0)),
+           |       i -> i < n AND endswith(md5(element_at(toks, i + 1)), '$hexSuffix'))""".stripMargin))
+      .withColumn("starts", expr(
+        "filter(concat(array(0), transform(bpos, b -> b + 1)), s -> s = 0 OR s < n)"))
+      .withColumn("ends", expr(
+        "concat(transform(slice(starts, 2, size(starts) - 1), x -> x - 1), array(n - 1))"))
+      .select(col("doc_id"), col("toks"), posexplode(expr(
+        "zip_with(starts, ends, (s, e) -> named_struct('st', s, 'en', e))")))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col.st").as("start_tok"),
+        expr("slice(toks, col.st + 1, col.en - col.st + 1)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ctoks")).as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Driver-contract form of [[cdcChunksOf]] over the documents table. */
+  def cdcChunkDocs(spark: SparkSession, sfDir: String,
+      hexSuffix: String = "0"): DataFrame =
+    cdcChunksOf(Tables.documents(spark, sfDir), hexSuffix)
+
   /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
     * hashing primitive behind winnowing/chunk dedup, as a native codegen
     * expression (graft.functions.RollingHash): one pass over the bytes,

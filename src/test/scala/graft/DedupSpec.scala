@@ -708,6 +708,51 @@ class DedupSpec extends SparkSpec {
     assert(soloRate(9L) === 0L)
   }
 
+  test("CDC chunking: an inserted prefix realigns every later boundary; stride chunking shares nothing") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent Scala replay of the boundary rule — the spec's oracle
+    def cdcSplit(toks: Seq[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { t =>
+        cur += t
+        if (md5hex(t).endsWith("0")) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
+      }
+      if (cur.nonEmpty || out.isEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val toksA = (0 until 60).map(i => s"t$i")
+    val prefix = (0 until 99).map(i => s"p$i").find(p => !md5hex(p).endsWith("0")).get
+    val toksB = prefix +: toksA
+    val expA = cdcSplit(toksA).map(_.mkString(" "))
+    val expB = cdcSplit(toksB).map(_.mkString(" "))
+    assert(expA.size >= 3, "fixture must contain >= 2 breakpoints")
+    val docs = Seq((1L, toksA.mkString(" ")), (2L, toksB.mkString(" "))).toDF("doc_id", "text")
+    // the Spark HOF arithmetic equals the independent replay, per doc
+    val gotA = graft.operators.TextAnalysis.cdcChunksOf(docs).filter($"doc_id" === 1)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect().toSeq
+    val gotB = graft.operators.TextAnalysis.cdcChunksOf(docs).filter($"doc_id" === 2)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect().toSeq
+    assert(gotA === expA)
+    assert(gotB === expB)
+    // realignment: a non-breaking prefix merges into B's FIRST chunk
+    // only; every later chunk is byte-identical with A's
+    assert(expB.head === s"$prefix ${expA.head}")
+    assert(expB.tail === expA.tail)
+    val cdcShared = Dedup.cdcDedupKeepersOf(docs)
+      .filter($"n_docs" === 2).count()
+    assert(cdcShared === expA.size - 1,
+      "all chunks after the first boundary are shared under CDC")
+    // stride chunking: the same one-token insertion shifts EVERY
+    // boundary — zero shared chunks
+    val strideShared = Dedup.chunkDedupKeepersOf(docs, chunkSize = 16)
+      .filter($"n_docs" === 2).count()
+    assert(strideShared === 0L)
+    // partition property: chunks re-concatenate to the token stream
+    assert(gotB.mkString(" ") === toksB.mkString(" "))
+  }
+
   test("dup-span merge: overlapping grams coalesce, touching spans merge, gapped spans stay apart") {
     val docs = Seq(
       // two shared regions: "a b c d e f" (grams pos 0,1 with doc 2 ->
