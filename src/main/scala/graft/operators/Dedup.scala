@@ -1127,13 +1127,15 @@ object Dedup {
   def editDistancePairsOf(docs: DataFrame, simThreshold: Double = 0.8,
       candThreshold: Double = 0.3, n: Int = 3,
       dedupBlocks: Boolean = true,
-      maxDpCells: Long = defaultDpBudget): DataFrame = {
+      maxDpCells: Long = defaultDpBudget,
+      maxExpandedPairs: Long = defaultPairBudget): DataFrame = {
     val (members, canonDocs) = exactGroups(docs)
     val sh = rareShingles(canonShingleHashes(members, canonDocs, n), 1000000)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     editDistanceVerify(docs, members,
       canonicalPairsFrom(sh, sizes, candThreshold).select("doc_a", "doc_b"),
-      sizes.select("doc_id"), simThreshold, n, dedupBlocks, maxDpCells)
+      sizes.select("doc_id"), simThreshold, n, dedupBlocks, maxDpCells,
+      maxExpandedPairs = maxExpandedPairs)
   }
 
   /** Shared verifier tail, operating ENTIRELY at raw-canonical level
@@ -1168,7 +1170,8 @@ object Dedup {
       simThreshold: Double, n: Int,
       dedupBlocks: Boolean = true,
       maxDpCells: Long = defaultDpBudget,
-      dpMemoKey: Option[String] = None): DataFrame = {
+      dpMemoKey: Option[String] = None,
+      maxExpandedPairs: Long = defaultPairBudget): DataFrame = {
     val kOf = dpBand(simThreshold) _
     // canonical attribute frame: one row per DISTINCT raw text; the
     // normalized text is consumed by both join sides of either scoring
@@ -1318,10 +1321,38 @@ object Dedup {
               greatest(col("len_a"), col("len_b"), lit(1)), 4)).as("edit_sim"))
         .filter(col("edit_dist") >= 0 && col("edit_sim") >= simThreshold)
     }
+    // EXPANSION guard (r13, closing a contract asymmetry the skew
+    // capstone surfaced): the member expansion below is quadratic in
+    // exact-dup group size BY CONTRACT — identical texts score sim 1.0,
+    // so a 1000-clone group owes C(1000,2) output pairs. The embedding
+    // pair views refuse past exactly this budget (`guardedSurvivors`);
+    // the text view must too. Same pricing formula, same budget, same
+    // pay-once memo; survivors are checkpointed first (block-level
+    // tiny), truncating the candidate/scoring subtree for both the
+    // price agg and the expansion.
+    val surv = survivors.localCheckpoint()
+    val expanded = dpMemoKey match {
+      case Some(key) =>
+        graft.sources.Memo.once(dpCellCache, s"$key|expansion") {
+          expandedPairCount(surv, members)
+        }
+      case None => expandedPairCount(surv, members)
+    }
+    if (expanded > maxExpandedPairs)
+      throw new PairExplosionException(
+        s"edit-distance verification would expand to $expanded member " +
+          s"pairs (budget $maxExpandedPairs, override via " +
+          "SPARK_GRAFT_MAX_PAIRS or the maxExpandedPairs parameter). " +
+          "The all-pairs view is quadratic in duplication degree BY " +
+          "CONTRACT; at this duplication level consume the linear " +
+          "interfaces instead: Dedup.chunkDedupKeepers / " +
+          "Dedup.chunkDedupRate (chunk-level), Dedup.nearDupClusters / " +
+          "TextAnalysis.keepBestPerCluster (cluster-level), or " +
+          "Dedup.dupSpanMerge (span-level).")
     // member expansion: survivors are block-disjoint (a member pair
     // determines its raw-group pair uniquely), so no distinct is needed;
     // the tiny survivor frame broadcasts against the linear member map
-    survivors
+    surv
       .join(renamed(members, "doc_id" -> "m_a", "canon_id" -> "ca"), Seq("ca"))
       .join(renamed(members, "doc_id" -> "m_b", "canon_id" -> "cb"), Seq("cb"))
       .filter(when(col("ca") === col("cb"), col("m_a") < col("m_b"))
@@ -1340,7 +1371,8 @@ object Dedup {
     * size is independent of how heavily the corpus duplicates. */
   def editDistancePairs(spark: SparkSession, sfDir: String,
       simThreshold: Double = 0.8, candThreshold: Double = 0.3,
-      n: Int = 3, maxDpCells: Long = defaultDpBudget): DataFrame = {
+      n: Int = 3, maxDpCells: Long = defaultDpBudget,
+      maxExpandedPairs: Long = defaultPairBudget): DataFrame = {
     val (members, _) = exactGroups(Tables.documents(spark, sfDir))
     val eligible = rareShingles(shingleIndex(spark, sfDir, n), 1000000)
       .select("doc_id").distinct()
@@ -1368,7 +1400,8 @@ object Dedup {
       // catalog-statistic discipline as the pair-view guards
       dpMemoKey = Some(s"editdp|$simThreshold|$candThreshold|$n|" +
         graft.sources.ArtifactCache.fingerprint(
-          spark, s"$sfDir/documents.parquet")))
+          spark, s"$sfDir/documents.parquet")),
+      maxExpandedPairs = maxExpandedPairs)
   }
 
   // --- Duplicate clustering (connected components over near-dup pairs) ---

@@ -671,6 +671,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(spark, sf).count() > 0)
   }
 
+  test("edit-distance expansion guard: clone-heavy member expansion refuses at the shared pair budget") {
+    // 30 clones of one text -> C(30,2) = 435 member pairs from ONE
+    // surviving block; the embedding pair views refuse past exactly
+    // this kind of budget, and the text view must hold the same
+    // contract (the r13 skew capstone found it silently emitting ~25M)
+    val docs = ((1 to 30).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog")) :+
+      (99L, "completely different words about unrelated topics here")).toDF("doc_id", "text")
+    val e = intercept[graft.operators.PairExplosionException] {
+      Dedup.editDistancePairsOf(docs, maxExpandedPairs = 100L).count()
+    }
+    assert(e.getMessage.contains("would expand to 435 member pairs"))
+    assert(e.getMessage.contains("chunkDedupKeepers"))
+    // boundary: a budget of exactly 435 admits, and the expansion is complete
+    assert(Dedup.editDistancePairsOf(docs, maxExpandedPairs = 435L).count() === 435L)
+  }
+
   test("chunk dedup: keepers count copies and doc spread; rate counts only CROSS-doc sharing") {
     // chunkSize 4 (stride 4, overlap 0) via the library forms:
     //   doc 1: chunks [a b c d] [e f g h]
