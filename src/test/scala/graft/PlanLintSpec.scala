@@ -59,6 +59,25 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty, s"product joins in: $offenders")
   }
 
+  test("chunk/CDC queries prune the documents scan to (doc_id, text)") {
+    // the chunkers are pure map passes over two columns; a future edit
+    // that drags lang/source/n_chars into the scan would silently read
+    // 60% more bytes per row at 100 TB — pin the pruned ReadSchema
+    Seq("text_chunks", "text_cdc_chunks", "dedup_chunk_keepers",
+      "dedup_cdc_keepers", "dedup_chunk_rate").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val docScans = flatten(plan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.getName.startsWith("documents")) => f
+      }
+      assert(docScans.nonEmpty, s"$q: no documents scan found")
+      docScans.foreach { f =>
+        assert(f.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+          s"$q: documents scan reads ${f.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
+  }
+
   // --- broadcast-contract lint (r12): dimension tables broadcast,
   // fact tables never — so a stats regression (or a testdata refresh
   // that inflates a dim past the threshold) cannot silently flip the
