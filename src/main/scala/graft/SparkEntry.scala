@@ -166,6 +166,9 @@ object SparkEntry {
     // every boundary — the shift-robust sibling of text_chunks
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunkDocs(s, d)),
     "dedup_cdc_keepers" -> ((s, d) => Dedup.cdcDedupKeepers(s, d)),
+    // chunk-dedup writeback: every duplicated chunk survives ONCE, at
+    // its first occurrence; per-doc cleaned text in chunk order
+    "dedup_chunk_scrub" -> ((s, d) => Dedup.chunkDedupScrub(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -2559,6 +2562,30 @@ object SparkEntry {
         |SELECT chunk_fp, count(*) AS n_copies,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
         |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,
+    // chunkDedupScrub: first-occurrence election per chunk fingerprint
+    // (row_number over (fp; doc_id, chunk_id)), per-doc re-concat of
+    // surviving chunks in chunk order
+    "dedup_chunk_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
+        |    array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |        FROM t)),
+        |f AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |                       ORDER BY doc_id, chunk_id) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |                      ORDER BY chunk_id), '') AS clean_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // chunkDedupRate: per-doc fraction of chunks shared with >= 1 OTHER
     // doc (distinct-doc df, same semantics as text_dup_spans at chunk
     // grain)

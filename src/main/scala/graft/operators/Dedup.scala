@@ -991,6 +991,47 @@ object Dedup {
       hexSuffix: String = "0"): DataFrame =
     cdcDedupKeepersOf(Tables.documents(spark, sfDir), hexSuffix)
 
+  /** Chunk-dedup WRITEBACK: the corpus with every duplicated chunk
+    * removed except its FIRST occurrence (min doc_id, then min
+    * chunk_id — the keeper table's rule applied at occurrence grain).
+    * One row per doc: surviving-chunk counts and the cleaned text,
+    * re-concatenated in chunk order — the chunk-grain sibling of
+    * [[dupSpanScrubOf]], and what a pipeline actually writes out after
+    * consuming [[chunkDedupKeepersOf]]. A doc that was pure boilerplate
+    * keeps nothing and emits empty clean_text (it stays countable for
+    * budget math rather than vanishing).
+    *
+    * Scale shape: first-occurrence election is one row_number window
+    * partitioned BY CHUNK FINGERPRINT — the same hash currency as the
+    * keeper agg, never text... except the chunk text must ride to its
+    * window only for surviving rows; Spark prunes the text column into
+    * the window shuffle, so the moved payload is (fp, doc, chunk_id,
+    * text-of-chunk) once, equivalent to the corpus's chunked self. The
+    * re-concatenation is a per-doc sort_array fold, row-local after
+    * the doc-keyed agg. */
+  def chunkDedupScrubOf(docs: DataFrame, chunkSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = TextAnalysis.chunksOf(docs, chunkSize, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("chunk_fp"))
+    val elected = chunks.withColumn("rn",
+      row_number().over(Window.partitionBy("chunk_fp")
+        .orderBy("doc_id", "chunk_id")))
+    val perDoc = elected
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN " +
+            "named_struct('chunk_id', chunk_id, 'chunk_text', chunk_text) END)), " +
+            "x -> x.chunk_text)"), " ").as("clean_text"))
+    perDoc.orderBy("doc_id")
+  }
+
+  def chunkDedupScrub(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32): DataFrame =
+    chunkDedupScrubOf(Tables.documents(spark, sfDir), chunkSize)
+
   def chunkDedupKeepers(spark: SparkSession, sfDir: String,
       chunkSize: Int = 32): DataFrame =
     chunkDedupKeepersOf(Tables.documents(spark, sfDir), chunkSize)

@@ -722,6 +722,18 @@ class DedupSpec extends SparkSpec {
     val soloRate = Dedup.chunkDedupRateOf(solo, chunkSize = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(soloRate(9L) === 0L)
+    // scrub writeback: every distinct chunk survives exactly once, at
+    // its first occurrence; doc 3 (pure boilerplate) keeps nothing but
+    // stays present with empty clean_text
+    val scrub = Dedup.chunkDedupScrubOf(docs, chunkSize = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(scrub(1L) === ((2L, 2L, "a b c d e f g h")))
+    assert(scrub(2L) === ((2L, 1L, "x y z w")))
+    assert(scrub(3L) === ((2L, 0L, "")))
+    assert(scrub(4L) === ((1L, 1L, "q r s t")))
+    // conservation: total kept chunks == distinct chunks in the corpus
+    assert(scrub.values.map(_._2).sum ===
+      Dedup.chunkDedupKeepersOf(docs, chunkSize = 4).count())
   }
 
   test("CDC chunking: an inserted prefix realigns every later boundary; stride chunking shares nothing") {
