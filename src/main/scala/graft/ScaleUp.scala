@@ -39,10 +39,14 @@ import graft.sources.Tables
   * LONGDOC (`longdoc` as 4th arg): per-ROW length amplification — the
   * third hazard axis, which neither clone grids nor key skew can
   * produce: the 1% hot documents keep their doc_id and row count but
-  * their TEXT grows ×factor (factor segments, each the original text
-  * plus a unique ` s<i>` marker token so segments are near- but not
-  * exactly identical — the boilerplate-heavy crawl-dump shape). At
-  * factor=1000 a ~300-char snippet becomes a ~300 KB book-sized row.
+  * their TEXT grows ×factor. Each hot doc becomes factor segments of
+  * its thousand-block HEAD's text (marker tokens keep segments near-
+  * but not exactly identical) plus ONE trailing edition marker — so
+  * the ~10 hot docs per thousand-block are book-length NEAR-DUPLICATE
+  * EDITIONS of each other (shingle jaccard ~0.999), the shape that
+  * drives long×long pairs through any similarity blocker into
+  * verification. At factor=1000 a ~300-char snippet becomes a
+  * ~530 KB book-sized row.
   * What it stresses that the other grids cannot:
   *   - row-local quadratics (edit-distance DP is O(L²) PER PAIR — a
   *     50k-token doc is 2.5G cells, where 100× cloning never leaves
