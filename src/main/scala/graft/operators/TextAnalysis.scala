@@ -1008,15 +1008,22 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-      .select(col("doc_id"), col("toks"),
-        posexplode(filter(
-          sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)),
-          s => (s === 0) || (s + lit(overlap) < col("n")))))
-      .select(col("doc_id"), col("pos").as("chunk_id"), col("col").as("start_tok"),
-        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("ctoks"))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("ctoks")).as("n_chunk_tokens"),
-        array_join(col("ctoks"), " ").as("chunk_text"))
+      // slice INSIDE the row-local transform, so the Generate emits
+      // chunk-sized payloads only. The earlier spelling carried the
+      // full `toks` array through the explode to a post-explode slice,
+      // and each generated row paid an O(L) array copy — O(L²/stride)
+      // per document, measured 62 s for five 1.6 MB docs on the
+      // factor-10⁴ longdoc grid (r13). This form builds all chunks in
+      // one O(L) pass per row; output is identical.
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(filter(sequence(0, greatest(n - 1, 0), $stride),
+           |                 s -> s = 0 OR s + $overlap < n),
+           |          s -> named_struct('st', s,
+           |                            'ctoks', slice(toks, s + 1, $chunkSize)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col.st").as("start_tok"),
+        size(col("col.ctoks")).as("n_chunk_tokens"),
+        array_join(col("col.ctoks"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -1052,14 +1059,16 @@ object TextAnalysis {
         "filter(concat(array(0), transform(bpos, b -> b + 1)), s -> s = 0 OR s < n)"))
       .withColumn("ends", expr(
         "concat(transform(slice(starts, 2, size(starts) - 1), x -> x - 1), array(n - 1))"))
-      .select(col("doc_id"), col("toks"), posexplode(expr(
-        "zip_with(starts, ends, (s, e) -> named_struct('st', s, 'en', e))")))
+      // slice inside the zip_with (same O(L²)-carry fix as chunksOf):
+      // the explode ships chunk payloads, never the whole token array
+      .select(col("doc_id"), posexplode(expr(
+        """zip_with(starts, ends,
+          |         (s, e) -> named_struct('st', s,
+          |                                'ctoks', slice(toks, s + 1, e - s + 1)))""".stripMargin)))
       .select(col("doc_id"), col("pos").as("chunk_id"),
         col("col.st").as("start_tok"),
-        expr("slice(toks, col.st + 1, col.en - col.st + 1)").as("ctoks"))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("ctoks")).as("n_chunk_tokens"),
-        array_join(col("ctoks"), " ").as("chunk_text"))
+        size(col("col.ctoks")).as("n_chunk_tokens"),
+        array_join(col("col.ctoks"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
   }
 
