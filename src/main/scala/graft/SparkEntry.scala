@@ -169,6 +169,9 @@ object SparkEntry {
     // chunk-dedup writeback: every duplicated chunk survives ONCE, at
     // its first occurrence; per-doc cleaned text in chunk order
     "dedup_chunk_scrub" -> ((s, d) => Dedup.chunkDedupScrub(s, d)),
+    // CDC-grain writeback (r14): the same first-occurrence scrub over
+    // content-defined chunks — completes the CDC family symmetrically
+    "dedup_cdc_scrub" -> ((s, d) => Dedup.cdcDedupScrub(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -233,6 +236,10 @@ object SparkEntry {
     "curation_gated" -> ((s, d) => TextAnalysis.curationGated(s, d)),
     "curation_scrubbed" -> ((s, d) => TextAnalysis.curationScrubbed(s, d)),
     "events_range_join" -> ((s, d) => Events.nearbyEventPairs(s, d)),
+    // bounded sibling (r14): per-event top-m nearest-in-time neighbors
+    // — ≤ N·m output at any skew, the interface the range-join guard's
+    // refusal points skewed corpora at
+    "events_nearby_topm" -> ((s, d) => Events.nearbyEventTopM(s, d)),
     "lineitem_unpivot" -> (Events.lineitemUnpivot _),
     "stratified_sample" -> ((s, d) => Events.stratifiedSample(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -2213,6 +2220,28 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
         |ORDER BY a.user_id, event_a, event_b""".stripMargin,
+    // nearbyEventTopM(gap=5m, m=3): candidates are the 3 positional
+    // predecessors/successors in per-user (us, event_id) order (the
+    // seq-distance join replays Spark's lag/lead window exactly),
+    // filtered to the gap, ranked by (|Δt|, event_b), top 3 kept
+    "events_nearby_topm" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events),
+        |c AS (
+        |  SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |    b.us - a.us AS diff_us, abs(b.us - a.us) AS adiff
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND b.seq BETWEEN a.seq - 3 AND a.seq + 3 AND b.seq != a.seq
+        |  WHERE abs(b.us - a.us) <= 300000000),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_a
+        |                               ORDER BY adiff, event_b) AS rn
+        |  FROM c)
+        |SELECT user_id, event_a, event_b, diff_us
+        |FROM r WHERE rn <= 3 ORDER BY user_id, event_a, event_b""".stripMargin,
     "lineitem_unpivot" ->
       """SELECT l_returnflag, 'mean_discount' AS metric, floor((CAST(sum(CAST(floor((l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (count(l_discount) * 1e6)) * 1e4 + 0.5) / 1e4 AS value
         |FROM lineitem GROUP BY l_returnflag
@@ -2499,9 +2528,12 @@ object SparkEntry {
         |SELECT chunk_fp, count(*) AS n_copies,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
         |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,
-    // cdcChunksOf(hexSuffix='0'): a token whose md5 ends in '0' closes
-    // the chunk; starts/ends arithmetic replayed with list HOFs and
-    // PARALLEL unnest (range/starts/ends align positionally)
+    // cdcChunksOf(hexSuffix='0', maxChunkTokens=128): a token whose md5
+    // ends in '0' closes the chunk; an oversized content-defined range
+    // splits at stride 128 (the LBFS forced break, r14). starts/ends
+    // arithmetic replayed with list HOFs + parallel unnest; the split
+    // replays as per-range range(s, e+1, 128) with en=min(st+127, e0),
+    // and chunk_id as the per-doc rank of st (st strictly increases).
     "text_cdc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2516,23 +2548,27 @@ object SparkEntry {
         |s AS (
         |  SELECT doc_id, toks, n,
         |    list_filter(list_concat([0], list_transform(bpos, b -> b + 1)),
-        |                s -> s = 0 OR s < n) AS starts
+        |                s -> s = 0 OR s < n) AS starts0
         |  FROM b),
         |e AS (
-        |  SELECT doc_id, toks, starts,
-        |    list_concat(list_transform(starts[2:], x -> x - 1), [n - 1]) AS ends
+        |  SELECT doc_id, toks, starts0,
+        |    list_concat(list_transform(starts0[2:], x -> x - 1), [n - 1]) AS ends0
         |  FROM s),
-        |c AS (
-        |  SELECT doc_id, toks,
-        |    unnest(range(0, len(starts))) AS k,
-        |    unnest(starts) AS st,
-        |    unnest(ends) AS en
-        |  FROM e)
-        |SELECT doc_id, CAST(k AS INT) AS chunk_id, CAST(st AS INT) AS start_tok,
+        |r AS (SELECT doc_id, toks, unnest(starts0) AS s0, unnest(ends0) AS e0 FROM e),
+        |sp AS (
+        |  SELECT doc_id, toks, e0,
+        |    unnest(CASE WHEN e0 < s0 THEN [s0]
+        |                ELSE range(s0, e0 + 1, 128) END) AS st
+        |  FROM r),
+        |c AS (SELECT doc_id, toks, st, least(st + 127, e0) AS en FROM sp)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id,
+        |  CAST(st AS INT) AS start_tok,
         |  CAST(len(list_slice(toks, st + 1, en + 1)) AS INT) AS n_chunk_tokens,
         |  array_to_string(list_slice(toks, st + 1, en + 1), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-    // cdcDedupKeepers: keeper agg over the CDC chunk stream
+    // cdcDedupKeepers: keeper agg over the CDC chunk stream (same
+    // boundary + forced-split rule as text_cdc_chunks)
     "dedup_cdc_keepers" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2547,21 +2583,69 @@ object SparkEntry {
         |s AS (
         |  SELECT doc_id, toks, n,
         |    list_filter(list_concat([0], list_transform(bpos, b -> b + 1)),
-        |                s -> s = 0 OR s < n) AS starts
+        |                s -> s = 0 OR s < n) AS starts0
         |  FROM b),
         |e AS (
-        |  SELECT doc_id, toks, starts,
-        |    list_concat(list_transform(starts[2:], x -> x - 1), [n - 1]) AS ends
+        |  SELECT doc_id, toks, starts0,
+        |    list_concat(list_transform(starts0[2:], x -> x - 1), [n - 1]) AS ends0
         |  FROM s),
+        |r AS (SELECT doc_id, toks, unnest(starts0) AS s0, unnest(ends0) AS e0 FROM e),
+        |sp AS (
+        |  SELECT doc_id, toks, e0,
+        |    unnest(CASE WHEN e0 < s0 THEN [s0]
+        |                ELSE range(s0, e0 + 1, 128) END) AS st
+        |  FROM r),
         |c AS (
         |  SELECT doc_id,
-        |    md5(array_to_string(list_slice(toks, st + 1, en + 1), ' ')) AS chunk_fp
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(starts) AS st, unnest(ends) AS en
-        |        FROM e))
+        |    md5(array_to_string(list_slice(toks, st + 1, least(st + 127, e0) + 1), ' ')) AS chunk_fp
+        |  FROM sp)
         |SELECT chunk_fp, count(*) AS n_copies,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
         |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,
+    // cdcDedupScrub: CDC chunking (boundary + forced-split rule above),
+    // first-occurrence election per fingerprint, per-doc re-concat of
+    // surviving chunks in chunk order — same tail as dedup_chunk_scrub
+    "dedup_cdc_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(range(0, greatest(n, 1)),
+        |                i -> i < n AND right(md5(toks[i + 1]), 1) = '0') AS bpos
+        |  FROM x),
+        |s AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(list_concat([0], list_transform(bpos, b -> b + 1)),
+        |                s -> s = 0 OR s < n) AS starts0
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id, toks, starts0,
+        |    list_concat(list_transform(starts0[2:], x -> x - 1), [n - 1]) AS ends0
+        |  FROM s),
+        |r AS (SELECT doc_id, toks, unnest(starts0) AS s0, unnest(ends0) AS e0 FROM e),
+        |sp AS (
+        |  SELECT doc_id, toks, e0,
+        |    unnest(CASE WHEN e0 < s0 THEN [s0]
+        |                ELSE range(s0, e0 + 1, 128) END) AS st
+        |  FROM r),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id,
+        |    array_to_string(list_slice(toks, st + 1, least(st + 127, e0) + 1), ' ') AS chunk_text
+        |  FROM sp),
+        |f AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |                       ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |                      ORDER BY chunk_id), '') AS clean_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // chunkDedupScrub: first-occurrence election per chunk fingerprint
     // (row_number over (fp; doc_id, chunk_id)), per-doc re-concat of
     // surviving chunks in chunk order

@@ -187,9 +187,10 @@ object Events {
           s"pairs (budget $maxCandidatePairs, override via " +
           "SPARK_GRAFT_MAX_PAIRS or the maxCandidatePairs parameter). " +
           "All pairs within a gap is quadratic in per-bucket occupancy BY " +
-          "CONTRACT; on skewed corpora consume the linear interfaces " +
-          "instead: Events.interarrival (consecutive gaps) or " +
-          "Events.sessionize.")
+          "CONTRACT; on skewed corpora consume the bounded pair interface " +
+          "Events.nearbyEventTopM (per-event top-m neighbors, <= N*m " +
+          "output at any skew) or the linear interfaces " +
+          "Events.interarrival (consecutive gaps) / Events.sessionize.")
     val a = ev.select(col("user_id"), col("event_id").as("event_a"),
       col("us").as("us_a"), col("bucket"))
     val b = ev.select(col("user_id"), col("event_id").as("event_b"),
@@ -200,6 +201,57 @@ object Events {
         abs(col("us_b") - col("us_a")) <= gapUs)
       .select(col("user_id"), col("event_a"), col("event_b"),
         (col("us_b") - col("us_a")).as("diff_us"))
+      .orderBy("user_id", "event_a", "event_b")
+  }
+
+  /** BOUNDED sibling of [[nearbyEventPairs]] (r14, the
+    * `dedup_semantic_topm` device applied to the range join): per
+    * event, its `m` nearest-in-time neighbors among the SAME user's
+    * events within `gapMinutes` — ≤ N·m output rows at ANY key skew,
+    * so a Zipf corpus gets its pairs without raising the pair budget
+    * (on the skew-1000× grid the unbounded form refuses at ~10⁹
+    * candidates; this form's output is bounded by construction and
+    * needs no guard at all).
+    *
+    * Exactness contract: candidates are the m predecessors and m
+    * successors in the per-user (ts, event_id) order — the j-th
+    * nearest neighbor by |Δt| (j ≤ m) is always among the j nearest
+    * predecessors or successors, so for distinct timestamps this IS
+    * the exact |Δt| top-m. Under timestamp TIES the candidate window
+    * is positional (ties ranked by event_id), which both engines
+    * replay identically — determinism over tie-order cleverness.
+    * Final ranking inside the candidate set is (|Δt|, event_b).
+    *
+    * Scale shape: ONE per-user window pass over (user_id, event_id,
+    * us) — 24-byte rows, so even a 10⁶-event hot user is ~24 MB in one
+    * sort task, vs the unbounded join landing 10¹² candidate PAIRS on
+    * that key. Everything after the lag/lead projection is row-local:
+    * candidate structs → filter(gap) → array_sort → slice(m) →
+    * explode, all codegen HOFs. Output ≤ N·m rows. */
+  def nearbyEventTopM(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 5, m: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1, "need m >= 1")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val withCands = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("cands", array((1 to m).flatMap(k => Seq(
+        struct(abs(lag("us", k).over(w) - col("us")).as("adiff"),
+          lag("event_id", k).over(w).as("event_b"),
+          (lag("us", k).over(w) - col("us")).as("diff_us")),
+        struct(abs(lead("us", k).over(w) - col("us")).as("adiff"),
+          lead("event_id", k).over(w).as("event_b"),
+          (lead("us", k).over(w) - col("us")).as("diff_us")))): _*))
+    withCands
+      .select(col("user_id"), col("event_id").as("event_a"),
+        explode(expr(
+          // struct sort is lexicographic in field order: (adiff,
+          // event_b) — the documented final ranking
+          s"slice(array_sort(filter(cands, c -> c.event_b IS NOT NULL AND c.adiff <= ${gapUs}L)), 1, $m)"))
+          .as("nb"))
+      .select(col("user_id"), col("event_a"), col("nb.event_b"),
+        col("nb.diff_us"))
       .orderBy("user_id", "event_a", "event_b")
   }
 

@@ -1003,29 +1003,53 @@ object TextAnalysis {
     * also the chunk source for [[Dedup.chunkDedupKeepers]]. */
   def chunksOf(docs: DataFrame,
       chunkSize: Int, overlap: Int): DataFrame = {
+    val (base, chunksCol) = strideChunkBase(docs, chunkSize, overlap)
+    explodeChunkArray(base, chunksCol)
+  }
+
+  /** Prepared frame + the chunk-list expression over it — ONE
+    * definition consumed two ways: [[chunksOf]] inlines the expression
+    * into its posexplode, [[Dedup.chunkDedupScrubOf]] materializes it
+    * as an array column for the row-local clean_text re-slice. Sharing
+    * the expression is what guarantees the two consumers' chunk_id
+    * spaces agree by construction.
+    *
+    * Slices live INSIDE the row-local transform, so a consumer's
+    * Generate emits chunk-sized payloads only. The earlier spelling
+    * carried the full `toks` array through the explode to a
+    * post-explode slice, and each generated row paid an O(L) array
+    * copy — O(L²/stride) per document, measured 62 s for five 1.6 MB
+    * docs on the factor-10⁴ longdoc grid (r13). This form builds all
+    * chunks in one O(L) pass per row. */
+  private[graft] def strideChunkBase(docs: DataFrame,
+      chunkSize: Int, overlap: Int): (DataFrame, Column) = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    docs
+    val base = docs
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-      // slice INSIDE the row-local transform, so the Generate emits
-      // chunk-sized payloads only. The earlier spelling carried the
-      // full `toks` array through the explode to a post-explode slice,
-      // and each generated row paid an O(L) array copy — O(L²/stride)
-      // per document, measured 62 s for five 1.6 MB docs on the
-      // factor-10⁴ longdoc grid (r13). This form builds all chunks in
-      // one O(L) pass per row; output is identical.
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(filter(sequence(0, greatest(n - 1, 0), $stride),
-           |                 s -> s = 0 OR s + $overlap < n),
-           |          s -> named_struct('st', s,
-           |                            'ctoks', slice(toks, s + 1, $chunkSize)))""".stripMargin)))
+    (base, expr(
+      s"""transform(filter(sequence(0, greatest(n - 1, 0), $stride),
+         |                 s -> s = 0 OR s + $overlap < n),
+         |          s -> named_struct('st', s,
+         |                            'ctoks', slice(toks, s + 1, $chunkSize)))""".stripMargin))
+  }
+
+  /** Exploded (one row per chunk) form — the common tail of
+    * [[chunksOf]] and [[cdcChunksOf]]. The chunk expression is inlined
+    * INTO the posexplode on purpose: exploding a MATERIALIZED
+    * array<struct<st, ctoks>> column instead costs ~40× (measured
+    * 0.5 → 21 s at sf0.1, r14) — the nested structure is unsafe-encoded
+    * per generated row, where the inline generator iterates the HOF
+    * result directly. */
+  private def explodeChunkArray(base: DataFrame, chunksCol: Column): DataFrame =
+    base
+      .select(col("doc_id"), posexplode(chunksCol))
       .select(col("doc_id"), col("pos").as("chunk_id"),
         col("col.st").as("start_tok"),
         size(col("col.ctoks")).as("n_chunk_tokens"),
         array_join(col("col.ctoks"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
-  }
 
   /** Content-defined chunking (CDC): chunk boundaries are declared by
     * the CONTENT — a token whose md5 ends in `hexSuffix` closes the
@@ -1036,41 +1060,73 @@ object TextAnalysis {
     * otherwise-identical documents share ZERO stride chunks but all
     * their CDC chunks after the first boundary (the rsync/LBFS
     * gear-hash idea at token grain). One-hex suffix → breakpoint
-    * probability 1/16 → ~16-token expected chunks; no min/max bounds
-    * (documented trade: a pathological doc repeating one non-breaking
-    * token yields one giant chunk — bounds would need a stateful reset
-    * that breaks the row-local formulation).
+    * probability 1/16 → ~16-token expected chunks.
+    *
+    * `maxChunkTokens` is the LBFS max-length FORCED BREAK (r14, closing
+    * the r13 documented pathological case): a doc repeating one
+    * non-breaking token would otherwise yield one giant chunk — a
+    * single-row longdoc straggler and an unbounded chunk payload. An
+    * oversized content-defined range [s, e] is split at stride
+    * `maxChunkTokens` inside the same row-local pipeline (no stateful
+    * reset needed: the forced sub-starts are a per-range `sequence`,
+    * flattened). Forced breaks are NOT content-defined, so they don't
+    * realign under insertion — but they only exist inside a region the
+    * content declared boundary-free, and the 8×-expected default (128
+    * vs ~16) makes them rare on natural text; shift-robustness on such
+    * text is unaffected (the spec pins this).
     *
     * Entirely row-local: token md5 tests → breakpoint positions →
-    * start/end arrays → slices, all codegen HOFs, no shuffle, no UDF.
-    * md5 is the boundary hash precisely because BOTH engines have it —
-    * the DuckDB oracle replays the identical rule hash-for-hash.
-    * Output schema matches [[chunksOf]]. */
-  def cdcChunksOf(docs: DataFrame, hexSuffix: String = "0"): DataFrame = {
+    * start/end arrays → forced splits → slices, all codegen HOFs, no
+    * shuffle, no UDF. md5 is the boundary hash precisely because BOTH
+    * engines have it — the DuckDB oracle replays the identical rule
+    * hash-for-hash. Output schema matches [[chunksOf]]. */
+  def cdcChunksOf(docs: DataFrame, hexSuffix: String = "0",
+      maxChunkTokens: Int = 128): DataFrame = {
+    val (base, chunksCol) = cdcChunkBase(docs, hexSuffix, maxChunkTokens)
+    explodeChunkArray(base, chunksCol)
+  }
+
+  /** Prepared frame + chunk-list expression for CDC — see
+    * [[strideChunkBase]] for why both consumption forms share one
+    * definition.
+    *
+    * The LBFS forced break and the chunk build happen in ONE pass over
+    * the content-defined ranges: an oversized [s, e] splits at stride
+    * maxChunkTokens (the e < s branch is the empty-doc degenerate
+    * range [0, -1], where sequence() would reject the descending
+    * bounds), and each sub-chunk's end is computed INLINE as
+    * least(st + max − 1, e). Deriving the split starts as a column and
+    * re-deriving ends from them (the first r14 spelling) added two
+    * projection layers whose references multiplied the inlined bpos
+    * md5-pass subtree ~3× — measured 0.70 → 99 s at sf0.1, fixed back
+    * to ~r13 cost by this form. Slices stay inside the lambda (the
+    * O(L²)-carry rule): a consumer's explode ships chunk payloads
+    * only. */
+  private[graft] def cdcChunkBase(docs: DataFrame, hexSuffix: String,
+      maxChunkTokens: Int): (DataFrame, Column) = {
     require(hexSuffix.nonEmpty && hexSuffix.forall("0123456789abcdef".contains(_)),
       "hexSuffix must be lowercase hex")
-    docs
+    require(maxChunkTokens >= 1, "need maxChunkTokens >= 1")
+    val base = docs
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("bpos", expr(
         s"""filter(sequence(0, greatest(n - 1, 0)),
            |       i -> i < n AND endswith(md5(element_at(toks, i + 1)), '$hexSuffix'))""".stripMargin))
-      .withColumn("starts", expr(
+      .withColumn("starts0", expr(
         "filter(concat(array(0), transform(bpos, b -> b + 1)), s -> s = 0 OR s < n)"))
-      .withColumn("ends", expr(
-        "concat(transform(slice(starts, 2, size(starts) - 1), x -> x - 1), array(n - 1))"))
-      // slice inside the zip_with (same O(L²)-carry fix as chunksOf):
-      // the explode ships chunk payloads, never the whole token array
-      .select(col("doc_id"), posexplode(expr(
-        """zip_with(starts, ends,
-          |         (s, e) -> named_struct('st', s,
-          |                                'ctoks', slice(toks, s + 1, e - s + 1)))""".stripMargin)))
-      .select(col("doc_id"), col("pos").as("chunk_id"),
-        col("col.st").as("start_tok"),
-        size(col("col.ctoks")).as("n_chunk_tokens"),
-        array_join(col("col.ctoks"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+      .withColumn("ends0", expr(
+        "concat(transform(slice(starts0, 2, size(starts0) - 1), x -> x - 1), array(n - 1))"))
+    (base, expr(
+      s"""flatten(zip_with(starts0, ends0,
+         |  (s, e) -> transform(
+         |    CASE WHEN e < s THEN array(s)
+         |         ELSE sequence(s, e, $maxChunkTokens) END,
+         |    st -> named_struct('st', st,
+         |                       'ctoks', slice(toks, st + 1,
+         |                         least(st + ${maxChunkTokens - 1}, e) - st + 1)))))""".stripMargin))
   }
+
 
   /** Driver-contract form of [[cdcChunksOf]] over the documents table. */
   def cdcChunkDocs(spark: SparkSession, sfDir: String,

@@ -779,6 +779,53 @@ class DedupSpec extends SparkSpec {
     assert(strideShared === 0L)
     // partition property: chunks re-concatenate to the token stream
     assert(gotB.mkString(" ") === toksB.mkString(" "))
+
+    // CDC scrub writeback (r14): under the realigned boundaries, every
+    // chunk after B's first boundary is a duplicate of A's — the scrub
+    // keeps A whole (first occurrence everywhere) and leaves B only its
+    // prefix-perturbed first chunk
+    val scrub = Dedup.cdcDedupScrubOf(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(scrub(1L) === ((expA.size.toLong, expA.size.toLong, toksA.mkString(" "))),
+      "doc A arrives first: every chunk survives, clean_text == original")
+    assert(scrub(2L) === ((expB.size.toLong, 1L, expB.head)),
+      "doc B keeps only the realignment-perturbed first chunk")
+    // conservation: total kept == distinct chunks (keeper-table rows)
+    assert(scrub.values.map(_._2).sum === Dedup.cdcDedupKeepersOf(docs).count())
+  }
+
+  test("CDC max-length forced break (LBFS bound): a boundary-free run splits at the max, natural text is untouched") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // one non-breaking token repeated 300×: the r13 documented
+    // pathological case — without the bound this is ONE 300-token chunk
+    val nb = (0 until 99).map(i => s"nb$i").find(t => !md5hex(t).endsWith("0")).get
+    val pathological = Seq.fill(300)(nb)
+    val docs = Seq((1L, pathological.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.cdcChunksOf(docs, maxChunkTokens = 128)
+      .orderBy("chunk_id")
+      .select("start_tok", "n_chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(got.map(_._1).toSeq === Seq(0, 128, 256), "forced breaks at the max stride")
+    assert(got.map(_._2).toSeq === Seq(128, 128, 44))
+    assert(got.map(_._2).forall(_ <= 128), "no chunk exceeds the bound")
+    // partition property survives the forced splits
+    assert(got.map(_._3).mkString(" ") === pathological.mkString(" "))
+    // a doc whose content-defined runs all sit under the max is
+    // chunked IDENTICALLY with and without the bound — the forced
+    // break only exists inside boundary-free regions
+    val natural = (0 until 200).map(i => s"w$i")
+    val nat = Seq((2L, natural.mkString(" "))).toDF("doc_id", "text")
+    val boundless = graft.operators.TextAnalysis
+      .cdcChunksOf(nat, maxChunkTokens = 100000)
+      .select("chunk_id", "chunk_text").as[(Int, String)].collect().toSeq
+    val runLens = boundless.map(_._2.split(' ').length)
+    assert(runLens.max < 128,
+      s"fixture must have no run >= 128 (got ${runLens.max}); pick other tokens")
+    val bounded = graft.operators.TextAnalysis
+      .cdcChunksOf(nat, maxChunkTokens = 128)
+      .select("chunk_id", "chunk_text").as[(Int, String)].collect().toSeq
+    assert(bounded === boundless)
   }
 
   test("dup-span merge: overlapping grams coalesce, touching spans merge, gapped spans stay apart") {

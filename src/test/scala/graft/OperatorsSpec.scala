@@ -52,6 +52,14 @@ class OperatorsSpec extends SparkSpec {
     // IllegalStateException "recursive update") must work
     val nested = Memo.once(cache, "outer") { Memo.once(cache, "inner")(7L) + 1L }
     assert(nested === 8L)
+    // SAME-KEY re-entrancy must throw, not deadlock on its own future
+    // (ADVICE r13): the inner call sees the caller's incomplete slot
+    val selfCall = intercept[IllegalStateException] {
+      Memo.once(cache, "self") { Memo.once(cache, "self")(1L) }
+    }
+    assert(selfCall.getMessage.contains("re-entrant"))
+    // ...and the failed outer compute cleared the slot, so a retry works
+    assert(Memo.once(cache, "self")(9L) === 9L)
     // a failed compute clears the slot so a retry recomputes
     intercept[RuntimeException] {
       Memo.once(cache, "flaky") { throw new RuntimeException("boom") }
@@ -59,6 +67,16 @@ class OperatorsSpec extends SparkSpec {
     assert(Memo.once(cache, "flaky")(5L) === 5L)
     assert(Memo.peek(cache, "flaky") === Some(5L))
     assert(Memo.peek(cache, "absent") === None)
+    // a racer waiting on a FAILED compute gets the ORIGINAL exception,
+    // not join()'s CompletionException wrapper (ADVICE r13): a guard's
+    // domain refusal must be catchable as itself in the racing session.
+    // Pre-install the failed slot another thread would have left the
+    // racer joining on — deterministic, no sleep-window flake.
+    final class DomainBoom extends RuntimeException("domain refusal")
+    val failedFut = new java.util.concurrent.CompletableFuture[java.lang.Long]()
+    failedFut.completeExceptionally(new DomainBoom)
+    cache.put("dboom", new Memo.Slot(failedFut, new Thread()))
+    intercept[DomainBoom] { Memo.once(cache, "dboom")(0L) }: Unit
   }
 
   test("readBack relabel fires only on path-gone failures (ADVICE r12)") {
@@ -101,6 +119,51 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("candidate"))
     assert(e.getMessage.contains("interarrival"))
+    // the refusal names the BOUNDED pair sibling (r14): skewed corpora
+    // get pairs without raising the budget
+    assert(e.getMessage.contains("nearbyEventTopM"))
+  }
+
+  test("bounded range join (top-m): exact |dt| top-m where timestamps are distinct, <= m everywhere, no budget needed") {
+    val m = 3
+    val gapUs = 300000000L
+    val got = Events.nearbyEventTopM(spark, sf, gapMinutes = 5, m = m)
+      .select($"user_id", $"event_a", $"event_b", $"diff_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // bound: <= m neighbors per event, every pair same-user within gap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val usOf = ev.map(e => e._2 -> e._3).toMap
+    val userOf = ev.map(e => e._2 -> e._1).toMap
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.size <= m, s"event with ${rows.size} > $m neighbors")
+    }
+    got.foreach { case (u, a, b, d) =>
+      assert(userOf(a) === u && userOf(b) === u, "cross-user pair")
+      assert(d === usOf(b) - usOf(a), "diff_us must be signed us_b - us_a")
+      assert(math.abs(d) <= gapUs, "pair outside the gap")
+    }
+    // exactness on distinct-timestamp users: the positional-window
+    // candidates contain the true |dt| top-m (the j-th nearest neighbor
+    // is among the j nearest predecessors or successors)
+    val distinctTsUsers = ev.groupBy(_._1)
+      .filter { case (_, rows) => rows.map(_._3).distinct.size == rows.size }
+      .keySet
+    assert(distinctTsUsers.nonEmpty, "fixture needs distinct-ts users")
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.flatMap { case (_, a, ua) =>
+        rows.filter(r => r._2 != a && math.abs(r._3 - ua) <= gapUs)
+          .map { case (_, b, ub) => (u, a, b, ub - ua) }
+          .sortBy { case (_, _, b, d) => (math.abs(d), b) }
+          .take(m)
+      }
+    }.toSet
+    val gotD = got.filter(r => distinctTsUsers(r._1)).toSet
+    val bruteD = brute.filter(r => distinctTsUsers(r._1))
+    assert(gotD === bruteD,
+      "top-m must equal the brute-force |dt| ranking on distinct-ts users")
   }
 
   test("stratified sample: deterministic and proportionally correct") {

@@ -64,7 +64,10 @@ class PlanLintSpec extends SparkSpec {
     // that drags lang/source/n_chars into the scan would silently read
     // 60% more bytes per row at 100 TB — pin the pruned ReadSchema
     Seq("text_chunks", "text_cdc_chunks", "dedup_chunk_keepers",
-      "dedup_cdc_keepers", "dedup_chunk_rate").foreach { q =>
+      "dedup_cdc_keepers", "dedup_chunk_rate",
+      // the scrub writebacks read documents twice (occurrence stream +
+      // the row-local re-slice); BOTH scans must stay (doc_id, text)
+      "dedup_chunk_scrub", "dedup_cdc_scrub").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val docScans = flatten(plan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -211,6 +214,100 @@ class PlanLintSpec extends SparkSpec {
       }.map(_._1)
     assert(missing.isEmpty,
       s"bounded-dim joins without a hinted nation/region broadcast build side: $missing")
+  }
+
+  // --- Generate array-carry lint (r13 lesson, encoded): an explode
+  // whose OUTPUT still carries a pre-explode array column pays one
+  // O(|array|) copy PER GENERATED ROW when the rows materialize —
+  // O(L²/stride) per document for the chunkers, measured 62 s for five
+  // 1.6 MB docs on the factor-10⁴ longdoc grid before the r13 fix
+  // (slice inside the transform). The shape is invisible at fixture
+  // scale and lethal at 100 TB, so pin its absence suite-wide.
+
+  /** Query names whose Generate legitimately carries an array.
+    * ann_topk_lsh: the 64-float embedding rides through the 16-band
+    * posexplode so the band join's output pairs already hold both
+    * vectors for the exact-cosine rank — a FIXED 16× copy of a FIXED
+    * 256-byte vector (4 KB/vector, data-independent), not the
+    * data-dependent O(L) carry this lint hunts; pushing the vector out
+    * of the explode would instead ship it per CANDIDATE PAIR (~60%
+    * candidate rate) through the two rank-side joins — strictly more
+    * bytes. A future entry here needs this justification style:
+    * bounded array × bounded explode cardinality, or consumption that
+    * cannot be pushed inside the transform. */
+  private val allowedArrayCarry = Set("ann_topk_lsh")
+
+  /** Generate nodes in `df`'s optimized plan that carry an array-typed
+    * child column through to their output. */
+  private def arrayCarryingGenerates(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.requiredChildOutput.exists(
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+        g.requiredChildOutput
+          .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          .map(_.name).mkString(",")
+    }
+
+  test("no registered query's Generate carries a pre-explode array column") {
+    val offenders = SparkEntry.queries.toSeq.flatMap {
+      case (name, fn) if !allowedArrayCarry(name) =>
+        arrayCarryingGenerates(fn(spark, sf)).map(cols => s"$name carries [$cols]")
+      case _ => Seq.empty
+    }.distinct
+    assert(offenders.isEmpty,
+      s"Generate array-carry (per-row O(L) copy × explode cardinality): $offenders")
+  }
+
+  test("no registered query explodes a MATERIALIZED nested-payload array column") {
+    // the r14 CDC lesson: posexplode over a column reference whose
+    // elements carry nested arrays (struct<…, array<…>>) pays a nested
+    // unsafe re-encode per generated row — measured 0.5 s (inline
+    // generator expression) vs 21 s (same data, materialized column) at
+    // sf0.1. Exploding flat payloads (scalars, strings, structs of
+    // scalars) from a column is fine; nested ones must inline the
+    // expression into the Generate.
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    def nestedPayload(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case ArrayType(st: StructType, _) =>
+        st.fields.exists(_.dataType.isInstanceOf[ArrayType])
+      case ArrayType(et, _) => et.isInstanceOf[ArrayType]
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.generator.children.exists {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                nestedPayload(a.dataType)
+              case _ => false
+            } =>
+          s"$name explodes a materialized ${g.generator.children.map(_.dataType.simpleString).mkString}"
+      }
+    }.distinct
+    assert(offenders.isEmpty, s"nested-column explodes: $offenders")
+  }
+
+  test("the array-carry detector catches the regressed post-explode-slice spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the exact r13 bug shape: explode positions, slice the carried
+    // array AFTER the Generate — the detector must flag it
+    val bad = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("sequence(0, size(toks) - 1, 2)")))
+      .select(col("doc_id"), expr("slice(toks, pos + 1, 2)").as("chunk"))
+    assert(arrayCarryingGenerates(bad).nonEmpty,
+      "detector missed the post-explode slice carry")
+    // and the fixed spelling (slice inside the transform) passes
+    val good = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 1, 2), s -> slice(toks, s + 1, 2))")))
+    assert(arrayCarryingGenerates(good).isEmpty,
+      "detector false-positives on the slice-inside-transform spelling")
   }
 
   test("every query's plan builds and has output columns") {
