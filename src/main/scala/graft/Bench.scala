@@ -192,6 +192,15 @@ object Bench {
       passResults.head(i)._1 -> passResults.map(_(i)._2).min
     }
     val total = results.map(_._2).sum
+    // sketch error-vs-exact bounds (r14): measured OUTSIDE the timed
+    // grid (plans are warm — the approx/exact twins just ran), emitted
+    // as a `bounds` field so the round's bench artifact carries the
+    // no-oracle queries' accuracy evidence machine-checkably
+    val boundsJson = try SketchBounds.boundsJson(SketchBounds.measure(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sketch bounds failed (non-fatal): ${e.getMessage}")
+      "{}"
+    }
     val warmOnlyFailed = warmFailed.filterNot(failed.contains)
     // a failed query must be visible in the one line the driver reads,
     // not just as a buried stderr message
@@ -210,7 +219,7 @@ object Bench {
     val spreadJson = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(cleanSpread))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"pass_sums":$passSumsJson,"pass_spread_pct":$spreadJson,"queries":$fullQs,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"pass_sums":$passSumsJson,"pass_spread_pct":$spreadJson,"queries":$fullQs,"failed":$failedJson$warmFailedJson,"bounds":$boundsJson,"sf":"$sfDir"}"""
     // the side file is best-effort: a missing target/ (jar run, clean
     // dir) must not throw AFTER all queries ran and suppress the primary
     // stdout line below — that would lose the whole run's results
@@ -241,7 +250,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + round2(v) }
         .mkString("{", ",", "}")
       val el = if (elided > 0) s""","elided":$elided""" else ""
-      s"""{"metric":"total","value":${round2(total)},"unit":"sec","warm_sec":${round2(warmSec)},"pass_sums":$passSumsJson,"pass_spread_pct":$spreadJson,"queries":$qs$el,"failed":$failedJson$warmFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${round2(total)},"unit":"sec","warm_sec":${round2(warmSec)},"pass_sums":$passSumsJson,"pass_spread_pct":$spreadJson,"queries":$qs$el,"failed":$failedJson$warmFailedJson,"bounds":$boundsJson,"sf":"$sfDir"}"""
     }
     var keep = byCost.length
     while (keep > 0 && lineFor(byCost.take(keep), byCost.length - keep).length > budget)

@@ -44,6 +44,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sketch-bound evidence for the four `no_oracle` rows (r14): the
+    // driver's hash compare can't adjudicate engine-specific sketch
+    // values, so emit measured-error-vs-bound next to the dump — the
+    // no-oracle justification as a per-round machine-checkable artifact
+    // rather than a spec-trusted claim. Best-effort: a bounds failure
+    // must not suppress the oracle dump the driver is here for.
+    try Files.writeString(Paths.get(s"$outDir/sketch_bounds.json"),
+      SketchBounds.boundsJson(SketchBounds.measure(spark, sfDir)))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
