@@ -40,7 +40,21 @@ import java.sql.Timestamp
   * rides the last slice so the watermark passes every click by 2×window
   * and the EVICTION branch fires across a checkpoint boundary.
   *
-  * Usage: runMain graft.StreamEndurance <sfDir> [cycles] [lastclick]
+  * A third mode, `docdedup`, drains the DOCUMENTS table (sliced by
+  * doc_id) through the continuous-ingest dedup shape — fingerprint +
+  * `dropDuplicates` keyed state — against a LONGDOC corpus: the one
+  * state/row-size combination the events modes cannot produce, where
+  * individual rows in flight are ~529 KB (book-sized text) while the
+  * STATE stays 16-byte hash currency BY DESIGN (text never enters
+  * state — the same contract as `docDedupViaStream`). What a kill
+  * proves here: micro-batch REPLAY of giant rows across a checkpoint
+  * boundary (re-read, re-fingerprint, re-commit exactly-once), not
+  * big-value state recovery — that combination is deliberately
+  * impossible in this engine. Output is the distinct fingerprint set
+  * (arrival-order-free, so the batch equality is exact); the final
+  * sink must equal the batch DISTINCT md5(normText(text)).
+  *
+  * Usage: runMain graft.StreamEndurance <sfDir> [cycles] [lastclick|docdedup]
   * Prints one JSON line: {"endurance":"pass", ...} and exits non-zero
   * on any violated invariant.
   */
@@ -49,6 +63,7 @@ object StreamEndurance {
     val sfDir = args(0)
     val cycles = if (args.length > 1) args(1).toInt else 3
     val lastClickMode = args.contains("lastclick")
+    val docDedupMode = args.contains("docdedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -61,6 +76,8 @@ object StreamEndurance {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (docDedupMode) { runDocDedup(spark, sfDir, cycles); return }
 
     val inDir = java.nio.file.Files.createTempDirectory("graft-end25-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-end25-out").toString
@@ -197,6 +214,105 @@ object StreamEndurance {
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"endurance":"pass","mode":"$mode","cycles":$cycles,"rows":$sn,""" +
         s""""provider":"rocksdb","sf":"$sfDir","sec":${math.round(sec * 10) / 10.0}}""")
+    } finally {
+      Seq(inDir, outDir, ckpt).foreach(d =>
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
+      spark.stop()
+    }
+  }
+
+  /** The docdedup mode (see object scaladoc): documents sliced by
+    * doc_id, fingerprint + dropDuplicates state, kill/resume cycles,
+    * final sink == batch DISTINCT fingerprint set. */
+  private def runDocDedup(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, cycles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-endd-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-endd-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-endd-ckpt").toString
+    val t0 = System.nanoTime()
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id")).collect()
+        .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+      val nSlices = 6
+      // doc_id is integral: upper-inclusive range slices cover exactly
+      val bounds = (0 to nSlices).map(i => lo - 1 + (hi - lo + 1) * i / nSlices)
+      (0 until nSlices).foreach { i =>
+        val s = docs.filter(col("doc_id") > bounds(i) &&
+          col("doc_id") <= bounds(i + 1))
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-endd-sl$i").toString
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified((i + 1) * 60000L))
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      }
+      val schema = spark.read.parquet(inDir).schema
+      def startQuery(availableNow: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val verdicts = src
+          .select(md5(graft.operators.TextAnalysis.normText(col("text")))
+            .as("fingerprint"))
+          .dropDuplicates("fingerprint")
+        val w = verdicts.writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+        (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500)))
+          .start()
+      }
+      def sinkFingerprints(): Long =
+        scala.util.Try {
+          val s = spark.read.parquet(outDir)
+          val n = s.count()
+          val d = s.distinct().count()
+          require(n == d, s"duplicated fingerprints after a kill: $n vs $d distinct")
+          n
+        }.getOrElse(0L)
+      var committedSoFar = 0L
+      var cyclesWithInput = 0
+      for (c <- 1 to cycles) {
+        val q = startQuery(availableNow = false)
+        try {
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          while (q.recentProgress.forall(_.numInputRows == 0) &&
+              System.nanoTime() < deadline) Thread.sleep(100)
+          if (q.recentProgress.exists(_.numInputRows > 0)) cyclesWithInput += 1
+        } finally q.stop() // kill mid-drain, big rows in flight
+        val n = sinkFingerprints()
+        require(n >= committedSoFar,
+          s"committed output shrank after cycle $c: $n < $committedSoFar")
+        committedSoFar = n
+        System.err.println(s"[endurance] cycle $c: $n committed fingerprints")
+      }
+      require(cyclesWithInput >= 2,
+        "endurance needs at least two cycles that genuinely resumed mid-input")
+      // fingerprints emit immediately in append mode (no watermark
+      // hold), so one AvailableNow pass drains everything — no
+      // sentinel machinery in this mode
+      val q = startQuery(availableNow = true)
+      q.awaitTermination()
+      val streamed = spark.read.parquet(outDir)
+      val batch = spark.read.parquet(inDir)
+        .select(md5(graft.operators.TextAnalysis.normText(col("text")))
+          .as("fingerprint")).distinct()
+      val sn = streamed.count()
+      val missing = batch.exceptAll(streamed).count()
+      val extra = streamed.exceptAll(batch).count()
+      require(missing == 0 && extra == 0,
+        s"final sink != batch distinct: $missing missing, $extra extra of $sn")
+      val maxChars = docs.agg(max(length(col("text")))).head().getInt(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"endurance":"pass","mode":"docdedup","cycles":$cycles,""" +
+        s""""rows":$sn,"max_doc_chars":$maxChars,"provider":"rocksdb",""" +
+        s""""sf":"$sfDir","sec":${math.round(sec * 10) / 10.0}}""")
     } finally {
       Seq(inDir, outDir, ckpt).foreach(d =>
         graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
