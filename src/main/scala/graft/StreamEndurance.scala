@@ -77,7 +77,11 @@ object StreamEndurance {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (docDedupMode) { runDocDedup(spark, sfDir, cycles); return }
+    if (docDedupMode) {
+      try runDocDedup(spark, sfDir, cycles)
+      finally spark.stop()
+      return
+    }
 
     val inDir = java.nio.file.Files.createTempDirectory("graft-end25-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-end25-out").toString
@@ -223,8 +227,10 @@ object StreamEndurance {
 
   /** The docdedup mode (see object scaladoc): documents sliced by
     * doc_id, fingerprint + dropDuplicates state, kill/resume cycles,
-    * final sink == batch DISTINCT fingerprint set. */
-  private def runDocDedup(spark: org.apache.spark.sql.SparkSession,
+    * final sink == batch DISTINCT fingerprint set. private[graft] so
+    * StreamingSpec drives the SAME protocol at fixture scale (the
+    * caller owns the session — this method never stops it). */
+  private[graft] def runDocDedup(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, cycles: Int): Unit = {
     import org.apache.spark.sql.functions._
     val inDir = java.nio.file.Files.createTempDirectory("graft-endd-in").toString
@@ -316,7 +322,6 @@ object StreamEndurance {
     } finally {
       Seq(inDir, outDir, ckpt).foreach(d =>
         graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
-      spark.stop()
     }
   }
 

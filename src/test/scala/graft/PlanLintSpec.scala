@@ -260,6 +260,47 @@ class PlanLintSpec extends SparkSpec {
       s"Generate array-carry (per-row O(L) copy × explode cardinality): $offenders")
   }
 
+  test("chunk keeper/scrub elections partial-aggregate BEFORE their fingerprint exchange") {
+    // the scrub fix's load-bearing property (r14): the hot-fingerprint
+    // combine must happen map-side, or a boilerplate chunk's N
+    // occurrences land in one reduce task (the r13 window plan's
+    // failure, measured OOM at 16M occupancy in ScrubProbe). Pin that
+    // every chunk_fp-keyed Exchange in these plans is fed by a partial
+    // aggregate — a refactor back to a window or a final-only agg
+    // fails here by name.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val offenders = Seq("dedup_chunk_keepers", "dedup_cdc_keepers",
+      "dedup_chunk_scrub", "dedup_cdc_scrub").flatMap { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      flatten(plan).collect {
+        case ex: ShuffleExchangeExec
+            if (ex.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.exists(_.toString.contains("chunk_fp"))
+              case _ => false
+            }) && !flatten(ex.child).exists {
+              case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+                agg.aggregateExpressions.forall(
+                  _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+              case _ => false
+            } =>
+          s"$q: chunk_fp exchange without a map-side partial aggregate"
+      }
+    }
+    assert(offenders.isEmpty, offenders.toString)
+    // and the shape under test actually exists: at least one plan has
+    // a chunk_fp-keyed exchange (guards against the lint going vacuous
+    // after a column rename)
+    val fpExchanges = Seq("dedup_chunk_scrub").flatMap { q =>
+      flatten(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan).collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.toString.contains("chunk_fp") => ex
+      }
+    }
+    assert(fpExchanges.nonEmpty, "no chunk_fp exchange found — lint went vacuous")
+  }
+
   test("no registered query explodes a MATERIALIZED nested-payload array column") {
     // the r14 CDC lesson: posexplode over a column reference whose
     // elements carry nested arrays (struct<…, array<…>>) pays a nested

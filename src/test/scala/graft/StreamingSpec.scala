@@ -833,6 +833,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size.toLong === nOdd)
   }
 
+  test("docdedup endurance protocol: kill/resume over sliced documents stays exactly-once (fixture scale)") {
+    // the SAME code path StreamEndurance's docdedup mode runs against a
+    // longdoc corpus (slice by doc_id, fingerprint + dropDuplicates
+    // state, kill/resume cycles, final sink == batch distinct
+    // fingerprints) — pinned here at fixture scale so a protocol
+    // regression fails in CI rather than only in the scaled dev run.
+    // Every invariant lives inside runDocDedup as a require().
+    StreamEndurance.runDocDedup(spark, sf, cycles = 3)
+  }
+
   test("row-scaled spool drain: an empty drain reads back as an empty frame with the plan schema") {
     // the parquet spool only has files if a batch emitted rows; the
     // read-back uses the plan's explicit schema so a drain with zero
