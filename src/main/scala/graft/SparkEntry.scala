@@ -172,6 +172,9 @@ object SparkEntry {
     // CDC-grain writeback (r14): the same first-occurrence scrub over
     // content-defined chunks — completes the CDC family symmetrically
     "dedup_cdc_scrub" -> ((s, d) => Dedup.cdcDedupScrub(s, d)),
+    // chunk-grain incremental dedup (r14): arrivals' per-doc novelty
+    // vs the prior corpus's distinct-chunk index
+    "dedup_chunk_incremental" -> ((s, d) => Dedup.chunkDedupIncremental(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -2670,6 +2673,30 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
         |                      ORDER BY chunk_id), '') AS clean_text
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // chunkDedupIncremental: odd-id arrivals' chunks probed against the
+    // even-id prior's DISTINCT chunk fingerprints; per-arrival novelty
+    "dedup_chunk_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |        FROM t)),
+        |p AS (SELECT DISTINCT chunk_fp FROM c WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, chunk_fp FROM c WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN p.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_known_chunks,
+        |  floor((CAST(count(*) - sum(CASE WHEN p.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*)) * 1e4 + 0.5) / 1e4 AS novel_frac,
+        |  sum(CASE WHEN p.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+        |    AS fully_covered
+        |FROM b LEFT JOIN p ON b.chunk_fp = p.chunk_fp
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // chunkDedupRate: per-doc fraction of chunks shared with >= 1 OTHER
     // doc (distinct-doc df, same semantics as text_dup_spans at chunk
     // grain)

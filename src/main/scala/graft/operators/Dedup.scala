@@ -1090,6 +1090,53 @@ object Dedup {
       chunkSize: Int = 32): DataFrame =
     chunkDedupKeepersOf(Tables.documents(spark, sfDir), chunkSize)
 
+  /** Chunk-grain INCREMENTAL dedup: arriving documents probed against
+    * the PRIOR corpus's distinct-chunk fingerprint set — the
+    * continuous-ingest posture of [[incrementalDedupOf]] lowered from
+    * whole-document grain to chunk grain. A new crawl snapshot rarely
+    * duplicates whole documents, but routinely re-collects pages whose
+    * CONTENT is mostly already held (new timestamp header + old body);
+    * the per-arrival novelty profile (how many of its chunks the
+    * corpus has never seen) is the admit/skip signal a pipeline
+    * actually wants before paying storage and training tokens for the
+    * arrival. Within-batch duplication is deliberately out of scope
+    * (compose [[chunkDedupKeepersOf]] over the batch for that —
+    * mirrors [[EventStream.docDedupViaStream]]'s stateless split).
+    *
+    * Scale shape: both sides chunk row-locally; the prior collapses to
+    * DISTINCT 16-byte fingerprints (partial-agg'd — at 100 TB this is
+    * the stored chunk-keeper index a catalog refreshes out of band,
+    * exactly like incrementalDedup's fingerprint index); the probe is
+    * one fp-keyed join shipping (16-byte fp, doc_id) pairs; the
+    * verdict agg is doc_id-keyed hash currency. Nothing quadratic,
+    * no text past the scan. */
+  def chunkDedupIncrementalOf(batch: DataFrame, prior: DataFrame,
+      chunkSize: Int = 32): DataFrame = {
+    val priorFps = TextAnalysis.chunksOf(prior, chunkSize, overlap = 0)
+      .select(md5(col("chunk_text")).as("chunk_fp")).distinct()
+      .withColumn("known", lit(1))
+    TextAnalysis.chunksOf(batch, chunkSize, overlap = 0)
+      .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
+      .join(priorFps, Seq("chunk_fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("known").isNotNull, 1L).otherwise(0L)).as("n_known_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_known_chunks"),
+        rd((col("n_chunks") - col("n_known_chunks")).cast("double") /
+          col("n_chunks"), 4).as("novel_frac"),
+        (col("n_known_chunks") === col("n_chunks")).as("fully_covered"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: odd doc_ids arrive against the even-id
+    * prior — the same deterministic split as [[incrementalDedup]]. */
+  def chunkDedupIncremental(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    chunkDedupIncrementalOf(docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), chunkSize)
+  }
+
   /** Per-document chunk-duplication profile: how much of each doc's
     * chunk stream is shared with at least one OTHER document — the
     * curation signal that flags an edition/boilerplate-heavy doc

@@ -734,6 +734,17 @@ class DedupSpec extends SparkSpec {
     // conservation: total kept chunks == distinct chunks in the corpus
     assert(scrub.values.map(_._2).sum ===
       Dedup.chunkDedupKeepersOf(docs, chunkSize = 4).count())
+    // incremental probe: docs 3,4 arrive against prior {1, 2} — doc 3
+    // (two copies of the shared abcd chunk) is fully covered; doc 4's
+    // qrst chunk is novel
+    val inc = Dedup.chunkDedupIncrementalOf(
+      docs.filter($"doc_id" >= 3), docs.filter($"doc_id" <= 2), chunkSize = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(inc(3L) === ((2L, 2L, 0.0, true)),
+      "pure-boilerplate arrival: every chunk already held by the prior")
+    assert(inc(4L) === ((1L, 0L, 1.0, false)), "novel arrival")
   }
 
   test("CDC chunking: an inserted prefix realigns every later boundary; stride chunking shares nothing") {

@@ -67,7 +67,8 @@ class PlanLintSpec extends SparkSpec {
       "dedup_cdc_keepers", "dedup_chunk_rate",
       // the scrub writebacks read documents twice (occurrence stream +
       // the row-local re-slice); BOTH scans must stay (doc_id, text)
-      "dedup_chunk_scrub", "dedup_cdc_scrub").foreach { q =>
+      "dedup_chunk_scrub", "dedup_cdc_scrub",
+      "dedup_chunk_incremental").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val docScans = flatten(plan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
