@@ -116,6 +116,13 @@ object SparkEntry {
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "embedding_decontamination" -> ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     "corpus_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
+    // chunk-grain churn accounting over the same synthetic refresh —
+    // both snapshots' fp sets are stored artifacts
+    "corpus_chunk_diff" -> ((s, d) => TextAnalysis.chunkSnapshotDiff(s, d)),
+    // the trained quality classifier: k-step deterministic logistic
+    // regression over hashed features, gate-labeled; weights stored
+    "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
+    "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
@@ -203,6 +210,10 @@ object SparkEntry {
     "stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
     "stream_static_enrich" -> (graft.streaming.EventStream.staticEnrichViaStream _),
     "stream_doc_dedup" -> (graft.streaming.EventStream.docDedupViaStream _),
+    // chunk-grain continuous-ingest twin: stateless chunk+probe against
+    // the STORED chunk-keeper index, per-doc rollup in foreachBatch
+    "stream_chunk_dedup" ->
+      ((s, d) => graft.streaming.EventStream.chunkDedupViaStream(s, d)),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -290,6 +301,65 @@ object SparkEntry {
   /** Shared CTE prefix (quality, langid, token counts, 3-gram-Jaccard
     * near-dup losers) for the curation_pipeline / curation_gated
     * oracles — one definition so the two stay in lockstep. */
+  /** Classifier-oracle CTE block: labeled hashed features (the
+    * text_hash_classifier bucket device at dim 64 + intercept bucket
+    * −1, dense length-saturation/punct-ratio signals at buckets −2/−3,
+    * relative frequencies ×4 scaled and 6-dp quantized), the
+    * quality-gate label, and EIGHT unrolled full-batch gradient steps
+    * replaying TextAnalysis.classifierTrainFrame exactly — rational
+    * sigmoid (pure IEEE, no libm), qsum-quantized margin/gradient sums,
+    * 6-dp weight rounding, lr 3.5 — the way ann_topk_ivf's oracle
+    * replays Lloyd. w8 is the learned weight table. */
+  private val classifierCtes: String =
+    """WITH ctoks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+      |  FROM documents),
+      |cbk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+      |        i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+      |             * pow(16, 8 - i))) AS BIGINT) % 64 AS bucket
+      |      FROM ctoks),
+      |ccnt AS (SELECT doc_id, bucket, count(*) AS cnt FROM cbk GROUP BY doc_id, bucket),
+      |cnt2 AS (SELECT doc_id, sum(cnt) AS n_tok FROM ccnt GROUP BY doc_id),
+      |cq AS (SELECT doc_id,
+      |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
+      |      + 0.3 * least(len / 500.0, 1.0)
+      |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
+      |  FROM (SELECT doc_id,
+      |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+      |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
+      |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+      |          CAST(length(text) AS DOUBLE) AS len
+      |        FROM documents)),
+      |cy AS (SELECT doc_id, CASE WHEN quality >= 0.4 THEN 1.0 ELSE 0.0 END AS y FROM cq),
+      |cfeat AS (SELECT c.doc_id, c.bucket,
+      |            floor(4.0 * (CAST(c.cnt AS DOUBLE) / CAST(n.n_tok AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x
+      |          FROM ccnt c JOIN cnt2 n ON c.doc_id = n.doc_id
+      |          UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM documents
+      |          UNION ALL SELECT doc_id, CAST(-2 AS BIGINT) AS bucket,
+      |            least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS x FROM documents
+      |          UNION ALL SELECT doc_id, CAST(-3 AS BIGINT) AS bucket,
+      |            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE)
+      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) AS x FROM documents),
+      |cbase AS (SELECT f.doc_id, f.bucket, f.x, y.y FROM cfeat f JOIN cy y ON f.doc_id = y.doc_id),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |w0 AS (SELECT CAST(unnest(range(-3, 64)) AS BIGINT) AS bucket, 0.0 AS w),
+      |""".stripMargin +
+    (1 to 8).map { i =>
+      val prev = s"w${i - 1}"
+      s"""m$i AS (SELECT b.doc_id,
+         |  CAST(sum(CAST(floor(b.x * pw.w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS m,
+         |  min(b.y) AS y
+         |  FROM cbase b JOIN $prev pw ON b.bucket = pw.bucket GROUP BY b.doc_id),
+         |r$i AS (SELECT doc_id,
+         |  floor((0.5 + 0.5 * m / (1.0 + abs(m))) * 1e6 + 0.5) / 1e6 - y AS r FROM m$i),
+         |g$i AS (SELECT b.bucket,
+         |  CAST(sum(CAST(floor(r.r * b.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS g
+         |  FROM cbase b JOIN r$i r ON b.doc_id = r.doc_id GROUP BY b.bucket),
+         |w$i AS (SELECT pw.bucket,
+         |  floor((pw.w - 3.5 * (coalesce(g.g, 0.0) / (SELECT n FROM nd))) * 1e6 + 0.5) / 1e6 AS w
+         |  FROM $prev pw LEFT JOIN g$i g ON pw.bucket = g.bucket)""".stripMargin
+    }.mkString(",\n")
+
   private val curationCtes: String =
     """WITH q AS (SELECT doc_id,
       |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
@@ -1836,6 +1906,44 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM oldd FULL OUTER JOIN nextd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // chunkSnapshotDiff: the same synthetic refresh as corpus_diff, at
+    // chunk grain — replay stride-32 chunking on both snapshots, take
+    // per-source distinct fps, full-outer diff, source-bounded rollup
+    "corpus_chunk_diff" ->
+      """WITH t AS (SELECT doc_id, source, text FROM documents),
+        |nx AS (SELECT doc_id, source,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |       FROM t WHERE doc_id % 11 != 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000000, source, text FROM t WHERE doc_id % 13 = 0),
+        |ofp AS (SELECT DISTINCT source,
+        |          md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |        FROM (SELECT source, toks,
+        |                unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |              FROM (SELECT source,
+        |                      list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |                    FROM t))),
+        |nfp AS (SELECT DISTINCT source,
+        |          md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |        FROM (SELECT source, toks,
+        |                unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |              FROM (SELECT source,
+        |                      list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |                    FROM nx))),
+        |j AS (SELECT coalesce(o.source, n.source) AS source,
+        |        o.chunk_fp AS o_fp, n.chunk_fp AS n_fp
+        |      FROM ofp o FULL OUTER JOIN nfp n
+        |        ON o.source = n.source AND o.chunk_fp = n.chunk_fp)
+        |SELECT source, n_old, n_new, n_added, n_removed,
+        |  n_old - n_removed AS n_common,
+        |  floor((CAST(n_added + n_removed AS DOUBLE) / greatest(n_old, 1)) * 1e4 + 0.5) / 1e4 AS churn
+        |FROM (SELECT source,
+        |        CAST(sum(CASE WHEN o_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |        CAST(sum(CASE WHEN n_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |        CAST(sum(CASE WHEN o_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |        CAST(sum(CASE WHEN n_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |      FROM j GROUP BY source)
+        |ORDER BY source""".stripMargin,
     // keepBestPerCluster: near-dup clusters (recursive closure over the
     // exact-jaccard pairs, as dedup_clusters) + quality (as text_quality),
     // keep the argmax-quality member per cluster, ties to lower doc_id
@@ -2156,6 +2264,23 @@ object SparkEntry {
         |       FROM f JOIN wt USING (bucket) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, score, score > 0 AS flagged
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // classifierTrain: the full k-step gradient-descent replay lives in
+    // classifierCtes; the query is the final weight table
+    "text_classifier_train" ->
+      (classifierCtes + "\n" +
+       """SELECT bucket, w FROM w8 ORDER BY bucket""".stripMargin),
+    // classifierScore: margins against the replayed w3 weights, rational
+    // sigmoid, prediction, and the gate label the trainer learned from
+    "text_classifier_score" ->
+      (classifierCtes + "\n" +
+       """SELECT doc_id,
+        |  floor((0.5 + 0.5 * m / (1.0 + abs(m))) * 1e6 + 0.5) / 1e6 AS score,
+        |  m >= 0 AS predicted, y = 1.0 AS label
+        |FROM (SELECT b.doc_id,
+        |        CAST(sum(CAST(floor(b.x * pw.w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS m,
+        |        min(b.y) AS y
+        |      FROM cbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // exportManifest: the curation_pipeline survivors × split hash ×
     // epoch-shuffle key — every piece replays an already-green oracle
     "corpus_export_manifest" ->
@@ -3192,6 +3317,31 @@ object SparkEntry {
         |SELECT b.doc_id, b.fingerprint, p.dup_of, p.dup_of IS NULL AS is_new
         |FROM batch b LEFT JOIN prior p USING (fingerprint)
         |ORDER BY b.doc_id""".stripMargin,
+    // stream-static chunk dedup mirrors the batch probe exactly (same
+    // stored index, same rollup, docs never span micro-batches), so it
+    // SHARES dedup_chunk_incremental's oracle
+    "stream_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |        FROM t)),
+        |p AS (SELECT DISTINCT chunk_fp FROM c WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, chunk_fp FROM c WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN p.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_known_chunks,
+        |  floor((CAST(count(*) - sum(CASE WHEN p.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*)) * 1e4 + 0.5) / 1e4 AS novel_frac,
+        |  sum(CASE WHEN p.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+        |    AS fully_covered
+        |FROM b LEFT JOIN p ON b.chunk_fp = p.chunk_fp
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // streaming dedup emits each distinct key once on first arrival —
     // the key SET equals the batch DISTINCT, independent of arrival order
     "stream_dedup" ->

@@ -491,6 +491,70 @@ object TextAnalysis {
     snapshotDiffOf(docs, next)
   }
 
+  /** Chunk-grain snapshot diff: added/removed/common DISTINCT chunk
+    * fingerprints per source across two corpus snapshots — the
+    * storage-churn/novelty accounting that tells the catalog WHEN a
+    * stored chunk index ([[graft.operators.Dedup.chunkKeeperIndex]])
+    * needs a refresh, and how much genuinely new content a refresh
+    * brought in per source ([[snapshotDiffOf]]'s doc-grain question
+    * lowered to the grain dedup actually operates at: an edited doc is
+    * "changed" at doc grain but mostly-common at chunk grain).
+    *
+    * Scale shape: chunking and fingerprinting are row-local; each side
+    * collapses to DISTINCT (source, 16-byte fp) rows (partial-agg'd);
+    * the diff is one full-outer join in hash currency and a
+    * source-bounded rollup. Text never crosses an Exchange. */
+  def chunkSnapshotDiffOf(oldFps: DataFrame, newFps: DataFrame): DataFrame =
+    oldFps.withColumn("in_old", lit(1))
+      .join(newFps.withColumn("in_new", lit(1)),
+        Seq("source", "chunk_fp"), "full_outer")
+      .groupBy("source")
+      .agg(sum(when(col("in_old").isNotNull, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("in_new").isNotNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        col("n_added"), col("n_removed"),
+        (col("n_old") - col("n_removed")).as("n_common"),
+        rd((col("n_added") + col("n_removed")).cast("double") /
+          greatest(col("n_old"), lit(1L)), 4).as("churn"))
+      .orderBy("source")
+
+  /** Distinct (source, chunk_fp) set of a snapshot — the per-snapshot
+    * side of the chunk diff, shared by both snapshots' artifacts. */
+  private def sourceChunkFps(docs: DataFrame, chunkSize: Int): DataFrame =
+    chunksOf(docs.select("doc_id", "text"), chunkSize, overlap = 0)
+      .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "chunk_fp").distinct()
+
+  /** Driver-contract form: the corpus diffed against the SAME
+    * deterministic synthetic refresh as [[snapshotDiff]] (doc_id % 11
+    * dropped, % 7 edited, % 13 duplicated under a shifted id), at chunk
+    * grain. Both sides' distinct fingerprint sets are STORED artifacts
+    * ([[ArtifactCache]]) — the base snapshot's set is exactly the index
+    * a catalog holds per snapshot, so the diff is a join of two stored
+    * hash tables, not a double corpus re-chunk per query. */
+  def chunkSnapshotDiff(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val next = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          col("source"), col("text")))
+    val oldFps = ArtifactCache.readOrWrite(spark, "chunk-fp-set",
+      s"$sfDir|$chunkSize|base", s"$sfDir/documents.parquet")(
+      sourceChunkFps(docs, chunkSize))
+    val newFps = ArtifactCache.readOrWrite(spark, "chunk-fp-set",
+      s"$sfDir|$chunkSize|next-synth", s"$sfDir/documents.parquet")(
+      sourceChunkFps(next, chunkSize))
+    chunkSnapshotDiffOf(oldFps, newFps)
+  }
+
   /** Corpus audit profile — the per-(source, lang) dashboard every
     * curation run starts from: document and token volume, exact mean
     * quality, and how many docs clear the quality gate. One pass of
@@ -1007,6 +1071,13 @@ object TextAnalysis {
     explodeChunkArray(base, chunksCol)
   }
 
+  /** Streaming-legal sibling of [[chunksOf]] (no global sort). */
+  private[graft] def chunksOfNoSort(docs: DataFrame,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    val (base, chunksCol) = strideChunkBase(docs, chunkSize, overlap)
+    explodeChunkArrayNoSort(base, chunksCol)
+  }
+
   /** Prepared frame + the chunk-list expression over it — ONE
     * definition consumed two ways: [[chunksOf]] inlines the expression
     * into its posexplode, [[Dedup.chunkDedupScrubOf]] materializes it
@@ -1043,13 +1114,18 @@ object TextAnalysis {
     * per generated row, where the inline generator iterates the HOF
     * result directly. */
   private def explodeChunkArray(base: DataFrame, chunksCol: Column): DataFrame =
+    explodeChunkArrayNoSort(base, chunksCol).orderBy("doc_id", "chunk_id")
+
+  /** Unordered sibling — for consumers that aggregate (the sort would
+    * be optimizer-eliminated anyway) and for STREAMING consumers, where
+    * a global sort is illegal by construction. */
+  private def explodeChunkArrayNoSort(base: DataFrame, chunksCol: Column): DataFrame =
     base
       .select(col("doc_id"), posexplode(chunksCol))
       .select(col("doc_id"), col("pos").as("chunk_id"),
         col("col.st").as("start_tok"),
         size(col("col.ctoks")).as("n_chunk_tokens"),
         array_join(col("col.ctoks"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
 
   /** Content-defined chunking (CDC): chunk boundaries are declared by
     * the CONTENT — a token whose md5 ends in `hexSuffix` closes the
@@ -1938,6 +2014,143 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), rd(qavg(col("w"), 6), 4).as("score"))
       .withColumn("flagged", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
+  // --- Trained quality classifier (distributed logistic regression) ---
+
+  private[graft] val ClsDim = 64
+  private[graft] val ClsSteps = 8
+  private[graft] val ClsLr = 3.5
+  private[graft] val ClsScale = 4.0
+  private[graft] val ClsGate = 0.4
+
+  /** Labeled hashed-feature rows for the trained classifier: one row
+    * per (doc, feature bucket) with the doc's gate label replicated on.
+    * Features are RELATIVE bucket frequencies (token count in bucket /
+    * doc token count — length-invariant, so a long doc doesn't dominate
+    * the gradient) over [[hashClassifier]]'s md5 bucket device at dim
+    * [[ClsDim]], scaled by [[ClsScale]] to put the dominant buckets on
+    * the same O(1) footing as the dense features (full-batch GD with a
+    * single global lr needs comparable per-coordinate curvature —
+    * measured: unscaled, the intercept's gradient is ~100× the
+    * features' and the trainer oscillates to the prior), 6-dp
+    * quantized; plus per doc an intercept row (bucket −1, x = 1) and
+    * two DENSE row-local signal rows — length saturation (bucket −2)
+    * and punctuation ratio (bucket −3), the same raw signals
+    * [[qualityScore]] derives — because relative token frequencies are
+    * length-invariant by construction and therefore cannot see the
+    * gate's length term at all (measured ceiling without them: the
+    * class prior). Labels come from the STORED signal index
+    * ([[docSignalsIndex]]): y = 1 iff the doc clears the [[ClsGate]]
+    * quality gate — the deterministic label source the Gopher-style
+    * gates provide for free. Map-only feature extraction; the label
+    * join keys on doc_id. */
+  private def classifierBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % ClsDim)
+          .as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val ntok = counts.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
+    val dense = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("len"),
+      regexp_count(col("text"), lit("[^a-zA-Z0-9 \n]")).cast("double")
+        .as("n_punct"))
+    val feats = counts.join(ntok, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        rd(lit(ClsScale) * (col("cnt").cast("double") / col("n_tok")), 6)
+          .as("x"))
+      .unionByName(docs.select(col("doc_id"), lit(-1L).as("bucket"),
+        lit(1.0).as("x")))
+      .unionByName(dense.select(col("doc_id"), lit(-2L).as("bucket"),
+        least(col("len") / lit(500.0), lit(1.0)).as("x")))
+      .unionByName(dense.select(col("doc_id"), lit(-3L).as("bucket"),
+        (col("n_punct") / greatest(col("len"), lit(1.0))).as("x")))
+    val labels = docSignalsIndex(spark, sfDir)
+      .select(col("doc_id"),
+        (col("quality") >= ClsGate).cast("double").as("y"))
+    feats.join(labels, Seq("doc_id"))
+  }
+
+  /** The k-step full-batch logistic-regression trainer — the one
+    * operator that LEARNS from the corpus (the [[bpeTrain]]/k-means
+    * iterative-training discipline applied to gradient descent). Each
+    * step is two bounded aggregations over the labeled feature rows:
+    * (1) per-doc margins m = Σ wⱼ·xⱼ against the broadcast weight map,
+    * squashed by the RATIONAL sigmoid p = 0.5 + 0.5·m/(1+|m|) — pure
+    * IEEE arithmetic, so the oracle replays it bit-for-bit where
+    * exp()-based σ would hinge on libm ulps; (2) per-bucket gradient
+    * Σ (p−y)·xⱼ. Both sums are [[Deterministic.qsum]]-quantized
+    * (order-independent exact long arithmetic), margins/probabilities/
+    * weights are 6-dp [[rd]]-quantized — so the learned weights are a
+    * deterministic function of the corpus, replayable step-by-step by
+    * the DuckDB oracle exactly as `ann_topk_ivf` replays Lloyd.
+    *
+    * Scale shape: the feature frame is checkpointed once and reused by
+    * all k steps (two shuffles per step: doc-keyed margin agg,
+    * bucket-keyed gradient agg, both partial-agg'd map-side); only the
+    * dim+1-row gradient vector ever reaches the driver — the k-means
+    * centroid pattern. The corpus is scanned once, not per step. */
+  private def classifierTrainFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = classifierBase(spark, sfDir).localCheckpoint()
+    val nDocs = Tables.documents(spark, sfDir).count().toDouble
+    def rdD(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var w: Map[Long, Double] =
+      (-3L until ClsDim.toLong).map(_ -> 0.0).toMap
+    for (_ <- 0 until ClsSteps) {
+      val wcol = element_at(typedlit(w), col("bucket"))
+      val residuals = base.groupBy("doc_id")
+        .agg(qsum(col("x") * wcol, 6).as("m"), min(col("y")).as("y"))
+        .select(col("doc_id"),
+          (rd(lit(0.5) + lit(0.5) * col("m") / (lit(1.0) + abs(col("m"))), 6)
+            - col("y")).as("r"))
+      val grads = base.join(residuals, Seq("doc_id"))
+        .groupBy("bucket").agg(qsum(col("r") * col("x"), 6).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      w = w.map { case (b, wv) =>
+        b -> rdD(wv - ClsLr * (grads.getOrElse(b, 0.0) / nDocs))
+      }
+    }
+    w.toSeq.sortBy(_._1).toDF("bucket", "w")
+  }
+
+  /** The learned weight vector as a STORED artifact (dim+1 rows) —
+    * trained once per corpus snapshot, read by every scoring consumer;
+    * the posture that lets inference run without ever touching the
+    * training pass. */
+  def classifierWeights(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactCache.readOrWrite(spark, "classifier-weights",
+      s"v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate",
+      s"$sfDir/documents.parquet")(
+      classifierTrainFrame(spark, sfDir))
+
+  /** Driver-contract train query: the learned weights, one row per
+    * feature bucket (−1 = intercept). */
+  def classifierTrain(spark: SparkSession, sfDir: String): DataFrame =
+    classifierWeights(spark, sfDir)
+      .select(col("bucket"), col("w")).orderBy("bucket")
+
+  /** Inference over the stored weights: per-doc score (rational-sigmoid
+    * probability), prediction, and the gate label it was trained
+    * against — the recall/precision surface the curation pipeline
+    * monitors. One map-side feature pass + a dim+1-row broadcast join +
+    * one doc-keyed agg: the linear-inference ideal, same plan family as
+    * [[hashClassifier]]. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val wtab = classifierWeights(spark, sfDir)
+    classifierBase(spark, sfDir)
+      .join(broadcast(wtab), Seq("bucket"), "left_outer")
+      .groupBy("doc_id")
+      .agg(qsum(col("x") * col("w"), 6).as("m"), min(col("y")).as("y"))
+      .select(col("doc_id"),
+        rd(lit(0.5) + lit(0.5) * col("m") / (lit(1.0) + abs(col("m"))), 6)
+          .as("score"),
+        (col("m") >= 0).as("predicted"),
+        (col("y") === 1.0).as("label"))
       .orderBy("doc_id")
   }
 

@@ -267,7 +267,8 @@ object EventStream {
   private def runToCompletion(spark: SparkSession, out: DataFrame,
       prefix: String, mode: OutputMode = OutputMode.Complete(),
       partitions: Int = 4, stateProvider: Option[String] = None,
-      rowScaled: Boolean = false): DataFrame = {
+      rowScaled: Boolean = false,
+      perBatch: Option[DataFrame => DataFrame] = None): DataFrame = {
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
     // Pin the drain's state partitioning and (for large sources) its
     // state-store provider — both snapshotted by the query at start()
@@ -296,6 +297,8 @@ object EventStream {
     // append would corrupt.) Guard BEFORE creating the spool dir.
     if (rowScaled) require(mode != OutputMode.Update(),
       "row-scaled spool drain supports Complete/Append only")
+    require(perBatch.isEmpty || rowScaled,
+      "perBatch finishing runs in the foreachBatch spool path only")
     // prefix-keyed: the previous run's spool for THIS drain is
     // reclaimed now, and the registry's shutdown hook sweeps the rest
     // at exit — one live spool per drain, not one per call
@@ -317,7 +320,14 @@ object EventStream {
           base.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             val sub = if (mode == OutputMode.Complete()) "state"
                       else s"batch_$batchId"
-            batch.write.mode("overwrite").parquet(s"$dir/$sub")
+            // perBatch: stateless BATCH-side finishing step applied to
+            // each micro-batch before it lands in the spool — the
+            // foreachBatch upsert/rollup idiom. Only sound when the
+            // rollup's keys cannot span micro-batches (e.g. per-doc
+            // aggregation of chunk rows that a single input row
+            // generated); the caller owns that argument.
+            perBatch.fold(batch.toDF())(f => f(batch.toDF()))
+              .write.mode("overwrite").parquet(s"$dir/$sub")
           }.start()
         case None => base.format("memory").start()
       }
@@ -335,7 +345,12 @@ object EventStream {
       // empty frame, matching the memory sink's behavior. Recursive
       // lookup flattens the batch-keyed subdirs without inventing a
       // partition column from their names.
-      case Some(dir) => spark.read.schema(out.schema)
+      case Some(dir) => spark.read
+        // perBatch reshapes the spooled rows; derive the read-back
+        // schema by applying it to an empty frame of the plan's schema
+        .schema(perBatch.fold(out.schema)(f => f(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            out.schema)).schema))
         .option("recursiveFileLookup", "true").parquet(dir)
       case None => spark.table(name)
     }
@@ -606,13 +621,14 @@ object EventStream {
     * out so this query demonstrates the stateless class; the oracle is
     * therefore the plain index probe. At 100 TB/day the index is a
     * catalog artifact refreshed out-of-band (ids + 16-byte hashes);
-    * document text never enters join state. */
+    * document text never enters join state — and the index here IS the
+    * stored artifact ([[graft.operators.Dedup.fingerprintIndex]], r15),
+    * the same parquet the batch probe reads, not a per-query rescan of
+    * the prior corpus. */
   def docDedupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextAnalysis.normText
     val path = s"$sfDir/documents.parquet"
-    val priorIdx = graft.operators.Dedup.fingerprintIndexOf(
-      graft.sources.Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 2 === 0))
+    val priorIdx = graft.operators.Dedup.fingerprintIndex(spark, sfDir)
     // same glob + basePath device as corpusEventsSource: the table is a
     // bare parquet file, and the streaming file source wants a listing
     val arrivals = spark.readStream
@@ -630,6 +646,49 @@ object EventStream {
       partitions = drainPartitions(sfDir, "documents.parquet"),
       stateProvider = drainStateProvider(sfDir, "documents.parquet"),
       rowScaled = true) // one verdict per arriving doc: grows with input
+      .orderBy("doc_id")
+  }
+
+  /** Seventh driver-contract streaming entry: CONTINUOUS-INGEST
+    * chunk-grain dedup — [[docDedupViaStream]]'s stateless posture
+    * lowered to chunk grain, the streaming twin of
+    * [[graft.operators.Dedup.chunkDedupIncremental]]. Arriving
+    * documents are chunked and fingerprinted ROW-LOCALLY in the stream
+    * (a stateless flatMap — every chunk row of a doc is generated from
+    * that doc's single input row inside one micro-batch), probed via a
+    * STREAM-STATIC broadcast join against the STORED chunk-keeper
+    * index ([[graft.operators.Dedup.chunkKeeperIndex]] — the same
+    * parquet artifact the batch probe reads), and rolled up to the
+    * per-arrival novelty verdict inside foreachBatch — the batch-side
+    * finishing idiom, sound here because a doc never spans
+    * micro-batches. No watermark, NO streaming state of any kind: the
+    * state a naive design would keep (the seen-chunk set) lives in the
+    * out-of-band index, which is the only posture that survives
+    * 100 TB/day — chunk fingerprints of the full corpus cannot live in
+    * a state store. Shares [[graft.operators.Dedup.chunkVerdictsFrom]]
+    * / `chunkNoveltyRollup` with the batch operator, so stream/batch
+    * parity holds by construction and the oracle is the batch query's.
+    * Odd doc_ids arrive against the even-id prior, the same
+    * deterministic split as `dedup_chunk_incremental`. */
+  def chunkDedupViaStream(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val priorFps = graft.operators.Dedup
+      .chunkKeeperIndex(spark, sfDir, chunkSize).select("chunk_fp")
+    val arrivals = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("basePath", sfDir)
+      .parquet(path + "*")
+      .filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val verdicts = graft.operators.Dedup.chunkVerdictsFrom(
+      arrivals, broadcast(priorFps), chunkSize)
+    runToCompletion(spark, verdicts, "graft_stream_chunk_dedup",
+      OutputMode.Append(),
+      partitions = drainPartitions(sfDir, "documents.parquet"),
+      stateProvider = drainStateProvider(sfDir, "documents.parquet"),
+      rowScaled = true, // one verdict per arriving doc after the rollup
+      perBatch = Some(graft.operators.Dedup.chunkNoveltyRollup))
       .orderBy("doc_id")
   }
 

@@ -426,6 +426,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental probes read STORED fingerprint indexes; driver forms match library forms") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    // doc grain: the stored-index driver form equals the inline library form
+    val docIndexed = Dedup.incrementalDedup(spark, sf).collect().map(_.toString).toSeq
+    val docDirect = Dedup.incrementalDedupOf(odd, even).collect().map(_.toString).toSeq
+    assert(docIndexed === docDirect)
+    // chunk grain: same parity
+    val chunkIndexed = Dedup.chunkDedupIncremental(spark, sf).collect().map(_.toString).toSeq
+    val chunkDirect = Dedup.chunkDedupIncrementalOf(odd, even).collect().map(_.toString).toSeq
+    assert(chunkIndexed === chunkDirect)
+    // both indexes exist as completed on-disk artifacts (the O(batch)
+    // probe posture: an arrival never re-reads the prior corpus)
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-artifact-cache")
+    for (name <- Seq("doc-fp-index", "chunk-keeper-index")) {
+      val dirs = base.toFile.listFiles().filter(_.getName.startsWith(s"$name-"))
+      assert(dirs.nonEmpty, s"stored artifact for $name must exist under $base")
+      assert(dirs.exists(d => d.listFiles().exists(fp =>
+        new java.io.File(fp, "_SUCCESS").exists())),
+        s"artifact for $name must carry a _SUCCESS marker")
+    }
+    // the keeper index IS chunkDedupKeepersOf(prior) — reusable as-is
+    assert(Dedup.chunkKeeperIndex(spark, sf).orderBy("chunk_fp")
+      .collect().map(_.toString).toSeq ===
+      Dedup.chunkDedupKeepersOf(even).collect().map(_.toString).toSeq)
+  }
+
   test("decontamination flags the eval-leaked doc and skips shingle-less docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-test-")
     val leak = "alpha beta gamma delta epsilon zeta eta theta"

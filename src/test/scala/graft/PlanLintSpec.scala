@@ -302,6 +302,47 @@ class PlanLintSpec extends SparkSpec {
     assert(fpExchanges.nonEmpty, "no chunk_fp exchange found — lint went vacuous")
   }
 
+  test("scrub keeper election runs in HashAggregate (fixed-width packed key), not SortAggregate") {
+    // r15: the election key is (doc_id << 21 | chunk_id) packed into one
+    // long, so min() aggregates in HashAggregateExec's flat fixed-width
+    // buffer. The r14 min(struct) spelling silently planned as
+    // SortAggregate (struct minima have no hash buffer) — pin the
+    // upgrade so a refactor back to struct currency fails by name.
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    Seq("dedup_chunk_scrub", "dedup_cdc_scrub").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val sortAggs = flatten(plan).collect { case a: SortAggregateExec => a }
+      assert(sortAggs.isEmpty,
+        s"$q: SortAggregate in plan — the packed-long election (r15) keeps every agg hash-based")
+      val hashMin = flatten(plan).exists {
+        case a: HashAggregateExec =>
+          a.groupingExpressions.exists(_.toString.contains("chunk_fp")) &&
+            a.aggregateExpressions.exists(_.toString.contains("min("))
+        case _ => false
+      }
+      assert(hashMin, s"$q: no chunk_fp-keyed HashAggregate min election found")
+    }
+  }
+
+  test("classifier and chunk-diff queries read only the columns they use") {
+    // same 100 TB rationale as the chunk-family ReadSchema lint; these
+    // queries make SEVERAL documents scans (features, intercept, dense
+    // signals / both snapshots), each of which must stay pruned
+    Seq("text_classifier_score" -> Set("doc_id", "text"),
+      "corpus_chunk_diff" -> Set("doc_id", "source", "text")).foreach {
+      case (q, allowed) =>
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val docScans = flatten(plan).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.getName.startsWith("documents")) => f
+        }
+        docScans.foreach { f =>
+          assert(f.requiredSchema.fieldNames.toSet.subsetOf(allowed),
+            s"$q: documents scan reads ${f.requiredSchema.fieldNames.mkString(",")}")
+        }
+    }
+  }
+
   test("no registered query explodes a MATERIALIZED nested-payload array column") {
     // the r14 CDC lesson: posexplode over a column reference whose
     // elements carry nested arrays (struct<…, array<…>>) pays a nested

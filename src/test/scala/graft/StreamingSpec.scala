@@ -833,6 +833,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size.toLong === nOdd)
   }
 
+  test("file-source stream-static CHUNK dedup equals the batch stored-index probe, statelessly") {
+    // the streaming twin shares chunkVerdictsFrom/chunkNoveltyRollup
+    // and the stored chunkKeeperIndex with the batch operator, so this
+    // parity must hold row-for-row — including the foreachBatch per-doc
+    // rollup being complete (a doc's chunk rows never span batches)
+    val streamed = graft.streaming.EventStream.chunkDedupViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Dedup.chunkDedupIncremental(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // one verdict per odd doc — nothing dropped or duplicated
+    val nOdd = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(streamed.size.toLong === nOdd)
+  }
+
   test("docdedup endurance protocol: kill/resume over sliced documents stays exactly-once (fixture scale)") {
     // the SAME code path StreamEndurance's docdedup mode runs against a
     // longdoc corpus (slice by doc_id, fingerprint + dropDuplicates

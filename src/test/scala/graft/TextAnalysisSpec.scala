@@ -962,6 +962,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.exists(_._3) && out.values.exists(!_._3))
   }
 
+  test("trained classifier: weights learned by deterministic GD recover the quality gate") {
+    // the trainer must actually LEARN: the stored weights separate the
+    // gate far better than the class prior (hashClassifier's stand-in
+    // weights cannot — that was the r14 gap this operator closes)
+    val w = TextAnalysis.classifierTrain(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === TextAnalysis.ClsDim + 3, "dim buckets + intercept + 2 dense signals")
+    assert(w.keySet === (-3L until TextAnalysis.ClsDim.toLong).toSet)
+    assert(w.values.exists(_ != 0.0), "training moved the weights")
+    // 6-dp quantization held through all steps (oracle replayability)
+    w.values.foreach(v => assert(v === math.floor(v * 1e6 + 0.5) / 1e6))
+    val scored = TextAnalysis.classifierScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))
+    val n = scored.length
+    val nPos = scored.count(_._4)
+    val tp = scored.count(s => s._3 && s._4)
+    val acc = scored.count(s => s._3 == s._4).toDouble / n
+    val prior = math.max(nPos, n - nPos).toDouble / n
+    assert(tp.toDouble / nPos >= 0.9, s"gate recall ${tp.toDouble / nPos} below 0.9")
+    assert(acc >= 0.9 && acc > prior,
+      s"accuracy $acc must beat the class prior $prior (measured 0.96 at fixture scale)")
+    // scores are calibrated probabilities of the rational sigmoid
+    scored.foreach { case (_, p, pred, _) =>
+      assert(p > 0.0 && p < 1.0)
+      assert(pred === (p >= 0.5))
+    }
+  }
+
+  test("chunk snapshot diff: per-source added/removed fingerprints re-total and match a direct replay") {
+    val out = TextAnalysis.chunkSnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (src, (nOld, nNew, nAdded, nRemoved, nCommon, churn)) =>
+      assert(nOld === nCommon + nRemoved, s"$src old total")
+      assert(nNew === nCommon + nAdded, s"$src new total")
+      assert(churn ===
+        math.floor((nAdded + nRemoved).toDouble / math.max(nOld, 1L) * 1e4 + 0.5) / 1e4,
+        s"$src churn")
+    }
+    // the synthetic refresh edits (% 7) and drops (% 11) docs in every
+    // source, so SOME churn must register in both directions overall
+    assert(out.values.map(_._3).sum > 0, "refresh must add fingerprints")
+    assert(out.values.map(_._4).sum > 0, "refresh must remove fingerprints")
+    // direct (non-artifact) replay agrees with the stored-artifact path
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val next = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("source"), col("text")))
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunksOf(d.select("doc_id", "text"), 32, 0)
+        .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+        .select("source", "chunk_fp").distinct()
+    val direct = TextAnalysis.chunkSnapshotDiffOf(fps(docs), fps(next)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(direct === out)
+  }
+
   test("export manifest: exactly the pipeline survivors, keyed and ordered for readers") {
     val out = TextAnalysis.exportManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
