@@ -1058,10 +1058,10 @@ object Dedup {
     * Scale shape (r14, replacing the r13 window plan the judge marked
     * weak): the first-occurrence election runs in HASH CURRENCY ONLY —
     * chunks explode to (doc_id, chunk_id, 16-byte md5) rows and a
-    * partial-aggregable `min` over (doc_id, chunk_id) packed into one
-    * long (r15: fixed-width, so the election runs in HashAggregate's
-    * flat buffer) per chunk_fp elects the keeper, so a boilerplate
-    * chunk shared by 10 M docs (the
+    * partial-aggregable `min(struct(doc_id, chunk_id))` per chunk_fp
+    * elects the keeper (SortAggregate by measurement — see the election
+    * comment below for the r15 race the hash-buffer form lost), so a
+    * boilerplate chunk shared by 10 M docs (the
     * exact workload this operator targets) COMBINES MAP-SIDE to one row
     * per task instead of landing all its occurrences in one window
     * partition. The old plan shipped `chunk_text` through that
@@ -1084,29 +1084,28 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         transform(chunksCol, c => md5(array_join(c.getField("ctoks"), " ")))))
       .select(col("doc_id"), col("pos").as("chunk_id"), col("col").as("chunk_fp"))
-    // keeper election: min over (doc_id, chunk_id) PACKED into one
-    // 64-bit long (doc_id << 21 | chunk_id — doc_id in the high bits,
-    // so long order IS lexicographic (doc_id, chunk_id) order). A
-    // fixed-width long min runs in HashAggregateExec's flat buffer
-    // with map-side partial combine; the r14 min(struct) spelling had
-    // the same partial-agg property but planned as SortAggregate
-    // (struct minima have no fixed-width hash buffer) — that struct
-    // form stays the documented fallback if the packing bounds ever
-    // pinch. Bounds are PRICED row-locally: doc_id must fit 42 bits
-    // (4.4e12 ids) and chunk_id 21 bits (2M chunks/doc = ~67M tokens
-    // at stride 32); a row outside them fails loudly rather than
-    // electing a wrong keeper.
-    val packGuard = col("doc_id").between(0L, (1L << 42) - 1) &&
-      col("chunk_id").between(0, (1 << 21) - 1)
+    // keeper election: min(struct) is partial-aggregable — the hot-fp
+    // combine happens map-side, unlike row_number's window partition.
+    // It plans as SortAggregate (struct minima have no fixed-width hash
+    // buffer), and that is the spelling we KEEP deliberately: r15 raced
+    // the "obvious upgrade" — (doc_id << 21 | chunk_id) packed into one
+    // long so min() runs in HashAggregateExec's flat buffer — on the
+    // operator's own ScrubProbe workload (one boilerplate fingerprint
+    // in every doc, ~n distinct tail fingerprints), and the hash form
+    // LOST: 0/3 runs survive at 8 M docs (AGGREGATE_OUT_OF_MEMORY /
+    // UNABLE_TO_ACQUIRE_MEMORY) in the same alternating session where
+    // this SortAggregate completed 3/4 runs in 35-45 s (the one
+    // failure was ambient — the identical r14 binary flaked once too).
+    // With millions of distinct
+    // 16-byte group keys per partition, the aggregation hash map's
+    // appetite exceeds the execution-memory budget the streaming sort
+    // never needs — sort-based aggregation is the memory-robust plan
+    // for high-cardinality hash-currency elections, and the sort runs
+    // over 16-byte keys so it is scale-safe.
     val winners = occ
       .groupBy("chunk_fp")
-      .agg(min(when(packGuard,
-        shiftleft(col("doc_id"), 21).bitwiseOR(col("chunk_id").cast("long")))
-        .otherwise(raise_error(format_string(
-          "chunk-scrub packed election out of range: doc_id=%d chunk_id=%d",
-          col("doc_id"), col("chunk_id"))).cast("long"))).as("w"))
-      .select(shiftright(col("w"), 21).as("doc_id"),
-        col("w").bitwiseAND(lit((1L << 21) - 1)).cast("int").as("cid"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_id").as("cid"))
     val keptPerDoc = winners.groupBy("doc_id")
       .agg(sort_array(collect_list(col("cid"))).as("kept_ids"))
     // n_chunks is size(chunks) — row-local on the re-slice side, so no
