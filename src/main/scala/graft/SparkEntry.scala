@@ -123,6 +123,8 @@ object SparkEntry {
     // regression over hashed features, gate-labeled; weights stored
     "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    // generalization evidence: train on even docs, score the unseen odd
+    "text_classifier_holdout" -> ((s, d) => TextAnalysis.classifierHoldout(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
@@ -182,6 +184,10 @@ object SparkEntry {
     // chunk-grain incremental dedup (r14): arrivals' per-doc novelty
     // vs the prior corpus's distinct-chunk index
     "dedup_chunk_incremental" -> ((s, d) => Dedup.chunkDedupIncremental(s, d)),
+    // catalog refresh closing the continuous-ingest loop: merge the
+    // odd-id batch into the stored even-id keeper index (mergeable
+    // aggregates; must equal the from-scratch index over the corpus)
+    "dedup_chunk_index_refresh" -> ((s, d) => Dedup.chunkIndexRefresh(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -301,47 +307,53 @@ object SparkEntry {
   /** Shared CTE prefix (quality, langid, token counts, 3-gram-Jaccard
     * near-dup losers) for the curation_pipeline / curation_gated
     * oracles — one definition so the two stay in lockstep. */
-  /** Classifier-oracle CTE block: labeled hashed features (the
+  /** Classifier-oracle CTE generator: labeled hashed features (the
     * text_hash_classifier bucket device at dim 64 + intercept bucket
     * −1, dense length-saturation/punct-ratio signals at buckets −2/−3,
-    * relative frequencies ×4 scaled and 6-dp quantized), the
-    * quality-gate label, and EIGHT unrolled full-batch gradient steps
-    * replaying TextAnalysis.classifierTrainFrame exactly — rational
-    * sigmoid (pure IEEE, no libm), qsum-quantized margin/gradient sums,
-    * 6-dp weight rounding, lr 3.5 — the way ann_topk_ivf's oracle
-    * replays Lloyd. w8 is the learned weight table. */
-  private val classifierCtes: String =
-    """WITH ctoks AS (SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
-      |  FROM documents),
-      |cbk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+    * relative frequencies ×4 scaled and 6-dp quantized) over the
+    * documents subset selected by `where`, prefixed so the hold-out
+    * oracle can build TWO feature sets (train + unseen) in one query.
+    * The quality-gate label rides every feature row. */
+  private def classifierFeatureCtes(p: String, where: String): String =
+    s"""${p}toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '[ \\n]'), t -> t != '')) AS tok
+      |  FROM documents WHERE $where),
+      |${p}bk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
       |        i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
       |             * pow(16, 8 - i))) AS BIGINT) % 64 AS bucket
-      |      FROM ctoks),
-      |ccnt AS (SELECT doc_id, bucket, count(*) AS cnt FROM cbk GROUP BY doc_id, bucket),
-      |cnt2 AS (SELECT doc_id, sum(cnt) AS n_tok FROM ccnt GROUP BY doc_id),
-      |cq AS (SELECT doc_id,
+      |      FROM ${p}toks),
+      |${p}cnt AS (SELECT doc_id, bucket, count(*) AS cnt FROM ${p}bk GROUP BY doc_id, bucket),
+      |${p}nt AS (SELECT doc_id, sum(cnt) AS n_tok FROM ${p}cnt GROUP BY doc_id),
+      |${p}q AS (SELECT doc_id,
       |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
       |      + 0.3 * least(len / 500.0, 1.0)
       |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
       |  FROM (SELECT doc_id,
-      |          CAST(len(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS DOUBLE) AS n_tok,
-      |          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS n_stop,
-      |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE) AS n_punct,
+      |          CAST(len(list_filter(string_split_regex(text, '[ \\n]'), t -> t != '')) AS DOUBLE) AS n_tok,
+      |          CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE) AS n_stop,
+      |          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\n]')) AS DOUBLE) AS n_punct,
       |          CAST(length(text) AS DOUBLE) AS len
-      |        FROM documents)),
-      |cy AS (SELECT doc_id, CASE WHEN quality >= 0.4 THEN 1.0 ELSE 0.0 END AS y FROM cq),
-      |cfeat AS (SELECT c.doc_id, c.bucket,
+      |        FROM documents WHERE $where)),
+      |${p}y AS (SELECT doc_id, CASE WHEN quality >= 0.4 THEN 1.0 ELSE 0.0 END AS y FROM ${p}q),
+      |${p}feat AS (SELECT c.doc_id, c.bucket,
       |            floor(4.0 * (CAST(c.cnt AS DOUBLE) / CAST(n.n_tok AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x
-      |          FROM ccnt c JOIN cnt2 n ON c.doc_id = n.doc_id
-      |          UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM documents
+      |          FROM ${p}cnt c JOIN ${p}nt n ON c.doc_id = n.doc_id
+      |          UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM documents WHERE $where
       |          UNION ALL SELECT doc_id, CAST(-2 AS BIGINT) AS bucket,
-      |            least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS x FROM documents
+      |            least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS x FROM documents WHERE $where
       |          UNION ALL SELECT doc_id, CAST(-3 AS BIGINT) AS bucket,
-      |            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \n]')) AS DOUBLE)
-      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) AS x FROM documents),
-      |cbase AS (SELECT f.doc_id, f.bucket, f.x, y.y FROM cfeat f JOIN cy y ON f.doc_id = y.doc_id),
-      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\n]')) AS DOUBLE)
+      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) AS x FROM documents WHERE $where),
+      |${p}base AS (SELECT f.doc_id, f.bucket, f.x, y.y FROM ${p}feat f JOIN ${p}y y ON f.doc_id = y.doc_id)""".stripMargin
+
+  /** The EIGHT unrolled full-batch gradient steps over `cbase`,
+    * replaying TextAnalysis.classifierTrainFrame exactly — rational
+    * sigmoid (pure IEEE, no libm), qsum-quantized margin/gradient sums,
+    * 6-dp weight rounding, lr 3.5 — the way ann_topk_ivf's oracle
+    * replays Lloyd. `nd` counts the TRAIN set; w8 is the learned
+    * weight table. */
+  private def classifierStepCtes(trainWhere: String): String =
+    s"""nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE $trainWhere),
       |w0 AS (SELECT CAST(unnest(range(-3, 64)) AS BIGINT) AS bucket, 0.0 AS w),
       |""".stripMargin +
     (1 to 8).map { i =>
@@ -359,6 +371,18 @@ object SparkEntry {
          |  floor((pw.w - 3.5 * (coalesce(g.g, 0.0) / (SELECT n FROM nd))) * 1e6 + 0.5) / 1e6 AS w
          |  FROM $prev pw LEFT JOIN g$i g ON pw.bucket = g.bucket)""".stripMargin
     }.mkString(",\n")
+
+  /** Full-corpus train/score chain (train == score set). */
+  private val classifierCtes: String =
+    "WITH " + classifierFeatureCtes("c", "TRUE") + ",\n" +
+      classifierStepCtes("TRUE")
+
+  /** Hold-out chain: train CTEs over the even half, a second feature
+    * set (prefix s) over the unseen odd half for scoring. */
+  private val classifierHoldoutCtes: String =
+    "WITH " + classifierFeatureCtes("c", "doc_id % 2 = 0") + ",\n" +
+      classifierFeatureCtes("s", "doc_id % 2 = 1") + ",\n" +
+      classifierStepCtes("doc_id % 2 = 0")
 
   private val curationCtes: String =
     """WITH q AS (SELECT doc_id,
@@ -2281,6 +2305,19 @@ object SparkEntry {
         |        min(b.y) AS y
         |      FROM cbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // classifierHoldout: even-half gradient replay (classifierHoldoutCtes
+    // trains on doc_id % 2 = 0), scored over the UNSEEN odd-half feature
+    // set (prefix s)
+    "text_classifier_holdout" ->
+      (classifierHoldoutCtes + "\n" +
+       """SELECT doc_id,
+        |  floor((0.5 + 0.5 * m / (1.0 + abs(m))) * 1e6 + 0.5) / 1e6 AS score,
+        |  m >= 0 AS predicted, y = 1.0 AS label
+        |FROM (SELECT b.doc_id,
+        |        CAST(sum(CAST(floor(b.x * pw.w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS m,
+        |        min(b.y) AS y
+        |      FROM sbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // exportManifest: the curation_pipeline survivors × split hash ×
     // epoch-shuffle key — every piece replays an already-green oracle
     "corpus_export_manifest" ->
@@ -2643,6 +2680,23 @@ object SparkEntry {
     // yields its start-0 chunk), md5 chunk fingerprints, one row per
     // DISTINCT chunk with occurrence count / doc spread / keeper
     "dedup_chunk_keepers" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, greatest(len(toks), 1), 32)) AS start
+        |        FROM t))
+        |SELECT chunk_fp, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
+        |FROM c GROUP BY chunk_fp ORDER BY chunk_fp""".stripMargin,
+    // chunkIndexRefresh: merge-equals-recompute — absorbing the odd batch
+    // into the stored even index must equal the from-scratch keeper
+    // table over the WHOLE corpus, so the oracle is exactly that
+    "dedup_chunk_index_refresh" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \n]'), x -> x != '') AS toks

@@ -1223,6 +1223,39 @@ object Dedup {
       chunkKeeperIndex(spark, sfDir, chunkSize), chunkSize)
   }
 
+  /** Index REFRESH — the catalog step that closes the continuous-ingest
+    * loop the probe ([[chunkDedupIncrementalOf]]) opened: absorb an
+    * arrival batch into the stored chunk-keeper index WITHOUT re-reading
+    * the prior corpus. Every column of the keeper table is a mergeable
+    * aggregate — `n_copies` sums, `n_docs` sums (prior and arrival
+    * doc_id sets are disjoint on a continuous-ingest pipeline, so
+    * distinct-doc counts add), `keeper_doc` takes the min — so the new
+    * index is `union → one agg` over (index rows + batch-agg rows):
+    * O(index + batch), and the result is IDENTICAL to rebuilding the
+    * index from scratch over prior ∪ batch. That merge-equals-recompute
+    * identity IS the oracle: the driver form refreshes the even-id
+    * stored index with the odd-id batch and must hash-match the
+    * from-scratch keeper table over the whole corpus. */
+  def chunkIndexRefreshOf(batch: DataFrame, priorIdx: DataFrame,
+      chunkSize: Int = 32): DataFrame =
+    priorIdx.select("chunk_fp", "n_copies", "n_docs", "keeper_doc")
+      .unionByName(chunkDedupKeepersOf(batch, chunkSize))
+      .groupBy("chunk_fp")
+      .agg(sum(col("n_copies")).as("n_copies"),
+        sum(col("n_docs")).as("n_docs"),
+        min(col("keeper_doc")).as("keeper_doc"))
+      .orderBy("chunk_fp")
+
+  /** Driver-contract form: the odd-id arrivals absorbed into the stored
+    * even-id [[chunkKeeperIndex]] — output equals
+    * [[chunkDedupKeepersOf]] over the full corpus by construction. */
+  def chunkIndexRefresh(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    chunkIndexRefreshOf(docs.filter(col("doc_id") % 2 === 1),
+      chunkKeeperIndex(spark, sfDir, chunkSize), chunkSize)
+  }
+
   /** Per-document chunk-duplication profile: how much of each doc's
     * chunk stream is shared with at least one OTHER document — the
     * curation signal that flags an edition/boilerplate-heavy doc

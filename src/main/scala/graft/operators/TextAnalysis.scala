@@ -2046,8 +2046,8 @@ object TextAnalysis {
     * quality gate — the deterministic label source the Gopher-style
     * gates provide for free. Map-only feature extraction; the label
     * join keys on doc_id. */
-  private def classifierBase(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  private def classifierBase(spark: SparkSession, sfDir: String,
+      docs: DataFrame): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .select(col("doc_id"),
@@ -2094,10 +2094,11 @@ object TextAnalysis {
     * bucket-keyed gradient agg, both partial-agg'd map-side); only the
     * dim+1-row gradient vector ever reaches the driver — the k-means
     * centroid pattern. The corpus is scanned once, not per step. */
-  private def classifierTrainFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  private def classifierTrainFrame(spark: SparkSession, sfDir: String,
+      docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val base = classifierBase(spark, sfDir).localCheckpoint()
-    val nDocs = Tables.documents(spark, sfDir).count().toDouble
+    val base = classifierBase(spark, sfDir, docs).localCheckpoint()
+    val nDocs = docs.count().toDouble
     def rdD(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     var w: Map[Long, Double] =
       (-3L until ClsDim.toLong).map(_ -> 0.0).toMap
@@ -2124,9 +2125,19 @@ object TextAnalysis {
     * training pass. */
   def classifierWeights(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactCache.readOrWrite(spark, "classifier-weights",
-      s"v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate",
+      s"v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|all",
       s"$sfDir/documents.parquet")(
-      classifierTrainFrame(spark, sfDir))
+      classifierTrainFrame(spark, sfDir, Tables.documents(spark, sfDir)))
+
+  /** Weights trained on the EVEN half only — the hold-out protocol's
+    * training artifact ([[classifierHoldout]]); same trainer, split
+    * tag in the artifact key. */
+  private def classifierWeightsEven(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactCache.readOrWrite(spark, "classifier-weights",
+      s"v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|even",
+      s"$sfDir/documents.parquet")(
+      classifierTrainFrame(spark, sfDir,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)))
 
   /** Driver-contract train query: the learned weights, one row per
     * feature bucket (−1 = intercept). */
@@ -2134,15 +2145,14 @@ object TextAnalysis {
     classifierWeights(spark, sfDir)
       .select(col("bucket"), col("w")).orderBy("bucket")
 
-  /** Inference over the stored weights: per-doc score (rational-sigmoid
-    * probability), prediction, and the gate label it was trained
-    * against — the recall/precision surface the curation pipeline
-    * monitors. One map-side feature pass + a dim+1-row broadcast join +
-    * one doc-keyed agg: the linear-inference ideal, same plan family as
-    * [[hashClassifier]]. */
-  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val wtab = classifierWeights(spark, sfDir)
-    classifierBase(spark, sfDir)
+  /** Shared scoring tail: per-doc rational-sigmoid probability,
+    * prediction, and gate label for `docs` under the given weight
+    * table. One map-side feature pass + a dim+3-row broadcast join +
+    * one doc-keyed agg: the linear-inference ideal, same plan family
+    * as [[hashClassifier]]. */
+  private def classifierScoreWith(spark: SparkSession, sfDir: String,
+      docs: DataFrame, wtab: DataFrame): DataFrame =
+    classifierBase(spark, sfDir, docs)
       .join(broadcast(wtab), Seq("bucket"), "left_outer")
       .groupBy("doc_id")
       .agg(qsum(col("x") * col("w"), 6).as("m"), min(col("y")).as("y"))
@@ -2152,7 +2162,23 @@ object TextAnalysis {
         (col("m") >= 0).as("predicted"),
         (col("y") === 1.0).as("label"))
       .orderBy("doc_id")
-  }
+
+  /** Inference over the stored weights — the recall/precision surface
+    * the curation pipeline monitors. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame =
+    classifierScoreWith(spark, sfDir, Tables.documents(spark, sfDir),
+      classifierWeights(spark, sfDir))
+
+  /** HOLD-OUT evaluation — the generalization evidence memorized
+    * weights cannot fake ([[bpeEncodeHoldout]]'s discipline applied to
+    * the trainer): train on the EVEN half, score the UNSEEN odd half.
+    * Same deterministic replay chain, so the oracle re-runs the
+    * even-only gradient steps and the odd-only scoring and must
+    * hash-match; the spec asserts the unseen-half recall/accuracy. */
+  def classifierHoldout(spark: SparkSession, sfDir: String): DataFrame =
+    classifierScoreWith(spark, sfDir,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1),
+      classifierWeightsEven(spark, sfDir))
 
   /** The end-to-end training-set EXPORT MANIFEST — the artifact a
     * trainer actually consumes: every document that survives the full

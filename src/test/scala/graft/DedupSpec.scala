@@ -454,6 +454,27 @@ class DedupSpec extends SparkSpec {
       Dedup.chunkDedupKeepersOf(even).collect().map(_.toString).toSeq)
   }
 
+  test("chunk index refresh: merging a batch into the stored index equals rebuilding from scratch") {
+    // the refresh's whole contract — every keeper-table column is a
+    // mergeable aggregate, so absorb-the-batch and recompute-the-world
+    // must be indistinguishable (O(index + batch) vs O(corpus) cost)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val refreshed = Dedup.chunkIndexRefresh(spark, sf)
+      .collect().map(_.toString).toSeq
+    val fromScratch = Dedup.chunkDedupKeepersOf(docs)
+      .collect().map(_.toString).toSeq
+    assert(refreshed === fromScratch)
+    // library form over disjoint halves agrees too (keeper min crosses
+    // the halves: an odd doc can steal keepership only if its id is
+    // lower, which the even/odd split makes impossible for shared fps
+    // EXCEPT doc_id 0 — the identity holds regardless, by the merge)
+    val viaOf = Dedup.chunkIndexRefreshOf(
+      docs.filter($"doc_id" % 2 === 1),
+      Dedup.chunkDedupKeepersOf(docs.filter($"doc_id" % 2 === 0)))
+      .collect().map(_.toString).toSeq
+    assert(viaOf === fromScratch)
+  }
+
   test("decontamination flags the eval-leaked doc and skips shingle-less docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-test-")
     val leak = "alpha beta gamma delta epsilon zeta eta theta"

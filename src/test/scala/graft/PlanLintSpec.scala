@@ -68,7 +68,9 @@ class PlanLintSpec extends SparkSpec {
       // the scrub writebacks read documents twice (occurrence stream +
       // the row-local re-slice); BOTH scans must stay (doc_id, text)
       "dedup_chunk_scrub", "dedup_cdc_scrub",
-      "dedup_chunk_incremental").foreach { q =>
+      // the incremental probe and the index refresh read documents for
+      // the BATCH side only (the prior is the stored artifact)
+      "dedup_chunk_incremental", "dedup_chunk_index_refresh").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val docScans = flatten(plan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -331,6 +333,7 @@ class PlanLintSpec extends SparkSpec {
     // queries make SEVERAL documents scans (features, intercept, dense
     // signals / both snapshots), each of which must stay pruned
     Seq("text_classifier_score" -> Set("doc_id", "text"),
+      "text_classifier_holdout" -> Set("doc_id", "text"),
       "corpus_chunk_diff" -> Set("doc_id", "source", "text")).foreach {
       case (q, allowed) =>
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
