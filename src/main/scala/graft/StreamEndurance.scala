@@ -54,7 +54,7 @@ import java.sql.Timestamp
   * (arrival-order-free, so the batch equality is exact); the final
   * sink must equal the batch DISTINCT md5(normText(text)).
   *
-  * Usage: runMain graft.StreamEndurance <sfDir> [cycles] [lastclick|docdedup]
+  * Usage: runMain graft.StreamEndurance <sfDir> [cycles] [lastclick|docdedup|chunkdedup]
   * Prints one JSON line: {"endurance":"pass", ...} and exits non-zero
   * on any violated invariant.
   */
@@ -64,6 +64,7 @@ object StreamEndurance {
     val cycles = if (args.length > 1) args(1).toInt else 3
     val lastClickMode = args.contains("lastclick")
     val docDedupMode = args.contains("docdedup")
+    val chunkDedupMode = args.contains("chunkdedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -79,6 +80,11 @@ object StreamEndurance {
 
     if (docDedupMode) {
       try runDocDedup(spark, sfDir, cycles)
+      finally spark.stop()
+      return
+    }
+    if (chunkDedupMode) {
+      try runChunkDedup(spark, sfDir, cycles)
       finally spark.stop()
       return
     }
@@ -319,6 +325,118 @@ object StreamEndurance {
       println(s"""{"endurance":"pass","mode":"docdedup","cycles":$cycles,""" +
         s""""rows":$sn,"max_doc_chars":$maxChars,"provider":"rocksdb",""" +
         s""""sf":"$sfDir","sec":${math.round(sec * 10) / 10.0}}""")
+    } finally {
+      Seq(inDir, outDir, ckpt).foreach(d =>
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))
+    }
+  }
+
+  /** Fourth mode, `chunkdedup`: the r15 continuous-ingest CHUNK probe
+    * under kill/resume — odd-id arrivals sliced and streamed, chunked
+    * row-locally, probed against the STORED even-id chunk-keeper index
+    * via a stream-static broadcast join, and rolled up to per-doc
+    * novelty verdicts inside foreachBatch writing BATCH-KEYED parquet
+    * subdirs (`batch_<id>` + overwrite — the spool idempotence device
+    * `EventStream.runToCompletion` documents). What a kill proves HERE,
+    * and the docdedup mode cannot: micro-batch REPLAY through the
+    * foreachBatch sink — a resumed batch re-runs with the SAME batchId
+    * and must overwrite its own subdir rather than appending duplicate
+    * verdicts; after every kill the sink must hold at most one verdict
+    * per doc and never shrink. Zero streaming state by design (the
+    * seen-chunk set is the out-of-band index), so recovery cost is
+    * offsets + sink log only. Final sink must equal the registered
+    * batch query `dedup_chunk_incremental` row-for-row. */
+  private[graft] def runChunkDedup(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, cycles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-endc-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-endc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-endc-ckpt").toString
+    val t0 = System.nanoTime()
+    try {
+      val arrivals = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").filter(col("doc_id") % 2 === 1)
+      val Array(lo, hi) = arrivals.agg(min("doc_id"), max("doc_id")).collect()
+        .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+      val nSlices = 6
+      val bounds = (0 to nSlices).map(i => lo - 1 + (hi - lo + 1) * i / nSlices)
+      (0 until nSlices).foreach { i =>
+        val s = arrivals.filter(col("doc_id") > bounds(i) &&
+          col("doc_id") <= bounds(i + 1))
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-endc-sl$i").toString
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(inDir, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified((i + 1) * 60000L))
+        graft.sources.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      }
+      val priorFps = graft.operators.Dedup.chunkKeeperIndex(spark, sfDir)
+        .select("chunk_fp")
+      val schema = spark.read.parquet(inDir).schema
+      def startQuery(availableNow: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val verdicts = graft.operators.Dedup.chunkVerdictsFrom(
+          src.select("doc_id", "text"), broadcast(priorFps), 32)
+        val w = verdicts.writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              graft.operators.Dedup.chunkNoveltyRollup(b.toDF())
+                .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500)))
+          .start()
+      }
+      val batchResult = graft.operators.Dedup.chunkDedupIncremental(spark, sfDir)
+      def readSink() = spark.read.schema(batchResult.schema)
+        .option("recursiveFileLookup", "true").parquet(outDir)
+      def sinkVerdicts(): Long =
+        scala.util.Try {
+          val s = readSink()
+          val n = s.count()
+          val d = s.select("doc_id").distinct().count()
+          require(n == d,
+            s"duplicated per-doc verdicts after a kill: $n rows vs $d docs — " +
+              "batch replay appended instead of overwriting its subdir")
+          n
+        }.getOrElse(0L)
+      var committedSoFar = 0L
+      var cyclesWithInput = 0
+      for (c <- 1 to cycles) {
+        val q = startQuery(availableNow = false)
+        try {
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          while (q.recentProgress.forall(_.numInputRows == 0) &&
+              System.nanoTime() < deadline) Thread.sleep(100)
+          if (q.recentProgress.exists(_.numInputRows > 0)) cyclesWithInput += 1
+        } finally q.stop() // kill mid-drain; a batch may be half-written
+        val n = sinkVerdicts()
+        require(n >= committedSoFar,
+          s"committed verdicts shrank after cycle $c: $n < $committedSoFar")
+        committedSoFar = n
+        System.err.println(s"[endurance] cycle $c: $n committed verdicts")
+      }
+      require(cyclesWithInput >= 2,
+        "endurance needs at least two cycles that genuinely resumed mid-input")
+      val q = startQuery(availableNow = true)
+      q.awaitTermination()
+      val streamed = readSink()
+      val missing = batchResult.exceptAll(streamed).count()
+      val extra = streamed.exceptAll(batchResult).count()
+      val sn = streamed.count()
+      require(missing == 0 && extra == 0,
+        s"final sink != batch probe: $missing missing, $extra extra of $sn")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"endurance":"pass","mode":"chunkdedup","cycles":$cycles,""" +
+        s""""rows":$sn,"provider":"rocksdb","sf":"$sfDir",""" +
+        s""""sec":${math.round(sec * 10) / 10.0}}""")
     } finally {
       Seq(inDir, outDir, ckpt).foreach(d =>
         graft.sources.ArtifactCache.deleteRecursively(new java.io.File(d)))

@@ -860,6 +860,16 @@ class StreamingSpec extends SparkSpec {
     StreamEndurance.runDocDedup(spark, sf, cycles = 3)
   }
 
+  test("chunkdedup endurance protocol: kill/resume proves the foreachBatch spool's replay idempotence (fixture scale)") {
+    // the batch-keyed overwrite claim in runToCompletion's spool sink,
+    // exercised for real: a resumed micro-batch re-runs under the SAME
+    // batchId and must overwrite its own subdir, so after every kill
+    // the sink holds at most one verdict per doc and the final result
+    // equals the registered batch probe. Invariants live inside
+    // runChunkDedup as require()s; the scaled run is the dev main.
+    StreamEndurance.runChunkDedup(spark, sf, cycles = 3)
+  }
+
   test("row-scaled spool drain: an empty drain reads back as an empty frame with the plan schema") {
     // the parquet spool only has files if a batch emitted rows; the
     // read-back uses the plan's explicit schema so a drain with zero
