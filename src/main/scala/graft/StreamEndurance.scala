@@ -397,16 +397,23 @@ object StreamEndurance {
       val batchResult = graft.operators.Dedup.chunkDedupIncremental(spark, sfDir)
       def readSink() = spark.read.schema(batchResult.schema)
         .option("recursiveFileLookup", "true").parquet(outDir)
-      def sinkVerdicts(): Long =
-        scala.util.Try {
-          val s = readSink()
+      def sinkVerdicts(): Long = {
+        // only the EMPTY-SINK read may be swallowed (no batch committed
+        // yet → no parquet under outDir → AnalysisException); the
+        // duplicated-verdict invariant must PROPAGATE — wrapping it in
+        // the same Try converted the exact failure this mode exists to
+        // catch into "0 committed verdicts" (r15 advice)
+        val rows = try Some(readSink())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        rows.fold(0L) { s =>
           val n = s.count()
           val d = s.select("doc_id").distinct().count()
           require(n == d,
             s"duplicated per-doc verdicts after a kill: $n rows vs $d docs — " +
               "batch replay appended instead of overwriting its subdir")
           n
-        }.getOrElse(0L)
+        }
+      }
       var committedSoFar = 0L
       var cyclesWithInput = 0
       for (c <- 1 to cycles) {

@@ -20,12 +20,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // machine-readable per-run record (r15 verdict #1): dumped row count
+    // per query + the failure list, written BESIDE the parquet dump, so
+    // an empty driver-side CORRECTNESS table is diagnosable as
+    // driver-side in one file read instead of resting on a prose claim
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        rowCounts(name) = spark.read.parquet(s"$outDir/$name").count()
+      } catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +53,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val oracled = SparkEntry.oracleSql.keySet
+    val summary =
+      s"""{"registered": ${SparkEntry.queries.size},
+         |"dumped": ${rowCounts.size},
+         |"failed": ${failures.size},
+         |"oracled": ${SparkEntry.queries.keySet.count(oracled)},
+         |"no_oracle": ${q(SparkEntry.queries.keySet.filterNot(oracled)
+             .toSeq.sorted.mkString(","))},
+         |"failures": ${failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+             .mkString("{", ",", "}")},
+         |"row_counts": ${rowCounts.map { case (k, v) => s"${q(k)}: $v" }
+             .mkString("{", ",", "}")}}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     // sketch-bound evidence for the four `no_oracle` rows (r14): the
     // driver's hash compare can't adjudicate engine-specific sketch
     // values, so emit measured-error-vs-bound next to the dump — the
