@@ -123,6 +123,16 @@ object SparkEntry {
     // regression over hashed features, gate-labeled; weights stored
     "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    // bounded-sample trainer (r16): k-doc deterministic sample, same
+    // 8-step replay — the flat-cold-cost posture of a 100 TB catalog
+    "text_classifier_train_sampled" ->
+      ((s, d) => TextAnalysis.classifierTrainSampled(s, d)),
+    // full-corpus inference under the sample-trained weights
+    "text_classifier_score_sampled" ->
+      ((s, d) => TextAnalysis.classifierScoreSampled(s, d)),
+    // the LEARNED curation gate (r16): classifier prediction replaces
+    // the heuristic quality threshold in the pipeline keep set
+    "curation_classifier" -> ((s, d) => TextAnalysis.curationClassifier(s, d)),
     // generalization evidence: train on even docs, score the unseen odd
     "text_classifier_holdout" -> ((s, d) => TextAnalysis.classifierHoldout(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairsMaterialized(s, d)),
@@ -188,6 +198,17 @@ object SparkEntry {
     // odd-id batch into the stored even-id keeper index (mergeable
     // aggregates; must equal the from-scratch index over the corpus)
     "dedup_chunk_index_refresh" -> ((s, d) => Dedup.chunkIndexRefresh(s, d)),
+    // sketch-index refresh by merge (r16): the shingle/minhash/simhash
+    // indexes absorb the odd-id arrivals against the stored even-id
+    // artifacts; shingle emits the SQL-replayable canonical profile,
+    // the signature families are asserted END-TO-END (pair queries
+    // served from the refreshed indexes share the from-scratch oracles)
+    "dedup_shingle_index_refresh" ->
+      ((s, d) => Dedup.shingleIndexRefresh(s, d)),
+    "dedup_minhash_index_refresh" ->
+      ((s, d) => Dedup.minhashLshPairsRefreshed(s, d)),
+    "dedup_simhash_index_refresh" ->
+      ((s, d) => Dedup.simhashPairsRefreshed(s, d)),
     "corpus_sample_per_group" -> ((s, d) => TextAnalysis.samplePerGroup(s, d)),
     "layout_zorder" -> ((s, d) => Layout.zorderLayout(s, d)),
     "layout_bucketed_join" -> ((s, d) => Layout.bucketedOrderRevenue(s, d)),
@@ -220,6 +241,10 @@ object SparkEntry {
     // the STORED chunk-keeper index, per-doc rollup in foreachBatch
     "stream_chunk_dedup" ->
       ((s, d) => graft.streaming.EventStream.chunkDedupViaStream(s, d)),
+    // streaming classifier inference (r16): stream-static scoring
+    // against the stored weight artifact, rollup in foreachBatch
+    "stream_classifier_score" ->
+      (graft.streaming.EventStream.classifierScoreViaStream _),
     "events_user_stats" -> (Events.userStats _),
     "events_top_user_hours" -> ((s, d) => Events.topUserHours(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -276,6 +301,10 @@ object SparkEntry {
     "ann_knn_join_heap" -> ((s, d) => Similarity.knnJoinHeap(s, d)),
     "events_distinct_rollup" -> ((s, d) => Events.distinctUsersViaSketchRollup(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
+    // quantizer drift trigger (r16): arrival-batch quantization error
+    // vs the training-time profile — the retrain signal completing
+    // ANN continuous-ingest
+    "ann_index_drift" -> ((s, d) => Similarity.indexDrift(s, d)),
     "ann_index_health" -> ((s, d) => Similarity.indexHealth(s, d)),
     "ann_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
@@ -384,8 +413,34 @@ object SparkEntry {
       classifierFeatureCtes("s", "doc_id % 2 = 1") + ",\n" +
       classifierStepCtes("doc_id % 2 = 0")
 
-  private val curationCtes: String =
-    """WITH q AS (SELECT doc_id,
+  /** The deterministic k-doc training sample: k smallest seeded-md5
+    * keys (ties by doc_id) — replaying
+    * TextAnalysis.classifierSampleDocs' TakeOrderedAndProject. */
+  private val clsSampleCte: String =
+    "smp AS (SELECT doc_id FROM documents\n" +
+      "  ORDER BY md5('clss0|' || CAST(doc_id AS VARCHAR)), doc_id LIMIT " +
+      s"${graft.operators.TextAnalysis.ClsSampleK})"
+  private val clsSampleWhere = "doc_id IN (SELECT doc_id FROM smp)"
+
+  /** Sampled-trainer chain: gradient steps over the k sampled docs
+    * only (nd counts the sample — the trainer's batch size). */
+  private val classifierSampledCtes: String =
+    "WITH " + clsSampleCte + ",\n" +
+      classifierFeatureCtes("c", clsSampleWhere) + ",\n" +
+      classifierStepCtes(clsSampleWhere)
+
+  /** Sampled-train / full-corpus-score chain: a second feature set
+    * (prefix s) over ALL documents, scored against the sampled w8. */
+  private val classifierSampledScoreCtes: String =
+    "WITH " + clsSampleCte + ",\n" +
+      classifierFeatureCtes("c", clsSampleWhere) + ",\n" +
+      classifierFeatureCtes("s", "TRUE") + ",\n" +
+      classifierStepCtes(clsSampleWhere)
+
+  /** Body form (no WITH) so consumers can prepend other CTE chains —
+    * the learned-gate oracle chains the classifier replay in front. */
+  private val curationCtesBody: String =
+    """q AS (SELECT doc_id,
       |  floor((0.5 * (n_stop / greatest(n_tok, 1.0))
       |      + 0.3 * least(len / 500.0, 1.0)
       |      + 0.2 * (1.0 - n_punct / greatest(len, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
@@ -426,6 +481,8 @@ object SparkEntry {
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
       |  HAVING floor((count(*) * 1.0 / (sa.sz + sb.sz - count(*))) * 1e4 + 0.5) / 1e4 >= 0.8)""".stripMargin
+
+  private val curationCtes: String = "WITH " + curationCtesBody
 
   /** Dup-span machinery as DuckDB CTEs (n=5 grams over the `w` words
     * CTE the caller provides): duplicated positional grams → merged
@@ -2293,7 +2350,8 @@ object SparkEntry {
     "text_classifier_train" ->
       (classifierCtes + "\n" +
        """SELECT bucket, w FROM w8 ORDER BY bucket""".stripMargin),
-    // classifierScore: margins against the replayed w3 weights, rational
+    // classifierScore: margins against the replayed final-step (w8)
+    // weights, rational
     // sigmoid, prediction, and the gate label the trainer learned from
     "text_classifier_score" ->
       (classifierCtes + "\n" +
@@ -2318,6 +2376,54 @@ object SparkEntry {
         |        min(b.y) AS y
         |      FROM sbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // sampled trainer: sample selection (ORDER BY seeded md5 LIMIT k)
+    // + the same 8 gradient steps, over the sampled docs only
+    "text_classifier_train_sampled" ->
+      (classifierSampledCtes + "\n" +
+       """SELECT bucket, w FROM w8 ORDER BY bucket""".stripMargin),
+    // sampled-train / full-corpus-score: margins of EVERY doc (feature
+    // prefix s) against the sample-trained w8
+    "text_classifier_score_sampled" ->
+      (classifierSampledScoreCtes + "\n" +
+       """SELECT doc_id,
+        |  floor((0.5 + 0.5 * m / (1.0 + abs(m))) * 1e6 + 0.5) / 1e6 AS score,
+        |  m >= 0 AS predicted, y = 1.0 AS label
+        |FROM (SELECT b.doc_id,
+        |        CAST(sum(CAST(floor(b.x * pw.w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS m,
+        |        min(b.y) AS y
+        |      FROM sbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    // streaming inference twin: same stored full-corpus weights, same
+    // scorer code path, restricted to the arriving odd half — the
+    // batch oracle with the arrival filter
+    "stream_classifier_score" ->
+      (classifierCtes + "\n" +
+       """SELECT doc_id,
+        |  floor((0.5 + 0.5 * m / (1.0 + abs(m))) * 1e6 + 0.5) / 1e6 AS score,
+        |  m >= 0 AS predicted, y = 1.0 AS label
+        |FROM (SELECT b.doc_id,
+        |        CAST(sum(CAST(floor(b.x * pw.w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS m,
+        |        min(b.y) AS y
+        |      FROM cbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id)
+        |WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin),
+    // the LEARNED curation gate: classifier replay (cbase/w8) chained
+    // in front of the curation CTEs; keep = predicted ∧ lang gate ∧
+    // not a near-dup loser, with the heuristic quality riding along
+    "curation_classifier" ->
+      (classifierCtes + ",\n" + curationCtesBody + "\n" +
+       """SELECT s.doc_id,
+        |  floor((0.5 + 0.5 * s.m / (1.0 + abs(s.m))) * 1e6 + 0.5) / 1e6 AS score,
+        |  q.quality, t.n_tokens
+        |FROM (SELECT b.doc_id,
+        |        CAST(sum(CAST(floor(b.x * pw.w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS m
+        |      FROM cbase b JOIN w8 pw ON b.bucket = pw.bucket GROUP BY b.doc_id) s
+        |JOIN q ON q.doc_id = s.doc_id
+        |JOIN l ON l.doc_id = s.doc_id
+        |JOIN t ON t.doc_id = s.doc_id
+        |WHERE s.m >= 0 AND l.lang_pred = 'en'
+        |  AND s.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY s.doc_id""".stripMargin),
     // exportManifest: the curation_pipeline survivors × split hash ×
     // epoch-shuffle key — every piece replays an already-green oracle
     "corpus_export_manifest" ->
@@ -2444,6 +2550,9 @@ object SparkEntry {
     // union-of-daily-sketches estimate equals the direct sketch (the
     // mergeability contract)
     "ann_incremental_assign" -> ivfIncrementalOracle(2),
+    // drift trigger: the incremental chain extended by the two
+    // error-profile aggregations and the relative-excess verdict
+    "ann_index_drift" -> annDriftOracle(2, 0.2),
     "ann_index_health" -> indexHealthOracle(2),
     "ann_recall_curve" -> recallCurveOracle(2),
     // Q15: correlated max decorrelated onto ONE supplier agg; the cut
@@ -3209,59 +3318,36 @@ object SparkEntry {
     // rows recall at j>=0.8 is ~0.9998 (and 1.0 measured on this corpus),
     // so the exact-Jaccard oracle applies
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    // merge-refreshed shingle+minhash indexes, asserted END-TO-END:
+    // the LSH pair query served from the refreshed artifacts must
+    // equal the from-scratch exact-Jaccard pairs — shared oracle
+    "dedup_minhash_index_refresh" -> ngramJaccardOracle,
+    // merge-refreshed shingle index, canonical profile: full-corpus
+    // exact-dup groups (min doc_id, group size) + distinct 3-gram
+    // shingle counts of each canonical text
+    "dedup_shingle_index_refresh" ->
+      """WITH grp AS (SELECT min(doc_id) AS doc_id, count(*) AS w
+        |             FROM documents GROUP BY text),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words
+        |      FROM documents WHERE doc_id IN (SELECT doc_id FROM grp)),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |       FROM (SELECT doc_id,
+        |               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                       for i in range(1, greatest(len(words) - 1, 1))]) AS shingle
+        |             FROM w)),
+        |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT g.doc_id, g.w, c.n_shingles
+        |FROM grp g JOIN cnt c ON c.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // dedup_simhash: md5-derived signature bits replayed vote-for-vote;
     // the oracle blocks by the same 16-bit chunks (pigeonhole-lossless,
     // so candidates = exact hd<=3 pairs) and expands canonical groups
-    "dedup_simhash" ->
-      """WITH fp AS (SELECT doc_id,
-        |              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
-        |            FROM documents),
-        |mem AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canon_id FROM fp),
-        |canon AS (SELECT doc_id FROM mem WHERE doc_id = canon_id),
-        |w AS (SELECT doc_id,
-        |        unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
-        |      FROM documents),
-        |tokc AS (SELECT w.doc_id, w.tok, count(*) AS cnt
-        |         FROM w JOIN canon c ON c.doc_id = w.doc_id GROUP BY 1, 2),
-        |hx AS (SELECT doc_id, cnt,
-        |         CAST(list_sum(list_transform(range(1, 9),
-        |           i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
-        |                * pow(16, 8 - i))) AS BIGINT) AS hi,
-        |         CAST(list_sum(list_transform(range(9, 17),
-        |           i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
-        |                * pow(16, 16 - i))) AS BIGINT) AS lo
-        |       FROM tokc),
-        |votes AS (SELECT doc_id, b.i,
-        |            sum(cnt * (2 * (CASE WHEN b.i < 32 THEN (lo >> b.i) & 1
-        |                            ELSE (hi >> (b.i - 32)) & 1 END) - 1)) AS v
-        |          FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
-        |          GROUP BY doc_id, b.i),
-        |bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
-        |chunks AS (SELECT doc_id, i // 16 AS blk,
-        |             CAST(sum(CAST(bit AS BIGINT) << CAST(i % 16 AS INT)) AS BIGINT) AS cv
-        |           FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM chunks a JOIN chunks b
-        |           ON a.blk = b.blk AND a.cv = b.cv AND a.doc_id < b.doc_id),
-        |hd AS (SELECT p.doc_a, p.doc_b,
-        |         CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-        |       FROM cand p
-        |         JOIN bits ba ON ba.doc_id = p.doc_a
-        |         JOIN bits bb ON bb.doc_id = p.doc_b AND bb.i = ba.i
-        |       GROUP BY 1, 2
-        |       HAVING sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) <= 3),
-        |cross_p AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-        |              greatest(ma.doc_id, mb.doc_id) AS doc_b, h.hamming
-        |            FROM hd h
-        |              JOIN mem ma ON ma.canon_id = h.doc_a
-        |              JOIN mem mb ON mb.canon_id = h.doc_b),
-        |intra AS (SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
-        |          FROM mem ma JOIN mem mb
-        |            ON ma.canon_id = mb.canon_id AND ma.doc_id < mb.doc_id
-        |          WHERE ma.canon_id IN (SELECT DISTINCT doc_id FROM bits))
-        |SELECT doc_a, doc_b, hamming FROM cross_p
-        |UNION ALL SELECT doc_a, doc_b, hamming FROM intra
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> simhashOracle,
+    // merge-refreshed simhash index, asserted END-TO-END: the hamming
+    // pair query served from the refreshed index must equal the
+    // from-scratch query — shared oracle
+    "dedup_simhash_index_refresh" -> simhashOracle,
     "dedup_embedding" -> embeddingPairsOracleSql,
     // the guard's pricing formula hash-verified: DuckDB counts BOTH
     // replayed member-level pair tables independently; the Spark side
@@ -4159,6 +4245,68 @@ object SparkEntry {
        |SELECT vec_id, cluster, csim AS assign_sim FROM asg ORDER BY vec_id""".stripMargin
   }
 
+  /** Drift-trigger oracle: replay Lloyd training TWICE — the live
+    * prior quantizer (c0..cN over the even half) and the profile twin
+    * (t0..tN over the vec_id%4==0 half) — then the held-out reference
+    * profile (%4==2 half vs the twin), the arrival profile (odd half
+    * vs the live quantizer), each as the qsum-quantized mean of
+    * (1 − rounded assignment cosine), and the relative-excess verdict. */
+  private def annDriftOracle(iters: Int, maxRelDrift: Double): String = {
+    // assignment CTE with a parameterized vector source (ivfAssignCte
+    // hardcodes n; the twin trains over n0) — ivfMeanCte is reusable
+    // as-is: its join on the assignment's vec_ids restricts the mean
+    // to the training subset
+    def assignSrc(name: String, cent: String, src: String) =
+      s"""$name AS (SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, c.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfCsim("v.embedding", "v.nrm")} DESC, c.cent_id ASC) AS arn
+         |    FROM $src v, $cent c)
+         |  WHERE arn = 1)""".stripMargin
+    val training = (0 until iters).map { t =>
+      s"${ivfAssignCte(s"a$t", s"c$t")},\n${ivfMeanCte(s"c${t + 1}", s"a$t")}"
+    }.mkString(",\n")
+    val twinTraining = (0 until iters).map { t =>
+      s"${assignSrc(s"ta$t", s"t$t", "n0")},\n${ivfMeanCte(s"t${t + 1}", s"ta$t")}"
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    val tFinal = s"t$iters"
+    def profile(name: String, src: String, cent: String, nCol: String,
+        eCol: String) =
+      s"""${name}0 AS (SELECT vec_id, csim FROM (
+         |    SELECT v.vec_id,
+         |      ${ivfCsim("v.embedding", "v.nrm")} AS csim,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${ivfCsim("v.embedding", "v.nrm")} DESC, c.cent_id ASC) AS arn
+         |    FROM $src v, $cent c)
+         |  WHERE arn = 1),
+         |$name AS (SELECT count(*) AS $nCol,
+         |  floor(((CAST(sum(CAST(floor((1.0 - csim) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+         |         / count(*)) * 1e6 + 0.5) / 1e6 AS $eCol
+         |  FROM ${name}0)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |d AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |n0 AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+       |n2 AS (SELECT * FROM n WHERE vec_id % 4 = 2),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm
+       |       FROM n ORDER BY vec_id LIMIT 16),
+       |t0 AS (SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec, nrm
+       |       FROM n0 ORDER BY vec_id LIMIT 16),
+       |$training,
+       |$twinTraining,
+       |${profile("rp", "n2", tFinal, "n_ref", "ref_err")},
+       |${profile("ap", "d", cFinal, "n_arrival", "arrival_err")}
+       |SELECT n_ref, n_arrival, ref_err, arrival_err,
+       |  floor(((arrival_err - ref_err) / ref_err) * 1e4 + 0.5) / 1e4 AS rel_drift,
+       |  floor(((arrival_err - ref_err) / ref_err) * 1e4 + 0.5) / 1e4 > $maxRelDrift AS retrain
+       |FROM rp, ap""".stripMargin
+  }
+
   /** Recall-curve oracle: replay training + assignment, rank candidate
     * pairs at every probe depth 1..16, intersect with the SQL brute
     * top-10, and average per depth (200 = 20 queries × k 10). */
@@ -4361,6 +4509,62 @@ object SparkEntry {
 
   /** Exact 3-gram Jaccard pairs (threshold 0.8) — shared by the exact
     * query and the LSH query (which verifies candidates exactly). */
+  /** SimHash pair oracle — md5-derived signature bits replayed
+    * vote-for-vote, candidates blocked by the same 16-bit chunks
+    * (pigeonhole-lossless), canonical groups expanded. Shared by
+    * dedup_simhash and dedup_simhash_index_refresh (the refreshed
+    * index must serve the pair query identically to from-scratch). */
+  private val simhashOracle: String =
+    """WITH fp AS (SELECT doc_id,
+        |              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |            FROM documents),
+        |mem AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canon_id FROM fp),
+        |canon AS (SELECT doc_id FROM mem WHERE doc_id = canon_id),
+        |w AS (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(text, '[ \n]'), t -> t != '')) AS tok
+        |      FROM documents),
+        |tokc AS (SELECT w.doc_id, w.tok, count(*) AS cnt
+        |         FROM w JOIN canon c ON c.doc_id = w.doc_id GROUP BY 1, 2),
+        |hx AS (SELECT doc_id, cnt,
+        |         CAST(list_sum(list_transform(range(1, 9),
+        |           i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+        |                * pow(16, 8 - i))) AS BIGINT) AS hi,
+        |         CAST(list_sum(list_transform(range(9, 17),
+        |           i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+        |                * pow(16, 16 - i))) AS BIGINT) AS lo
+        |       FROM tokc),
+        |votes AS (SELECT doc_id, b.i,
+        |            sum(cnt * (2 * (CASE WHEN b.i < 32 THEN (lo >> b.i) & 1
+        |                            ELSE (hi >> (b.i - 32)) & 1 END) - 1)) AS v
+        |          FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+        |          GROUP BY doc_id, b.i),
+        |bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+        |chunks AS (SELECT doc_id, i // 16 AS blk,
+        |             CAST(sum(CAST(bit AS BIGINT) << CAST(i % 16 AS INT)) AS BIGINT) AS cv
+        |           FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM chunks a JOIN chunks b
+        |           ON a.blk = b.blk AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        |hd AS (SELECT p.doc_a, p.doc_b,
+        |         CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |       FROM cand p
+        |         JOIN bits ba ON ba.doc_id = p.doc_a
+        |         JOIN bits bb ON bb.doc_id = p.doc_b AND bb.i = ba.i
+        |       GROUP BY 1, 2
+        |       HAVING sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) <= 3),
+        |cross_p AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |              greatest(ma.doc_id, mb.doc_id) AS doc_b, h.hamming
+        |            FROM hd h
+        |              JOIN mem ma ON ma.canon_id = h.doc_a
+        |              JOIN mem mb ON mb.canon_id = h.doc_b),
+        |intra AS (SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        |          FROM mem ma JOIN mem mb
+        |            ON ma.canon_id = mb.canon_id AND ma.doc_id < mb.doc_id
+        |          WHERE ma.canon_id IN (SELECT DISTINCT doc_id FROM bits))
+        |SELECT doc_a, doc_b, hamming FROM cross_p
+        |UNION ALL SELECT doc_a, doc_b, hamming FROM intra
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   private val ngramJaccardOracle: String =
     """WITH w AS (SELECT doc_id,
       |             list_filter(string_split_regex(text, '[ \n]'), t -> t != '') AS words

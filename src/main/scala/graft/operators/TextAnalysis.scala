@@ -522,7 +522,7 @@ object TextAnalysis {
 
   /** Distinct (source, chunk_fp) set of a snapshot — the per-snapshot
     * side of the chunk diff, shared by both snapshots' artifacts. */
-  private def sourceChunkFps(docs: DataFrame, chunkSize: Int): DataFrame =
+  private[graft] def sourceChunkFps(docs: DataFrame, chunkSize: Int): DataFrame =
     chunksOf(docs.select("doc_id", "text"), chunkSize, overlap = 0)
       .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
@@ -2094,10 +2094,27 @@ object TextAnalysis {
     * bucket-keyed gradient agg, both partial-agg'd map-side); only the
     * dim+1-row gradient vector ever reaches the driver — the k-means
     * centroid pattern. The corpus is scanned once, not per step. */
-  private def classifierTrainFrame(spark: SparkSession, sfDir: String,
-      docs: DataFrame): DataFrame = {
+  private[graft] def classifierTrainFrame(spark: SparkSession, sfDir: String,
+      docs: DataFrame, reliableBase: Boolean = false): DataFrame = {
     import spark.implicits._
-    val base = classifierBase(spark, sfDir, docs).localCheckpoint()
+    // the k steps re-read the feature frame, so it must be pinned. Two
+    // postures: localCheckpoint (executor-local blocks — fine on
+    // local[32] and fastest, but an executor loss mid-training kills
+    // the job) vs a parquet spool (durable storage on a real cluster;
+    // a lost executor re-reads the spool — the posture a 1000-executor
+    // training job runs, r15 verdict #7). Identical weights either way
+    // (spec-asserted): the trainer's arithmetic is order-independent
+    // by construction (qsum), so the round-trip cannot perturb it.
+    val spoolDir: Option[java.nio.file.Path] =
+      if (reliableBase) Some(java.nio.file.Files
+        .createTempDirectory("graft-cls-base")) else None
+    val base = spoolDir match {
+      case Some(dir) =>
+        classifierBase(spark, sfDir, docs).write
+          .mode("overwrite").parquet(dir.toString)
+        spark.read.parquet(dir.toString)
+      case None => classifierBase(spark, sfDir, docs).localCheckpoint()
+    }
     val nDocs = docs.count().toDouble
     def rdD(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     var w: Map[Long, Double] =
@@ -2116,6 +2133,15 @@ object TextAnalysis {
         b -> rdD(wv - ClsLr * (grads.getOrElse(b, 0.0) / nDocs))
       }
     }
+    // the loop is eager (one collect per step) and the result is a
+    // driver-held 67-row table, so the spool is dead weight once
+    // training finishes — a production job would keep it only until
+    // the weights artifact lands
+    spoolDir.foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     w.toSeq.sortBy(_._1).toDF("bucket", "w")
   }
 
@@ -2125,7 +2151,7 @@ object TextAnalysis {
     * training pass. */
   def classifierWeights(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactCache.readOrWrite(spark, "classifier-weights",
-      s"v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|all",
+      s"$sfDir|v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|all",
       s"$sfDir/documents.parquet")(
       classifierTrainFrame(spark, sfDir, Tables.documents(spark, sfDir)))
 
@@ -2134,7 +2160,7 @@ object TextAnalysis {
     * tag in the artifact key. */
   private def classifierWeightsEven(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactCache.readOrWrite(spark, "classifier-weights",
-      s"v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|even",
+      s"$sfDir|v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|even",
       s"$sfDir/documents.parquet")(
       classifierTrainFrame(spark, sfDir,
         Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)))
@@ -2150,7 +2176,7 @@ object TextAnalysis {
     * table. One map-side feature pass + a dim+3-row broadcast join +
     * one doc-keyed agg: the linear-inference ideal, same plan family
     * as [[hashClassifier]]. */
-  private def classifierScoreWith(spark: SparkSession, sfDir: String,
+  private[graft] def classifierScoreWith(spark: SparkSession, sfDir: String,
       docs: DataFrame, wtab: DataFrame): DataFrame =
     classifierBase(spark, sfDir, docs)
       .join(broadcast(wtab), Seq("bucket"), "left_outer")
@@ -2179,6 +2205,79 @@ object TextAnalysis {
     classifierScoreWith(spark, sfDir,
       Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1),
       classifierWeightsEven(spark, sfDir))
+
+  /** Bounded-sample training size: a FIXED document count, not a rate —
+    * the property that makes the trainer's cold cost flat as the corpus
+    * grows (a rate-based sample is still corpus-sized; k docs is k docs
+    * at any SF). */
+  private[graft] val ClsSampleK = 200
+
+  /** The deterministic k-doc training sample: the k smallest seeded-md5
+    * keys over doc_id (the [[weightedSample]]/[[splitAssign]] device) —
+    * reproducible across runs, engines and partitionings, and
+    * replayable in SQL as ORDER BY md5 LIMIT k. Map pass + per-
+    * partition k-heaps (`TakeOrderedAndProject`); no shuffle beyond k
+    * rows per partition. */
+  private def classifierSampleDocs(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit("clss0|"), col("doc_id").cast("string"))).as("skey"))
+      .orderBy("skey", "doc_id")
+      .limit(ClsSampleK)
+      .select("doc_id", "text")
+
+  /** Weights trained on the bounded sample — the posture a 100 TB
+    * catalog job actually runs ([[classifierWeights]]'s full-batch
+    * trainer costs k×2 corpus-sized shuffles per snapshot; this costs
+    * k×2 SAMPLE-sized aggregations after one corpus-order map pass to
+    * pick the sample). Stored artifact, same consumer surface. */
+  def classifierWeightsSampled(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactCache.readOrWrite(spark, "classifier-weights",
+      s"$sfDir|v1|$ClsDim|$ClsSteps|$ClsLr|$ClsScale|$ClsGate|sample$ClsSampleK",
+      s"$sfDir/documents.parquet")(
+      classifierTrainFrame(spark, sfDir, classifierSampleDocs(spark, sfDir)))
+
+  /** Driver-contract sampled-trainer query: the weight table learned
+    * from the k-doc sample (oracle replays sample selection + all 8
+    * gradient steps over exactly those docs). */
+  def classifierTrainSampled(spark: SparkSession, sfDir: String): DataFrame =
+    classifierWeightsSampled(spark, sfDir)
+      .select(col("bucket"), col("w")).orderBy("bucket")
+
+  /** Full-corpus inference under the SAMPLE-trained weights — the
+    * train-small/score-everything split of a production quality
+    * filter. The spec ([[TextAnalysisSpec]]) asserts its hold-out
+    * metrics sit within ε of the full-batch trainer's. */
+  def classifierScoreSampled(spark: SparkSession, sfDir: String): DataFrame =
+    classifierScoreWith(spark, sfDir, Tables.documents(spark, sfDir),
+      classifierWeightsSampled(spark, sfDir))
+
+  /** Curation with the LEARNED gate — the FineWeb-Edu pattern: the
+    * trained classifier's prediction (margin ≥ 0 under the STORED
+    * [[classifierWeights]]) replaces [[curationPipeline]]'s heuristic
+    * quality threshold as the keep decision; the language gate and the
+    * near-dup anti-join stay. The heuristic `quality` rides along so
+    * the two gates are comparable row-by-row — the spec asserts the
+    * learned keep set actually DIVERGES from the heuristic one where
+    * scores and heuristics disagree (the model is load-bearing, not a
+    * re-spelling of `quality >= 0.4`). Plan shape: inference is the
+    * linear feature pass + a 67-row broadcast join; the gates are
+    * filters over per-doc rows; the anti-join probes the stored pair
+    * table — nothing corpus-quadratic. */
+  def curationClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val dupLosers = Dedup.materializedPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = classifierScore(spark, sfDir)
+      .filter(col("predicted"))
+      .select("doc_id", "score")
+    docSignalsIndex(spark, sfDir)
+      .filter(col("lang_pred") === "en")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(kept, Seq("doc_id"))
+      .select("doc_id", "score", "quality", "n_tokens")
+      .orderBy("doc_id")
+  }
 
   /** The end-to-end training-set EXPORT MANIFEST — the artifact a
     * trainer actually consumes: every document that survives the full

@@ -692,6 +692,49 @@ object EventStream {
       .orderBy("doc_id")
   }
 
+  /** Eighth driver-contract streaming entry: CONTINUOUS-INGEST
+    * classifier INFERENCE — the streaming twin of
+    * [[graft.operators.TextAnalysis.classifierScore]], completing the
+    * stream/batch matrix for the trained quality model the way
+    * [[chunkDedupViaStream]] completed it for chunk dedup. The learned
+    * weights are a STORED 67-row artifact
+    * ([[graft.operators.TextAnalysis.classifierWeights]] — trained
+    * once per corpus snapshot, out of band); each arriving document is
+    * featurized and scored against a BROADCAST of that table inside
+    * foreachBatch. The stream itself keeps NO state and no watermark:
+    * scoring a doc depends only on its own row and the static weights,
+    * but the per-doc margin is an aggregation of that doc's feature
+    * rows, which append mode cannot express statelessly — so the
+    * rollup runs batch-side, sound for exactly the
+    * [[chunkDedupViaStream]] reason (every feature row of a doc is
+    * generated from the doc's single input row inside one
+    * micro-batch; docs never span batches). The scorer is the SAME
+    * code path the batch query runs
+    * ([[graft.operators.TextAnalysis.classifierScoreWith]]), so
+    * stream/batch parity holds by construction and the oracle is the
+    * batch oracle restricted to the arriving half. At 100 TB/day this
+    * is the shape that scales: weights are broadcast-sized forever,
+    * per-batch work is linear in the batch, and retraining swaps the
+    * artifact without touching the stream. */
+  def classifierScoreViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val wtab = graft.operators.TextAnalysis.classifierWeights(spark, sfDir)
+    val arrivals = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("basePath", sfDir)
+      .parquet(path + "*")
+      .filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    runToCompletion(spark, arrivals, "graft_stream_classifier",
+      OutputMode.Append(),
+      partitions = drainPartitions(sfDir, "documents.parquet"),
+      stateProvider = drainStateProvider(sfDir, "documents.parquet"),
+      rowScaled = true, // one verdict per arriving doc
+      perBatch = Some(b => graft.operators.TextAnalysis
+        .classifierScoreWith(spark, sfDir, b, wtab)))
+      .orderBy("doc_id")
+  }
+
   /** foreachBatch escape hatch: arbitrary batch-side logic per
     * micro-batch (upserts, multi-sink fanout) with the batchId for
     * idempotence. */

@@ -475,6 +475,66 @@ class DedupSpec extends SparkSpec {
     assert(viaOf === fromScratch)
   }
 
+  test("sketch-index refresh by merge equals rebuilding from scratch (all three families)") {
+    // the full-row identity the driver queries project/serve from: the
+    // merged shingle/minhash/simhash indexes are INDISTINGUISHABLE
+    // from a from-scratch build over prior ∪ batch — including the
+    // canonical reconcile (per-fp winner, summed weights) and the raw
+    // engine-hash values (sig/h/simhash) the DuckDB oracle cannot see
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val priorCanon = Dedup.canonIndexOf(even)
+    def rows(df: org.apache.spark.sql.DataFrame, order: String*) =
+      df.orderBy(order.map(col): _*).collect().map(_.toString).toSeq
+    assert(rows(Dedup.shingleIndexRefreshOf(odd,
+        Dedup.shingleIndexOf(even), priorCanon), "doc_id", "h") ===
+      rows(Dedup.shingleIndexOf(docs), "doc_id", "h"), "shingle index")
+    assert(rows(Dedup.minhashIndexRefreshOf(odd,
+        Dedup.minhashIndexOf(even), priorCanon), "doc_id") ===
+      rows(Dedup.minhashIndexOf(docs), "doc_id"), "minhash index")
+    assert(rows(Dedup.simhashIndexRefreshOf(odd,
+        Dedup.simhashIndexOf(even), priorCanon), "doc_id") ===
+      rows(Dedup.simhashIndexOf(docs), "doc_id"), "simhash index")
+  }
+
+  test("sketch-index refresh reconciles CROSS-HALF exact duplicates (synthetic)") {
+    // the case the corpus may not exercise: an arriving doc whose text
+    // exactly duplicates a prior canonical must collapse INTO it (the
+    // prior keeps canonicalship — lower id — with the summed weight),
+    // and an arriving duplicate PAIR must land under the global winner
+    val mk = (rows: Seq[(Long, String)]) =>
+      rows.toDF("doc_id", "text")
+    val prior = mk(Seq(
+      0L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six",
+      4L -> "alpha beta gamma delta epsilon")) // within-prior dup of 0
+    val batch = mk(Seq(
+      1L -> "alpha beta gamma delta epsilon",  // cross-half dup of 0
+      3L -> "seven eight nine ten eleven",     // genuinely new
+      5L -> "seven eight nine ten eleven"))    // within-batch dup of 3
+    val full = prior.unionByName(batch)
+    val priorCanon = Dedup.canonIndexOf(prior)
+    val refreshed = Dedup.shingleIndexRefreshOf(batch,
+      Dedup.shingleIndexOf(prior), priorCanon)
+    val scratch = Dedup.shingleIndexOf(full)
+    assert(refreshed.orderBy("doc_id", "h").collect().map(_.toString).toSeq ===
+      scratch.orderBy("doc_id", "h").collect().map(_.toString).toSeq)
+    // canonical profile: doc 0 owns the merged group at weight 3
+    // (0, 4 prior + 1 arriving); doc 3 owns the new group at weight 2
+    val prof = refreshed.select("doc_id", "w").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof(0L) === 3L && prof(3L) === 2L && prof(2L) === 1L)
+    assert(!prof.contains(1L) && !prof.contains(4L) && !prof.contains(5L))
+    // signature families reconcile identically
+    assert(Dedup.minhashIndexRefreshOf(batch, Dedup.minhashIndexOf(prior),
+        priorCanon).orderBy("doc_id").collect().map(_.toString).toSeq ===
+      Dedup.minhashIndexOf(full).orderBy("doc_id").collect().map(_.toString).toSeq)
+    assert(Dedup.simhashIndexRefreshOf(batch, Dedup.simhashIndexOf(prior),
+        priorCanon).orderBy("doc_id").collect().map(_.toString).toSeq ===
+      Dedup.simhashIndexOf(full).orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
   test("decontamination flags the eval-leaked doc and skips shingle-less docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-test-")
     val leak = "alpha beta gamma delta epsilon zeta eta theta"

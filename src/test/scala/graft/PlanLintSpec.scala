@@ -46,7 +46,11 @@ class PlanLintSpec extends SparkSpec {
     // over CODE currency and the rerank an id equi-join
     "ann_knn_join_pq",
     // same probe stage again; top-k runs as a bounded-heap aggregation
-    "ann_knn_join_heap")
+    "ann_knn_join_heap",
+    // the arrival profile is the same broadcast-C × batch product as
+    // ann_incremental_assign; the verdict tail is a ONE-row × ONE-row
+    // product of the two error profiles — nothing corpus-quadratic
+    "ann_index_drift")
 
   test("no registered query plans an accidental product join") {
     val offenders = SparkEntry.queries.toSeq.collect {
@@ -332,15 +336,30 @@ class PlanLintSpec extends SparkSpec {
     // same 100 TB rationale as the chunk-family ReadSchema lint; these
     // queries make SEVERAL documents scans (features, intercept, dense
     // signals / both snapshots), each of which must stay pruned
-    Seq("text_classifier_score" -> Set("doc_id", "text"),
-      "text_classifier_holdout" -> Set("doc_id", "text"),
-      "corpus_chunk_diff" -> Set("doc_id", "source", "text")).foreach {
-      case (q, allowed) =>
-        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+    // corpus_chunk_diff itself returns a plan over the two STORED
+    // fp-set artifacts (correct — no documents scan to lint), so its
+    // row here lints the ARTIFACT-BUILD plan instead; every entry
+    // asserts docScans.nonEmpty so a cache/plan reshuffle cannot turn
+    // the lint vacuous again (r15 advice)
+    val chunkDiffBuild: org.apache.spark.sql.DataFrame =
+      graft.operators.TextAnalysis.sourceChunkFps(
+        graft.sources.Tables.documents(spark, sf)
+          .select("doc_id", "source", "text"), 32)
+    Seq[(String, Set[String], () => org.apache.spark.sql.DataFrame)](
+      ("text_classifier_score", Set("doc_id", "text"),
+        () => SparkEntry.queries("text_classifier_score")(spark, sf)),
+      ("text_classifier_holdout", Set("doc_id", "text"),
+        () => SparkEntry.queries("text_classifier_holdout")(spark, sf)),
+      ("corpus_chunk_diff fp-set build", Set("doc_id", "source", "text"),
+        () => chunkDiffBuild)).foreach {
+      case (q, allowed, frame) =>
+        val plan = frame().queryExecution.executedPlan
         val docScans = flatten(plan).collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec
               if f.relation.location.rootPaths.exists(_.getName.startsWith("documents")) => f
         }
+        assert(docScans.nonEmpty,
+          s"$q: no documents scan in the linted plan — lint went vacuous")
         docScans.foreach { f =>
           assert(f.requiredSchema.fieldNames.toSet.subsetOf(allowed),
             s"$q: documents scan reads ${f.requiredSchema.fieldNames.mkString(",")}")

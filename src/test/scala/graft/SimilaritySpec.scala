@@ -463,4 +463,54 @@ class SimilaritySpec extends SparkSpec {
       assert(best._2 === sim, s"vec $vid sim")
     }
   }
+
+  test("index drift trigger: fires on a shifted arrival batch, stays quiet on an i.i.d. one") {
+    // a clustered synthetic corpus where "drift" has an unambiguous
+    // meaning: 4 well-separated basis-direction centers with
+    // hash-seeded jitter. An i.i.d. batch (same generator, new ids)
+    // must land inside the held-out reference corridor; a batch from a
+    // direction the quantizer never saw (the diagonal) must exceed the
+    // threshold many-fold.
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = 8
+    def jit(id: Long, i: Int): Float = {
+      val h = (id * 1315423911L + i * 2654435761L) & 0xffffL
+      (((h.toDouble / 0xffff.toDouble) - 0.5) * 0.2).toFloat
+    }
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(dim)(i =>
+        (if (i == (id % 4).toInt) 1.0f else 0.0f) + jit(id, i))
+    def mk(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "e").withColumn("nrm", VectorOps.l2Norm(col("e")))
+    val prior = mk((0L until 400L).map(id => id -> vec(id)))
+    // live quantizer over the whole prior snapshot; reference profile
+    // from a twin trained on the even half scoring the held-out odd
+    // half — the out-of-sample corridor indexDrift stores at train time
+    // contiguous half-split (NOT parity: the lowest-4-ids seeding rule
+    // must see all four clusters in the twin's half, and even ids only
+    // cover clusters 0 and 2 under the id%4 generator)
+    val live = Similarity.lloydTrainPrior(prior, 4, 2)
+    val twin = Similarity.lloydTrainPrior(
+      prior.filter(col("vec_id") < 200), 4, 2)
+    val ref = Similarity.errProfile(
+      prior.filter(col("vec_id") >= 200), twin, "n_ref", "ref_err")
+    val iid = mk((1000L until 1200L).map(id => id -> vec(id)))
+    val shifted = mk((2000L until 2200L).map(id =>
+      id -> Array.tabulate(dim)(i => 0.5f + jit(id, i))))
+    def verdict(batch: org.apache.spark.sql.DataFrame) = {
+      val r = Similarity.indexDriftFrom(ref, batch, live,
+        maxRelDrift = 0.2).collect()
+      assert(r.length === 1)
+      (r.head.getAs[Double]("rel_drift"), r.head.getAs[Boolean]("retrain"))
+    }
+    val (dQuiet, fQuiet) = verdict(iid)
+    val (dFire, fFire) = verdict(shifted)
+    assert(!fQuiet, s"i.i.d. batch must stay quiet (rel_drift $dQuiet)")
+    assert(fFire, s"shifted batch must fire (rel_drift $dFire)")
+    assert(math.abs(dQuiet) < 0.2, s"i.i.d. corridor too wide: $dQuiet")
+    assert(dFire > 1.0,
+      s"a wholesale distribution shift should exceed the threshold many-fold, got $dFire")
+  }
 }

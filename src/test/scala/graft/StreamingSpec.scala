@@ -850,6 +850,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size.toLong === nOdd)
   }
 
+  test("streaming classifier inference matches the batch scorer on the arriving half") {
+    // stream-static scoring against the stored weight artifact: the
+    // stream's foreachBatch runs the SAME classifierScoreWith code
+    // path as the batch query, so parity must be exact row-for-row
+    val streamed = graft.streaming.EventStream
+      .classifierScoreViaStream(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.TextAnalysis.classifierScore(spark, sf)
+      .filter(col("doc_id") % 2 === 1).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // one verdict per arriving doc — nothing dropped or duplicated
+    val nOdd = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(streamed.size.toLong === nOdd)
+  }
+
   test("docdedup endurance protocol: kill/resume over sliced documents stays exactly-once (fixture scale)") {
     // the SAME code path StreamEndurance's docdedup mode runs against a
     // longdoc corpus (slice by doc_id, fingerprint + dropDuplicates

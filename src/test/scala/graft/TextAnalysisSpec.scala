@@ -1010,6 +1010,92 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tp.toDouble / nPos >= 0.7, s"unseen-half gate recall ${tp.toDouble / nPos}")
   }
 
+  test("sampled trainer: the k-doc deterministic sample scores within ε of the full-batch weights") {
+    import graft.operators.TextAnalysis
+    // weight table has the full shape and the 6-dp quantization
+    val w = TextAnalysis.classifierTrainSampled(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === TextAnalysis.ClsDim + 3)
+    assert(w.keySet === (-3L until TextAnalysis.ClsDim.toLong).toSet)
+    w.values.foreach(v => assert(v === math.floor(v * 1e6 + 0.5) / 1e6))
+    // the sample is a strict subset, so the weights must differ from
+    // the full-batch artifact (the sampled trainer is not a re-read)
+    val wf = TextAnalysis.classifierTrain(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w !== wf, "sampled weights must differ from full-batch weights")
+    // full-corpus metrics under the sampled weights sit within ε of
+    // the full-batch scorer and clearly beat the class prior.
+    // Measured: acc 0.906 vs 0.964 at fixture scale (Δ 0.058); sf0.01
+    // 0.974 vs 0.966 (Δ 0.008) — ε 0.08 clears both with headroom.
+    def acc(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df.select("predicted", "label").collect()
+        .map(r => (r.getBoolean(0), r.getBoolean(1)))
+      val nPos = rows.count(_._2)
+      val prior = math.max(nPos, rows.length - nPos).toDouble / rows.length
+      (rows.count(r => r._1 == r._2).toDouble / rows.length, prior)
+    }
+    val (accS, prior) = acc(TextAnalysis.classifierScoreSampled(spark, sf))
+    val (accF, _) = acc(TextAnalysis.classifierScore(spark, sf))
+    assert(math.abs(accS - accF) <= 0.08,
+      s"sampled accuracy $accS drifted from full-batch $accF")
+    assert(accS >= 0.85 && accS > prior,
+      s"sampled accuracy $accS must beat the class prior $prior")
+  }
+
+  test("trainer reliable-checkpoint spool round-trips to identical weights") {
+    // the 1000-executor posture (r15 verdict): the pinned feature
+    // frame goes through a durable parquet spool instead of
+    // executor-local checkpoint blocks. The trainer's arithmetic is
+    // order-independent (qsum + exact counts), so the round-trip must
+    // not perturb a single weight.
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def weights(reliable: Boolean): Seq[(Long, Double)] =
+      TextAnalysis.classifierTrainFrame(spark, sf, docs,
+          reliableBase = reliable)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(weights(reliable = true) === weights(reliable = false))
+  }
+
+  test("learned curation gate is load-bearing: the keep set diverges from the heuristic where model and heuristic disagree") {
+    import graft.operators.{TextAnalysis, Dedup}
+    val pred = TextAnalysis.classifierScore(spark, sf)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val sig = TextAnalysis.docSignalsIndex(spark, sf)
+      .select("doc_id", "quality", "lang_pred").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2)))).toMap
+    val losers = Dedup.materializedPairs(spark, sf)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    // docs passing the shared gates (language + not a near-dup loser)
+    val eligible = sig.collect {
+      case (id, (q, "en")) if !losers(id) => id -> q }.toMap
+    val keepLearned = TextAnalysis.curationClassifier(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepHeur = TextAnalysis.curationPipeline(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // where the model and the heuristic disagree, the learned gate
+    // must follow the MODEL — and such docs must exist (measured: 7
+    // rescued + 7 dropped at fixture scale), or the query is just a
+    // re-spelling of `quality >= 0.4`
+    val rescued = eligible.collect {
+      case (id, q) if pred(id) && q < 0.4 => id }.toSet
+    val dropped = eligible.collect {
+      case (id, q) if !pred(id) && q >= 0.4 => id }.toSet
+    assert(rescued.nonEmpty && dropped.nonEmpty,
+      "fixture must exercise both disagreement directions")
+    rescued.foreach { id =>
+      assert(keepLearned(id) && !keepHeur(id),
+        s"doc $id: model-kept/heuristic-dropped must appear only in the learned keep set")
+    }
+    dropped.foreach { id =>
+      assert(!keepLearned(id) && keepHeur(id),
+        s"doc $id: model-dropped/heuristic-kept must appear only in the heuristic keep set")
+    }
+    // agreement docs are identical across the two keep sets
+    assert((keepLearned -- rescued) === (keepHeur -- dropped))
+  }
+
   test("chunk snapshot diff: per-source added/removed fingerprints re-total and match a direct replay") {
     val out = TextAnalysis.chunkSnapshotDiff(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
