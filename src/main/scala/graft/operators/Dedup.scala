@@ -918,18 +918,28 @@ object Dedup {
     * is O(total tokens), the same as word count. Docs shorter than n
     * tokens have no spans and are absent (both engines agree). */
   def dupSpansOf(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = docs
+    val toks = docs
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+    val grams = toks
       .select(col("doc_id"), posexplode(expr(
         s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END")))
       // join on 64-bit gram hashes, not strings — same currency (and the
       // same accepted xxhash64-collision odds) as the jaccard path; the
       // oracle joins the gram STRINGS and matches hash-for-hash
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-    val sharedGrams = grams.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select("h")
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // "occurs in ≥1 OTHER doc" needs only whether the gram's distinct-doc
+    // count exceeds 1, and min(doc_id) ≠ max(doc_id) answers that in ONE
+    // exchange with map-side partial min/max — the distinct().groupBy()
+    // spelling paid a second full (doc_id, h) exchange for a count it
+    // immediately collapsed to a boolean (r16, guide §2.4)
+    val sharedGrams = grams.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    // per-doc gram count is arithmetic on the token count — no second
+    // explode pass over the corpus (docs shorter than n have no grams
+    // and stay absent, as before)
+    val sizes = toks.filter(size(col("w")) >= n)
+      .select(col("doc_id"), (size(col("w")) - n + 1).cast("long").as("n_grams"))
     val dupCnt = grams.join(sharedGrams, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
     sizes.join(dupCnt, Seq("doc_id"), "left_outer")
@@ -1365,42 +1375,41 @@ object Dedup {
     * sketch grain. Cost: batch shingling + joins against the two
     * stored artifacts — O(index + batch), prior text never re-read. */
   def shingleIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
-      priorCanon: DataFrame, n: Int = 3): DataFrame = {
-    val batchIdx = shingleIndexOf(disjointBatch, n)
-    val batchCanon = canonIndexOf(disjointBatch)
+      priorCanon: DataFrame, n: Int = 3): DataFrame =
+    sketchRefreshCore(shingleIndexOf(disjointBatch, n), priorIdx,
+      priorCanon, canonIndexOf(disjointBatch))
+      .select(col("doc_id"), col("h"), col("w_new").as("w"))
+
+  /** The reconcile shared by all three sketch refreshes, over a
+    * caller-supplied batch index and batch canon table (so a composite
+    * consumer — [[minhashLshPairsRefreshed]] — can compute the batch
+    * shingling and the batch canon ONCE and feed both refreshes). */
+  private def sketchRefreshCore(batchIdx: DataFrame, priorIdx: DataFrame,
+      priorCanon: DataFrame, batchCanon: DataFrame): DataFrame = {
     val canonAll = priorCanon.select("doc_id", "fp", "w")
       .unionByName(batchCanon)
-    val merged = mergedCanon(priorCanon, batchCanon)
-    keepWinners(priorIdx.unionByName(batchIdx), canonAll, merged)
-      .select(col("doc_id"), col("h"), col("w_new").as("w"))
+    keepWinners(priorIdx.unionByName(batchIdx), canonAll,
+      mergedCanon(priorCanon, batchCanon))
   }
 
   /** MinHash-signature-index refresh by merge — same reconcile over
     * (doc_id, sig) rows; the winner's signature is the group's
     * (signatures are pure functions of text). */
   def minhashIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
-      priorCanon: DataFrame, n: Int = 3): DataFrame = {
-    val batchIdx = minhashIndexOf(disjointBatch, n).select("doc_id", "sig")
-    val batchCanon = canonIndexOf(disjointBatch)
-    val canonAll = priorCanon.select("doc_id", "fp", "w")
-      .unionByName(batchCanon)
-    keepWinners(priorIdx.select("doc_id", "sig").unionByName(batchIdx),
-      canonAll, mergedCanon(priorCanon, batchCanon))
+      priorCanon: DataFrame, n: Int = 3): DataFrame =
+    sketchRefreshCore(minhashIndexOf(disjointBatch, n).select("doc_id", "sig"),
+      priorIdx.select("doc_id", "sig"), priorCanon,
+      canonIndexOf(disjointBatch))
       .select("doc_id", "sig")
-  }
 
   /** SimHash-signature-index refresh by merge — same reconcile over
     * (doc_id, simhash) rows. */
   def simhashIndexRefreshOf(disjointBatch: DataFrame, priorIdx: DataFrame,
-      priorCanon: DataFrame): DataFrame = {
-    val batchIdx = simhashIndexOf(disjointBatch).select("doc_id", "simhash")
-    val batchCanon = canonIndexOf(disjointBatch)
-    val canonAll = priorCanon.select("doc_id", "fp", "w")
-      .unionByName(batchCanon)
-    keepWinners(priorIdx.select("doc_id", "simhash").unionByName(batchIdx),
-      canonAll, mergedCanon(priorCanon, batchCanon))
+      priorCanon: DataFrame): DataFrame =
+    sketchRefreshCore(simhashIndexOf(disjointBatch).select("doc_id", "simhash"),
+      priorIdx.select("doc_id", "simhash"), priorCanon,
+      canonIndexOf(disjointBatch))
       .select("doc_id", "simhash")
-  }
 
   /** Driver-contract shingle-index refresh: the odd-id arrivals
     * absorbed into the stored even-id index, projected to the
@@ -1435,10 +1444,28 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val prior = canonIndex(spark, sfDir)
-    val hashed = shingleIndexRefreshOf(batch,
-      priorShingleIndex(spark, sfDir, n), prior, n)
-    val sig = minhashIndexRefreshOf(batch,
-      priorMinhashIndex(spark, sfDir, n), prior, n)
+    // Materialize the batch shingling and batch canon ONCE, then each
+    // REFRESHED index once — the same card [[minhashLshPairsOf]] plays
+    // for its shingle frame. Two holes the lazy spelling left open
+    // (measured r16): (a) the LSH tail consumes `hashed` three times
+    // (skew guard, sizes, both sides of the verification join) and
+    // `sig` twice (banding self-join), so every consumer re-derived the
+    // whole refresh DAG — 322 parquet scans / 504 Exchanges in one
+    // plan; (b) the minhash refresh re-ran the batch SHINGLING the
+    // shingle refresh had already done (minhashIndexOf = signatures
+    // over shingleIndexOf). Now: one batch shingle pass, one 64-hash
+    // signature agg, index-sized checkpoint blocks.
+    val batchSh = shingleIndexOf(batch, n).localCheckpoint()
+    val batchCanon = canonIndexOf(batch).localCheckpoint()
+    val hashed = sketchRefreshCore(batchSh,
+      priorShingleIndex(spark, sfDir, n), prior, batchCanon)
+      .select(col("doc_id"), col("h"), col("w_new").as("w"))
+      .localCheckpoint()
+    val sig = sketchRefreshCore(
+      signaturesFromHashes(batchSh).select("doc_id", "sig"),
+      priorMinhashIndex(spark, sfDir, n).select("doc_id", "sig"),
+      prior, batchCanon)
+      .select("doc_id", "sig").localCheckpoint()
     val (members, _) = exactGroups(docs)
     minhashLshFrom(members, hashed, sig, threshold, maxShingleFreq)
   }
@@ -1449,8 +1476,13 @@ object Dedup {
   def simhashPairsRefreshed(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // detach the refreshed index: [[simhashPairsFrom]] consumes `sig`
+    // three times (both sides of the blocking self-join + the
+    // eligibility set) — lazy, each re-runs batch simhashing and the
+    // canonical reconcile (see minhashLshPairsRefreshed)
     val sig = simhashIndexRefreshOf(docs.filter(col("doc_id") % 2 === 1),
       priorSimhashIndex(spark, sfDir), canonIndex(spark, sfDir))
+      .localCheckpoint()
     val (members, _) = exactGroups(docs)
     simhashPairsFrom(members, sig, maxHamming)
   }
@@ -1465,9 +1497,11 @@ object Dedup {
   def chunkDedupRateOf(docs: DataFrame, chunkSize: Int = 32): DataFrame = {
     val chunks = TextAnalysis.chunksOf(docs, chunkSize, overlap = 0)
       .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"))
-    val shared = chunks.distinct()
-      .groupBy("chunk_fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select("chunk_fp")
+    // min≠max over doc_id ⟺ shared by ≥2 distinct docs — one exchange
+    // with map-side partial min/max instead of distinct + re-group (r16)
+    val shared = chunks.groupBy("chunk_fp")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("chunk_fp")
     val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
     val dup = chunks.join(shared, Seq("chunk_fp"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_chunks"))
@@ -1496,9 +1530,11 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))) ELSE array() END")))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-    val sharedGrams = grams.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select("h")
+    // min≠max over doc_id ⟺ distinct-doc count > 1 — one exchange with
+    // map-side partial min/max instead of distinct + re-group (r16)
+    val sharedGrams = grams.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
     val dupG = grams.join(sharedGrams, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + n - 1).as("e"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")

@@ -32,6 +32,10 @@ object Stats {
   def lineitemColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     import spark.implicits._
+    // lineitem arrives floored (Tables.parallelismFloor): the 11 MB
+    // single-row-group file plans a 1-task scan, which serialized the
+    // exact-distinct partial aggregation (2.5 s of the query's 3.2 s)
+    // onto one core before r16
     val li = Tables.lineitem(spark, sfDir)
     val fields = li.schema.fields
     val aggExprs = fields.flatMap { f =>
@@ -43,14 +47,18 @@ object Stats {
         case _ => Seq.empty
       })
     }
-    val wide = li.agg(count(lit(1)).as("n_rows"), aggExprs.toSeq: _*).head()
+    // ONE wide aggregate for everything — counts, min/max AND the 16
+    // exact distincts (planned as a single Expand + two-phase agg):
+    // r16 measured the old two-pass spelling (wide agg + per-column
+    // (c, value-as-string) explode) at 3.2 s, dominated by the explode
+    // pass's string casts and its second full scan; the merged form
+    // reads the table once and keeps every value in its native type
+    val wide = li.agg(count(lit(1)).as("n_rows"),
+      (aggExprs.toSeq ++ fields.map(f =>
+        count_distinct(col(f.name)).as(s"nd_${f.name}"))): _*).head()
     val nRows = wide.getAs[Long]("n_rows")
-    val distincts = li
-      .select(explode(array(fields.map(f =>
-        struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
-      .select(col("p.c").as("c"), col("p.v").as("v"))
-      .groupBy("c").agg(count_distinct(col("v")).as("nd"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val distincts = fields.map(f =>
+      f.name -> wide.getAs[Long](s"nd_${f.name}")).toMap
     val rows = fields.toSeq.map { f =>
       def num(prefix: String): Option[Double] = f.dataType match {
         case _: NumericType =>

@@ -1546,7 +1546,10 @@ object TextAnalysis {
     * beyond the trainer's k scans; the projection is row-local
     * character counting plus a row-local re-join of the symbols. */
   def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
-    val (_, finOpt) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = true)
+    // needStats = false: only the final state is consumed — the trainer
+    // skips the per-round stats metrics and the trailing aggregate
+    val (_, finOpt) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = true,
+      needStats = false)
     bpeEncodeProjection(finOpt.get)
   }
 
@@ -1562,8 +1565,11 @@ object TextAnalysis {
     * which is exactly why vocabularies are trained once and applied
     * everywhere. Same output shape as [[bpeEncode]]. */
   def bpeEncodeHoldout(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    // needStats = false: only the merge list's (w1, w2) is consumed —
+    // no per-round stats, and the final training-side rewrite is never
+    // computed (the ENCODE below replays the merges on the odd half)
     val (learned, _) = bpeTrainLoop(spark, sfDir, rounds, keepFinal = false,
-      docFilter = col("doc_id") % 2 === 0)
+      docFilter = col("doc_id") % 2 === 0, needStats = false)
     val hold = delimitedState(
       Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1))
     val applied = learned.foldLeft(hold) { case (df, (_, w1, w2, _, _, _)) =>
@@ -1667,7 +1673,7 @@ object TextAnalysis {
     * whole-stage codegen). Same output shape as [[bpeEncode]]. */
   def bpeEncodeHoldoutBatched(spark: SparkSession, sfDir: String,
       scans: Int = 8, batch: Int = 64, window: Int = 32768,
-      chunk: Int = 64): DataFrame = {
+      chunk: Int = 128): DataFrame = {
     // merges come from the STORED vocabulary (trained on the even split
     // once per corpus snapshot); the steady-state cost of this query is
     // the encode alone — train once, apply everywhere
@@ -1690,7 +1696,7 @@ object TextAnalysis {
     * trained on. Same output shape as [[bpeEncode]]. */
   def bpeEncodeBatched(spark: SparkSession, sfDir: String,
       scans: Int = 8, batch: Int = 64, window: Int = 32768,
-      chunk: Int = 64): DataFrame = {
+      chunk: Int = 128): DataFrame = {
     val learned = batchedMergeIndex(spark, sfDir, scans, batch, window,
       evenSplit = false)
       .select("merge_idx", "w1", "w2").collect()
@@ -1778,18 +1784,39 @@ object TextAnalysis {
     var cur = delimitedState(
       Tables.documents(spark, sfDir).filter(docFilter))
       .persist(level)
+    var prev: Option[DataFrame] = None // cur's parent, released post-scan
+    def sepSum = coalesce(
+      sum(length(col("s")) - length(translate(col("s"), sep, ""))),
+      lit(0L)).as("seps")
     val out = scala.collection.mutable.ListBuffer
       .empty[(Long, Int, Int, String, String, Long, Long)]
+    // rows of the scan awaiting its post-rewrite symbol count — ONE
+    // corpus scan per state (r16, guide §1.2): the separator total of
+    // the rewritten state rides the NEXT scan's pair-count job as an
+    // observed metric (CollectMetrics over the cached state) instead of
+    // paying a dedicated aggregate per scan; the last scan settles with
+    // a single trailing aggregate. Same deferral as [[bpeTrainLoop]].
+    var pendingRows = List.empty[(Long, Int, Int, String, String, Long)]
+    def close(symbols: Long): Unit = {
+      pendingRows.foreach { case (mi, k, i, w1, w2, nPair) =>
+        out += ((mi, k, i, w1, w2, nPair, symbols))
+      }
+      pendingRows = Nil
+    }
     var mergeIdx = 0L
     var done = false
     for (k <- 1 to scans if !done) {
       val scanT0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation()
       // deterministic candidate window: TakeOrdered under the total
       // order (n_pair DESC, w1, w2) — the same order the oracle ranks
-      val top = pairCounts(cur)
+      val top = pairCounts(cur.observe(obs, sepSum))
         .orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(window)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      // this scan materialized cur's cache; its parent can go now
+      prev.foreach(_.unpersist(blocking = false)); prev = None
+      close(obs.get("seps").asInstanceOf[Long] / 2)
       if (top.isEmpty) done = true
       else {
         val kept = selectDisjointBatch(top, batch)
@@ -1797,20 +1824,24 @@ object TextAnalysis {
           kept.foldLeft(col("s"))((c, m) => mergeRewrite(c, m._1, m._2))
             .as("s"))
           .persist(level)
-        val stats = rewritten.agg(
-          sum(length(col("s")) - length(translate(col("s"), sep, ""))).as("seps"))
-          .head() // materializes rewritten's cache before prev is dropped
-        val symbols = (if (stats.isNullAt(0)) 0L else stats.getLong(0)) / 2
-        kept.zipWithIndex.foreach { case ((w1, w2, nPair), i) =>
-          out += ((mergeIdx + i + 1, k, i + 1, w1, w2, nPair, symbols))
-        }
+        pendingRows = kept.zipWithIndex.map { case ((w1, w2, nPair), i) =>
+          (mergeIdx + i + 1, k, i + 1, w1, w2, nPair)
+        }.toList
         mergeIdx += kept.size
-        cur.unpersist(blocking = false)
+        prev = Some(cur)
         cur = rewritten
         onScan(k, top.size, kept.size, (System.nanoTime() - scanT0) / 1e9)
       }
     }
+    // the last scan's post-rewrite symbol count: one trailing aggregate
+    // over the final state (which also materializes it)
+    if (pendingRows.nonEmpty) {
+      val st = cur.agg(sepSum).head()
+      prev.foreach(_.unpersist(blocking = false)); prev = None
+      close(st.getLong(0) / 2)
+    }
     val fin = if (keepFinal) Some(cur.localCheckpoint()) else None
+    prev.foreach(_.unpersist(blocking = false))
     cur.unpersist(blocking = false)
     (out.toList, fin)
   }
@@ -1876,55 +1907,102 @@ object TextAnalysis {
 
   /** Shared k-round trainer loop: per-round winner stats plus the
     * final rewritten corpus state (doc_id, s) — [[bpeTrain]] reports
-    * the former, [[bpeEncode]] projects the latter. */
+    * the former, [[bpeEncode]] projects the latter.
+    *
+    * ONE corpus scan per round (r16, guide §1.2): the per-round
+    * glue/separator totals ride the winner-aggregation job as observed
+    * metrics (`Observation` — a CollectMetrics node over the cached
+    * state, computed in the pass the pair counts already make), so the
+    * old separate stats aggregate per round is gone. A scan of state r
+    * measures state r's totals, so each round's POST-merge stats
+    * arrive one scan later (in round r+1's job); the final round
+    * settles with a single trailing aggregate. Rewritten states
+    * materialize into their persist when the next round's scan (or
+    * the trailing aggregate / final checkpoint) first reads them —
+    * the ≤2-live-copies discipline is unchanged, shifted one round.
+    *
+    * `needStats = false` ([[bpeEncode]]/[[bpeEncodeHoldout]], which
+    * consume only the merge list / final state): the glued and symbol
+    * fields of the returned rows are 0 PLACEHOLDERS, the observe
+    * metrics and the trailing aggregate are skipped, and — for
+    * keepFinal = false — the last round's rewrite is never computed
+    * (nothing reads it). */
   private def bpeTrainLoop(spark: SparkSession, sfDir: String, rounds: Int,
-      keepFinal: Boolean, docFilter: Column = lit(true))
+      keepFinal: Boolean, docFilter: Column = lit(true),
+      needStats: Boolean = true)
       : (List[(Int, String, String, Long, Long, Long)], Option[DataFrame]) = {
     val sep = "\u0002"; val glue = "\u0001"
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the cached state inherits the source's floored parallelism
+    // (Tables.parallelismFloor): without it a single-row-group corpus
+    // plans a 1-task scan and every round's rewrite + pair aggregation
+    // serializes onto one core (measured r16: 0.44 s/round at sf0.1)
     var cur = delimitedState(
       Tables.documents(spark, sfDir).filter(docFilter))
       .persist(level)
+    var prev: Option[DataFrame] = None // cur's parent, released post-scan
+    def statsCols = Seq(
+      coalesce(sum(length(col("s")) - length(translate(col("s"), glue, ""))),
+        lit(0L)).as("glued"),
+      coalesce(sum(length(col("s")) - length(translate(col("s"), sep, ""))),
+        lit(0L)).as("seps"))
     val perRound = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long, Long, Long)]
+    // round awaiting its post-merge totals: (round, w1, w2, nPair)
+    var pending: Option[(Int, String, String, Long)] = None
+    var prevGlued = 0L
+    // per-round merges = delta of CUMULATIVE glue chars (each merge
+    // writes exactly one \u0001, which persists inside merged symbols)
+    def close(glued: Long, symbols: Long): Unit = {
+      pending.foreach { case (r, w1, w2, nPair) =>
+        perRound += ((r, w1, w2, nPair, glued - prevGlued, symbols))
+        prevGlued = glued
+      }
+      pending = None
+    }
     var done = false
     for (r <- 1 to rounds if !done) {
-      val top = pairCounts(cur)
+      val obs = org.apache.spark.sql.Observation()
+      val src =
+        if (needStats) cur.observe(obs, statsCols.head, statsCols(1)) else cur
+      val top = pairCounts(src)
         .orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(1)
         .collect()
+      // this scan materialized cur's cache; its parent can go now
+      prev.foreach(_.unpersist(blocking = false)); prev = None
+      if (needStats) {
+        val m = obs.get
+        close(m("glued").asInstanceOf[Long], m("seps").asInstanceOf[Long] / 2)
+      }
       if (top.isEmpty) done = true
       else {
         val (w1, w2, nPair) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        if (needStats) pending = Some((r, w1, w2, nPair))
+        else perRound += ((r, w1, w2, nPair, 0L, 0L))
         // literal replace with COLUMN operands — no quoting hazard
         // however regex-hostile the winning tokens are
         val rewritten = cur
           .select(col("doc_id"), mergeRewrite(col("s"), w1, w2).as("s"))
           .persist(level)
-        val stats = rewritten.agg(
-          sum(length(col("s")) - length(translate(col("s"), glue, ""))).as("glued"),
-          sum(length(col("s")) - length(translate(col("s"), sep, ""))).as("seps"))
-          .head() // materializes rewritten's cache before prev is dropped
-        val glued = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-        val symbols = (if (stats.isNullAt(1)) 0L else stats.getLong(1)) / 2
-        perRound += ((r, w1, w2, nPair, glued, symbols))
-        cur.unpersist(blocking = false)
+        prev = Some(cur)
         cur = rewritten
       }
     }
-    // per-round merges = delta of CUMULATIVE glue chars (each merge
-    // writes exactly one \u0001, which persists inside merged symbols)
-    val rows = perRound.toList
-      .zip(0L :: perRound.toList.map(_._5).dropRight(1)).map {
-        case ((r, w1, w2, nPair, glued, symbols), prevGlued) =>
-          (r, w1, w2, nPair, glued - prevGlued, symbols)
-      }
+    // the final round's post-merge totals need one trailing aggregate
+    // over the final state (which also materializes it)
+    if (pending.isDefined) {
+      val st = cur.agg(statsCols.head, statsCols(1)).head()
+      prev.foreach(_.unpersist(blocking = false)); prev = None
+      close(st.getLong(0), st.getLong(1) / 2)
+    }
     // only bpeEncode consumes the final state: hand IT back as a
     // self-contained checkpoint (ContextCleaner-managed) and release
     // the loop's cache so repeated trains don't accumulate corpus
     // copies in the cache manager; the stats-only caller skips the
     // checkpoint scan entirely
     val fin = if (keepFinal) Some(cur.localCheckpoint()) else None
+    prev.foreach(_.unpersist(blocking = false))
     cur.unpersist(blocking = false)
-    (rows, fin)
+    (perRound.toList, fin)
   }
 
   /** Document-frequency spectrum: how many vocabulary tokens appear in

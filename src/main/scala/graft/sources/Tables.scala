@@ -24,8 +24,44 @@ object Tables {
   /** Small dimension tables — always broadcast them in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier", "customer", "part")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Deterministic redistribution keys for the conditional scan-
+    * parallelism floor on the FACT tables (dimension tables stay
+    * un-floored: they broadcast). High-cardinality keys (≥20× the
+    * partition count, guide §2.5) so the hash spreads evenly. */
+  private val floorKeys: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "events" -> Seq("event_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Conditional scan-parallelism FLOOR (guide §2.5 "input skew",
+    * §6 `minPartitionNum`): when a frame plans fewer partitions than
+    * the session default — the single-row-group / unsplittable-file
+    * shape, where all work FUSED into the scan stage (tokenize,
+    * explode, partial aggregation, string rewrites, vector math)
+    * serializes onto one core — redistribute ONCE by a deterministic
+    * content key. At scale the scan already plans ≥ default-parallelism
+    * splits and this is the IDENTITY (no exchange added), so the floor
+    * is data-adaptive, not a local-mode constant. Hash partitioning on
+    * a real key keeps row→partition deterministic under task retries
+    * (the SPARK-38388 hazard of rand()/round-robin keys); filters and
+    * column pruning still push below the repartition to the scan.
+    * Results are partitioning-independent by construction (every
+    * registered query ends in a total order; aggregates are
+    * partition-commutative), so the floor never changes what a query
+    * computes. */
+  def parallelismFloor(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, keys: _*)
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    floorKeys.get(name).fold(df)(ks =>
+      parallelismFloor(df, ks.map(org.apache.spark.sql.functions.col): _*))
+  }
 
   /** Name-based loader honoring per-table quirks (events' NANOS ts). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
