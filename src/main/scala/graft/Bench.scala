@@ -27,6 +27,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound the per-job SQLExecutionStart plan description: deep
+      // checkpoint/cache chains over AQE subtrees can otherwise render
+      // multi-GB plan strings (the r17 chunk-replay OOM) — 8 MB keeps
+      // any diagnostic value while capping render cost
+      .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -951,7 +951,9 @@ object Dedup {
   }
 
   def dupSpans(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
-    dupSpansOf(Tables.documents(spark, sfDir), n)
+    // floored source (r17): span gram hashing is heavy per-row work —
+    // the measured r16 winner class for the scan-parallelism floor
+    dupSpansOf(Tables.floored(spark, sfDir, "documents"), n)
 
   /** Span-granular duplicated-region profile: merge each document's
     * duplicated positional n-grams (grams occurring in ≥1 OTHER doc,
@@ -989,7 +991,7 @@ object Dedup {
   }
 
   def dupSpanMerge(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
-    dupSpanMergeOf(Tables.documents(spark, sfDir), n)
+    dupSpanMergeOf(Tables.floored(spark, sfDir, "documents"), n)
 
   // --- Chunk-grain dedup (the long-document production interface) ---
 
@@ -1074,7 +1076,7 @@ object Dedup {
 
   def cdcDedupScrub(spark: SparkSession, sfDir: String,
       hexSuffix: String = "0"): DataFrame =
-    cdcDedupScrubOf(Tables.documents(spark, sfDir), hexSuffix)
+    cdcDedupScrubOf(Tables.floored(spark, sfDir, "documents"), hexSuffix)
 
   /** Shared scrub plan over a prepared chunk base + chunk-list
     * expression ([[TextAnalysis.strideChunkBase]] /
@@ -1442,7 +1444,8 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3,
       maxShingleFreq: Int = 1000000): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val batch = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
     val prior = canonIndex(spark, sfDir)
     // Materialize the batch shingling and batch canon ONCE, then each
     // REFRESHED index once — the same card [[minhashLshPairsOf]] plays
@@ -1455,17 +1458,36 @@ object Dedup {
     // shingle refresh had already done (minhashIndexOf = signatures
     // over shingleIndexOf). Now: one batch shingle pass, one 64-hash
     // signature agg, index-sized checkpoint blocks.
-    val batchSh = shingleIndexOf(batch, n).localCheckpoint()
-    val batchCanon = canonIndexOf(batch).localCheckpoint()
-    val hashed = sketchRefreshCore(batchSh,
-      priorShingleIndex(spark, sfDir, n), prior, batchCanon)
-      .select(col("doc_id"), col("h"), col("w_new").as("w"))
-      .localCheckpoint()
-    val sig = sketchRefreshCore(
-      signaturesFromHashes(batchSh).select("doc_id", "sig"),
-      priorMinhashIndex(spark, sfDir, n).select("doc_id", "sig"),
-      prior, batchCanon)
-      .select("doc_id", "sig").localCheckpoint()
+    // OVERLAPPED materialization (r17, guide §2.6 "overlap independent
+    // jobs"): the four checkpoint builds were serial driver calls —
+    // batch shingles, batch canon, then the two reconciles — though
+    // each pair is independent; two at a time back-fills the executor
+    // while the other's tail drains (measured: construction 5.1 s →
+    // see OPTIMIZATION_r17.md). Job descriptions are thread-local, so
+    // concurrent submission is safe; ArtifactCache reads inside the
+    // reconciles serialize themselves per key.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val batchShF = Future { shingleIndexOf(batch, n).localCheckpoint() }
+    val batchCanonF = Future { canonIndexOf(batch).localCheckpoint() }
+    val batchSh = Await.result(batchShF, Duration.Inf)
+    val batchCanon = Await.result(batchCanonF, Duration.Inf)
+    val hashedF = Future {
+      sketchRefreshCore(batchSh,
+        priorShingleIndex(spark, sfDir, n), prior, batchCanon)
+        .select(col("doc_id"), col("h"), col("w_new").as("w"))
+        .localCheckpoint()
+    }
+    val sigF = Future {
+      sketchRefreshCore(
+        signaturesFromHashes(batchSh).select("doc_id", "sig"),
+        priorMinhashIndex(spark, sfDir, n).select("doc_id", "sig"),
+        prior, batchCanon)
+        .select("doc_id", "sig").localCheckpoint()
+    }
+    val hashed = Await.result(hashedF, Duration.Inf)
+    val sig = Await.result(sigF, Duration.Inf)
     val (members, _) = exactGroups(docs)
     minhashLshFrom(members, hashed, sig, threshold, maxShingleFreq)
   }
@@ -1480,7 +1502,9 @@ object Dedup {
     // three times (both sides of the blocking self-join + the
     // eligibility set) — lazy, each re-runs batch simhashing and the
     // canonical reconcile (see minhashLshPairsRefreshed)
-    val sig = simhashIndexRefreshOf(docs.filter(col("doc_id") % 2 === 1),
+    val sig = simhashIndexRefreshOf(
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 1),
       priorSimhashIndex(spark, sfDir), canonIndex(spark, sfDir))
       .localCheckpoint()
     val (members, _) = exactGroups(docs)
@@ -1515,7 +1539,7 @@ object Dedup {
 
   def chunkDedupRate(spark: SparkSession, sfDir: String,
       chunkSize: Int = 32): DataFrame =
-    chunkDedupRateOf(Tables.documents(spark, sfDir), chunkSize)
+    chunkDedupRateOf(Tables.floored(spark, sfDir, "documents"), chunkSize)
 
   /** Shared span machinery for [[dupSpanMergeOf]] and [[dupSpanScrubOf]]:
     * duplicated positional n-grams (grams occurring in ≥1 OTHER doc)
@@ -1597,7 +1621,7 @@ object Dedup {
   }
 
   def dupSpanScrub(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
-    dupSpanScrubOf(Tables.documents(spark, sfDir), n)
+    dupSpanScrubOf(Tables.floored(spark, sfDir, "documents"), n)
 
   // --- Edit-distance (Levenshtein) verification over blocked candidates ---
 

@@ -32,11 +32,11 @@ object Stats {
   def lineitemColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     import spark.implicits._
-    // lineitem arrives floored (Tables.parallelismFloor): the 11 MB
-    // single-row-group file plans a 1-task scan, which serialized the
-    // exact-distinct partial aggregation (2.5 s of the query's 3.2 s)
-    // onto one core before r16
-    val li = Tables.lineitem(spark, sfDir)
+    // floored read (Tables.floored, r17 — opt-in at this call site):
+    // the 11 MB single-row-group file plans a 1-task scan, which
+    // serialized the exact-distinct partial aggregation (2.5 s of the
+    // query's 3.2 s) onto one core before r16
+    val li = Tables.floored(spark, sfDir, "lineitem")
     val fields = li.schema.fields
     val aggExprs = fields.flatMap { f =>
       val c = col(f.name)
@@ -87,7 +87,7 @@ object Stats {
   def lineitemColumnStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
+    val li = Tables.floored(spark, sfDir, "lineitem")
     val fields = li.schema.fields
     val aggExprs = fields.flatMap { f =>
       val c = col(f.name)

@@ -710,7 +710,7 @@ object TextAnalysis {
     val kept = curationPipeline(spark, sfDir, minQuality)
       .select("doc_id", "quality")
     val scrub = Dedup.dupSpanScrubOf(
-      Tables.documents(spark, sfDir), onlyDocs = Some(kept))
+      Tables.floored(spark, sfDir, "documents"), onlyDocs = Some(kept))
     kept.join(scrub, Seq("doc_id"))
       .select(col("doc_id"), col("quality"), col("n_removed"),
         (col("n_tok") - col("n_removed")).as("clean_tokens"),
@@ -1318,12 +1318,23 @@ object TextAnalysis {
         .as("p"))
       .select(col("p.w1"), col("p.w2"))
     val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    // corpus totals are 1-row scalar reductions, but NEITHER needs the
+    // aggregated tables (r17, guide §1.2): Σ n_w is the total token
+    // count and Σ n_pair the total bigram count — both pure arithmetic
+    // on per-doc token-array sizes, ONE no-explode scan instead of two
+    // full tokenize+explode+aggregate passes
+    val totals = toks.agg(
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("nu"),
+      coalesce(sum(when(size(col("toks")) >= 2,
+        (size(col("toks")) - 1).cast("long")).otherwise(0L)), lit(0L)).as("nb"))
+      .head()
+    val nu = totals.getLong(0).toDouble
+    val nb = totals.getLong(1).toDouble
+    // the unigram table feeds BOTH winner joins; materialize it once
+    // (vocabulary-sized) instead of re-tokenizing the corpus per join
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
-    // corpus totals are 1-row scalar reductions (same device as
-    // unigramLogProb's `total`) — fetched once, folded in as literals
-    val nu = uni.agg(sum("n_w")).head().getLong(0).toDouble
-    val nb = bg.agg(sum("n_pair")).head().getLong(0).toDouble
+      .localCheckpoint()
     bg.orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(k)
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
@@ -1354,8 +1365,12 @@ object TextAnalysis {
         .as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
     val bg = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    // materialized once (vocabulary-sized, r17): `uni` feeds the scoring
+    // join AND the vocab scalar below — lazily each re-ran the full
+    // tokenize+explode+aggregate pass over the corpus
     val uni = docs.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("n_w1"))
+      .localCheckpoint()
     val vocab = uni.count() // 1-row scalar: vocabulary size
     docBg.join(bg, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
@@ -1682,7 +1697,8 @@ object TextAnalysis {
       .select("merge_idx", "w1", "w2").collect()
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     val hold = delimitedState(
-      Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1))
+      Tables.floored(spark, sfDir, "documents")
+        .filter(col("doc_id") % 2 === 1))
     bpeEncodeProjection(applyMergesChunked(hold, learned, chunk))
   }
 
@@ -1702,7 +1718,8 @@ object TextAnalysis {
       .select("merge_idx", "w1", "w2").collect()
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     bpeEncodeProjection(applyMergesChunked(
-      delimitedState(Tables.documents(spark, sfDir)), learned, chunk))
+      delimitedState(Tables.floored(spark, sfDir, "documents")),
+      learned, chunk))
   }
 
   /** The greedy disjoint-batch selection shared (by construction — the
@@ -1750,19 +1767,19 @@ object TextAnalysis {
     if (groups.lengthCompare(1) <= 0)
       groups.foldLeft(df)(project)
     else {
-      val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      var cur = df
-      var cached: Option[DataFrame] = None
-      groups.foreach { grp =>
-        val next = project(cur, grp).persist(level)
-        next.count() // materialize before releasing the predecessor
-        cached.foreach(_.unpersist(blocking = false))
-        cached = Some(next)
-        cur = next
-      }
-      val fin = cur.localCheckpoint()
-      cached.foreach(_.unpersist(blocking = false))
-      fin
+      // EAGER localCheckpoint per chunk, not persist+count (r17): the
+      // persist chain truncated lineage for EXECUTION but not for the
+      // LOGICAL/physical plan, and with an exchange below (the floored
+      // corpus source) every cached level wraps an AdaptiveSparkPlan —
+      // so level k's per-job plan description re-renders all k nested
+      // cached trees. At chunk=1 (64 levels, the boundary-invariance
+      // spec) planning + the SQLExecutionStart plan string alone OOM'd
+      // an 8 GB heap. Checkpointing truncates the plan itself: every
+      // level re-plans from a leaf, O(1) planning and plan-string cost
+      // per chunk regardless of vocabulary depth. Blocks are
+      // MEMORY_AND_DISK and freed by the ContextCleaner as levels drop
+      // out of scope; the returned frame is self-contained, as before.
+      groups.foldLeft(df)((d, grp) => project(d, grp).localCheckpoint())
     }
   }
 
@@ -1782,7 +1799,7 @@ object TextAnalysis {
     val sep = "\u0002"
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = delimitedState(
-      Tables.documents(spark, sfDir).filter(docFilter))
+      Tables.floored(spark, sfDir, "documents").filter(docFilter))
       .persist(level)
     var prev: Option[DataFrame] = None // cur's parent, released post-scan
     def sepSum = coalesce(
@@ -1934,11 +1951,11 @@ object TextAnalysis {
     val sep = "\u0002"; val glue = "\u0001"
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the cached state inherits the source's floored parallelism
-    // (Tables.parallelismFloor): without it a single-row-group corpus
-    // plans a 1-task scan and every round's rewrite + pair aggregation
+    // (Tables.floored): without it a single-row-group corpus plans a
+    // 1-task scan and every round's rewrite + pair aggregation
     // serializes onto one core (measured r16: 0.44 s/round at sf0.1)
     var cur = delimitedState(
-      Tables.documents(spark, sfDir).filter(docFilter))
+      Tables.floored(spark, sfDir, "documents").filter(docFilter))
       .persist(level)
     var prev: Option[DataFrame] = None // cur's parent, released post-scan
     def statsCols = Seq(

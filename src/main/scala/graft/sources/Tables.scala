@@ -57,11 +57,40 @@ object Tables {
     else df.repartition(want, keys: _*)
   }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    floorKeys.get(name).fold(df)(ks =>
-      parallelismFloor(df, ks.map(org.apache.spark.sql.functions.col): _*))
+  /** Floor decision memo. `df.rdd.getNumPartitions` forces a physical
+    * plan (file listing included) per probe; the answer depends only on
+    * the file layout and the session parallelism, so pay it once per
+    * (dir, table, parallelism), not once per query construction
+    * (ADVICE r16). */
+  private val floorMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Opt-in floored fact-table read for HEAVY per-row consumers (BPE
+    * corpus rewrites, span/chunk tokenization passes, wide exact-
+    * distinct aggregation). r16 applied the floor unconditionally in
+    * [[table]] and the driver bench showed the cost: ~200 short
+    * scan→agg queries each paid a full-table Exchange at bench SF
+    * (20/32 comparable tail queries regressed >10%, 8-core total beat
+    * 32-core) while only the heavy per-row call sites measurably won.
+    * So the floor now lives AT those call sites — the default read
+    * stays the raw scan and each heavy consumer asks for the floored
+    * shape explicitly (r17; guide §1.2 step 1 "choose a partitioning",
+    * §2.5). Same deterministic keys, same identity-at-scale argument
+    * as [[parallelismFloor]]. */
+  def floored(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val keys = floorKeys.getOrElse(name,
+      sys.error(s"no floor key declared for table $name"))
+    val want = spark.sparkContext.defaultParallelism
+    val need = floorMemo.computeIfAbsent(s"$sfDir/$name@$want",
+      _ => df.rdd.getNumPartitions < want)
+    if (need)
+      df.repartition(want, keys.map(org.apache.spark.sql.functions.col): _*)
+    else df
   }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Name-based loader honoring per-table quirks (events' NANOS ts). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cap per-job plan-description rendering (see Bench.scala): deep
+      // checkpoint chains with AQE subtrees otherwise OOM on the string
+      .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
