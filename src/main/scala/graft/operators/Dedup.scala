@@ -1039,7 +1039,7 @@ object Dedup {
 
   def cdcDedupKeepers(spark: SparkSession, sfDir: String,
       hexSuffix: String = "0"): DataFrame =
-    cdcDedupKeepersOf(Tables.documents(spark, sfDir), hexSuffix)
+    cdcDedupKeepersOf(Tables.floored(spark, sfDir, "documents"), hexSuffix)
 
   /** Chunk-dedup WRITEBACK: the corpus with every duplicated chunk
     * removed except its FIRST occurrence (min doc_id, then min

@@ -171,12 +171,21 @@ object SkewTools {
       org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch]) = {
     val keys = df.select(keyCol)
     // Column-API aggregate (not an expr() string): immune to key names
-    // that would need backtick-quoting in SQL text (dots, spaces)
-    val anchor = keys.agg(
+    // that would need backtick-quoting in SQL text (dots, spaces).
+    // The two anchors stay SEPARATE jobs (the Expand hazard documented
+    // above) but run CONCURRENTLY (r17, guide §2.6) — they are
+    // independent scalar reductions over the same pruned column.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val anchorF = Future { keys.agg(
       count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)),
-      count(col(keyCol))).head()
+      count(col(keyCol))).head() }
+    val nKeysF = Future {
+      keys.agg(count_distinct(col(keyCol))).head().getLong(0) }
+    val anchor = Await.result(anchorF, Duration.Inf)
     val total = anchor.getLong(1)
-    val nKeys = keys.agg(count_distinct(col(keyCol))).head().getLong(0)
+    val nKeys = Await.result(nKeysF, Duration.Inf)
     val threshold =
       if (nKeys == 0L) Long.MaxValue // empty input: nothing is hot
       else math.max(1L, math.ceil(factor * total / nKeys).toLong)

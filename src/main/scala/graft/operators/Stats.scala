@@ -16,27 +16,20 @@ import graft.sources.Tables
 object Stats {
 
   /** Per-column statistics for the lineitem fact: row count, null
-    * count, EXACT distinct count, and rounded numeric min/max. Two
-    * passes, both scale-shaped: (1) one wide single-row aggregate for
-    * counts and min/max — no distinct here, because multi-column
-    * distinct in one aggregate plans an Expand blowup (one input-row
-    * copy per column); (2) the distinct counts go through an explicit
-    * (column, value) explode — the same ×C amplification Expand would
-    * do, but as the transparent word-count shape: pairs partially
-    * aggregate map-side and only (column, value-hash) currency
-    * shuffles. At 100 TB production swaps pass 2's exact distinct for
-    * per-column HLL sketches (one pass, mergeable) — the exact form
-    * here is what lets the oracle replay it. The tiny per-column rows
-    * are assembled on the driver (11 rows — stats are driver-sized by
+    * count, EXACT distinct count, and rounded numeric min/max. One
+    * wide single-row aggregate covers counts and min/max; the 16 exact
+    * distinct counts run as 16 concurrent single-column jobs (see the
+    * inline rationale — the merged multi-distinct Expand form was
+    * measured 8c-faster-than-32c at 10×). At 100 TB production swaps
+    * the exact distincts for per-column HLL sketches (one pass,
+    * mergeable — [[lineitemColumnStatsApprox]]); the exact form here
+    * is what lets the oracle replay it. The tiny per-column rows are
+    * assembled on the driver (11 rows — stats are driver-sized by
     * definition). */
   def lineitemColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     import spark.implicits._
-    // floored read (Tables.floored, r17 — opt-in at this call site):
-    // the 11 MB single-row-group file plans a 1-task scan, which
-    // serialized the exact-distinct partial aggregation (2.5 s of the
-    // query's 3.2 s) onto one core before r16
-    val li = Tables.floored(spark, sfDir, "lineitem")
+    val li = Tables.lineitem(spark, sfDir)
     val fields = li.schema.fields
     val aggExprs = fields.flatMap { f =>
       val c = col(f.name)
@@ -47,18 +40,35 @@ object Stats {
         case _ => Seq.empty
       })
     }
-    // ONE wide aggregate for everything — counts, min/max AND the 16
-    // exact distincts (planned as a single Expand + two-phase agg):
-    // r16 measured the old two-pass spelling (wide agg + per-column
-    // (c, value-as-string) explode) at 3.2 s, dominated by the explode
-    // pass's string casts and its second full scan; the merged form
-    // reads the table once and keeps every value in its native type
-    val wide = li.agg(count(lit(1)).as("n_rows"),
-      (aggExprs.toSeq ++ fields.map(f =>
-        count_distinct(col(f.name)).as(s"nd_${f.name}"))): _*).head()
+    // Per-column exact distincts as 16 CONCURRENT single-column jobs
+    // (r17, guide §2.6), not one merged 17-way Expand aggregate. The
+    // r16 merged form won at sf0.1 (2.86 → 2.16 s) but scales badly:
+    // Expand materializes one input-row copy per column before the
+    // partial agg, and the 10× sweep measured it at 13.0 s on 32 cores
+    // with 8 cores FASTER (10.6 s). Per-column jobs instead prune the
+    // parquet scan to ONE column each (ReadSchema = that column — the
+    // narrowest possible currency, guide §2.3/§6), partial-aggregate
+    // map-side, and all 16 run together from driver futures, so the
+    // wall is the slowest column, not the sum. No floor here: a pruned
+    // single-column scan plus map-side partial distinct needs no
+    // full-row shuffle, and the concurrency covers the 1-task
+    // small-file shape. Results identical (count_distinct per column,
+    // nulls ignored — same as the merged spelling; oracle unchanged).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wideF = Future {
+      li.agg(count(lit(1)).as("n_rows"), aggExprs.toSeq: _*).head()
+    }
+    val distinctFs = fields.map { f =>
+      f.name -> Future {
+        li.select(f.name).agg(count_distinct(col(f.name))).head().getLong(0)
+      }
+    }
+    val wide = Await.result(wideF, Duration.Inf)
     val nRows = wide.getAs[Long]("n_rows")
-    val distincts = fields.map(f =>
-      f.name -> wide.getAs[Long](s"nd_${f.name}")).toMap
+    val distincts = distinctFs.map { case (n, fut) =>
+      n -> Await.result(fut, Duration.Inf) }.toMap
     val rows = fields.toSeq.map { f =>
       def num(prefix: String): Option[Double] = f.dataType match {
         case _: NumericType =>
@@ -138,22 +148,34 @@ object Stats {
     // sum. coalesce matters: sum() over an EMPTY table is NULL and an
     // empty table is a quality state to report, not to NPE on
     def viol(c: Column): Column = coalesce(sum(when(c, 1).otherwise(0)), lit(0)).cast("long")
-    val o = orders.agg(
+    // the four anchors (two wide per-table aggregates, two orphan
+    // counts) are independent scalar jobs — overlap them (r17, guide
+    // §2.6) instead of running four serial driver waits; measured 2.0 s
+    // of serial construction at sf0.1, dominated by the lineitem
+    // composite-key distinct
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val oF = Future { orders.agg(
       count(lit(1)), count_distinct(col("o_orderkey")),
-      viol(col("o_orderdate").isNull)).head()
-    val l = li.agg(
+      viol(col("o_orderdate").isNull)).head() }
+    val lF = Future { li.agg(
       count(lit(1)),
       count_distinct(struct(col("l_orderkey"), col("l_linenumber"))),
       viol(col("l_quantity") < 1 || col("l_quantity") > 50),
       viol(!col("l_returnflag").isin("A", "N", "R")),
-      viol(col("l_extendedprice") < 0)).head()
+      viol(col("l_extendedprice") < 0)).head() }
     // referential integrity: orphan keys via anti join (key column only)
-    val liOrphans = li.select("l_orderkey")
+    val liOrphansF = Future { li.select("l_orderkey")
       .join(orders.select("o_orderkey"),
-        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-    val oOrphans = orders.select("o_custkey")
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count() }
+    val oOrphansF = Future { orders.select("o_custkey")
       .join(cust.select("c_custkey"),
-        col("o_custkey") === col("c_custkey"), "left_anti").count()
+        col("o_custkey") === col("c_custkey"), "left_anti").count() }
+    val o = Await.result(oF, Duration.Inf)
+    val l = Await.result(lF, Duration.Inf)
+    val liOrphans = Await.result(liOrphansF, Duration.Inf)
+    val oOrphans = Await.result(oOrphansF, Duration.Inf)
     val nO = o.getLong(0); val nL = l.getLong(0)
     Seq(
       ("enum_lineitem_returnflag", "lineitem", nL, l.getLong(3)),

@@ -194,7 +194,10 @@ object TextAnalysis {
     * is unchanged (repetition columns are gates, not score inputs). */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val stopPat = "\\b(" + Stopwords.mkString("|") + ")\\b"
-    Tables.documents(spark, sfDir)
+    // floored source (r17): per-row quality scoring (token split, line
+    // split, stopword regex) is heavy per-row work — measured 0.74 s
+    // floored vs 1.50 s on the 1-task unfloored scan at sf0.1
+    Tables.floored(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"),
         filter(split(col("text"), "\n"), x => x =!= "").as("lines"))
       .select(col("doc_id"),
@@ -1046,7 +1049,7 @@ object TextAnalysis {
 
   /** Driver-contract form over the documents table. */
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
-    piiScrubOf(Tables.documents(spark, sfDir))
+    piiScrubOf(Tables.floored(spark, sfDir, "documents"))
 
   /** Token-bounded overlapping document chunks — the step before
     * tokenize-and-pack in a pretraining pipeline. Chunks start every
@@ -1207,7 +1210,7 @@ object TextAnalysis {
   /** Driver-contract form of [[cdcChunksOf]] over the documents table. */
   def cdcChunkDocs(spark: SparkSession, sfDir: String,
       hexSuffix: String = "0"): DataFrame =
-    cdcChunksOf(Tables.documents(spark, sfDir), hexSuffix)
+    cdcChunksOf(Tables.floored(spark, sfDir, "documents"), hexSuffix)
 
   /** Rolling (Karp–Rabin polynomial) fingerprint — the shift-resistant
     * hashing primitive behind winnowing/chunk dedup, as a native codegen
@@ -1246,7 +1249,8 @@ object TextAnalysis {
     * same inverted-index shape as [[Dedup.shingleIndex]]. */
   def winnowingSketch(spark: SparkSession, sfDir: String,
       k: Int = 8, w: Int = 8): DataFrame =
-    winnowingSketchOf(Tables.documents(spark, sfDir), k, w).orderBy("doc_id", "fp")
+    winnowingSketchOf(Tables.floored(spark, sfDir, "documents"), k, w)
+      .orderBy("doc_id", "fp")
 
   /** Library form over any (doc_id, text) frame — unordered (the
     * driver-contract form adds the total order; pipeline consumers like
@@ -2498,7 +2502,7 @@ object TextAnalysis {
       transform(split(col("text"), "[.!?]"), s => trim(s)), s => s =!= "")), lit(1))
     val sylOf = (w: Column) =>
       greatest(size(filter(split(lower(w), "[^aeiouy]+"), g => g =!= "")), lit(1))
-    Tables.documents(spark, sfDir)
+    Tables.floored(spark, sfDir, "documents")
       .select(col("doc_id"), wsTokens(col("text")).as("toks"), nSent.as("n_sentences"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
