@@ -57,13 +57,25 @@ object Tables {
     else df.repartition(want, keys: _*)
   }
 
-  /** Floor decision memo. `df.rdd.getNumPartitions` forces a physical
-    * plan (file listing included) per probe; the answer depends only on
-    * the file layout and the session parallelism, so pay it once per
-    * (dir, table, parallelism), not once per query construction
-    * (ADVICE r16). */
+  /** Floor decision memo (None = scan already wide enough, leave it).
+    * `df.rdd.getNumPartitions` forces a physical plan (file listing
+    * included) per probe; the answer depends only on the file layout
+    * and the session parallelism, so pay it once per (dir, table,
+    * parallelism), not once per query construction (ADVICE r16). */
   private val floorMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
+  /** Total on-disk bytes of one table's parquet (file or directory). */
+  private def tableBytes(sfDir: String, name: String): Long = {
+    val p = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+  }
 
   /** Opt-in floored fact-table read for HEAVY per-row consumers (BPE
     * corpus rewrites, span/chunk tokenization passes, wide exact-
@@ -82,11 +94,22 @@ object Tables {
     val keys = floorKeys.getOrElse(name,
       sys.error(s"no floor key declared for table $name"))
     val want = spark.sparkContext.defaultParallelism
-    val need = floorMemo.computeIfAbsent(s"$sfDir/$name@$want",
-      _ => df.rdd.getNumPartitions < want)
-    if (need)
-      df.repartition(want, keys.map(org.apache.spark.sql.functions.col): _*)
-    else df
+    val target = floorMemo.computeIfAbsent(s"$sfDir/$name@$want", _ => {
+      // SIZE-ADAPTIVE target, not a blind jump to defaultParallelism
+      // (guide §2.2 "fewer, larger partitions"): one partition per
+      // ~2 MB of compressed source, clamped to [2, want]. A 32-way
+      // shuffle of an 11 MB file is mostly scheduling overhead — the
+      // r17 c8-vs-c32 bench measured the BPE rounds 2× FASTER at
+      // local[8] than local[32] under the want-wide floor — while at
+      // scale bytes/2MB exceeds `want` long before the scan stops
+      // planning enough splits on its own, so the cap (and the probe)
+      // keep the floor the identity there.
+      val parts = math.max(2L, math.min(want.toLong,
+        tableBytes(sfDir, name) / (2L << 20))).toInt
+      if (df.rdd.getNumPartitions >= parts) None else Some(parts)
+    })
+    target.fold(df)(n =>
+      df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*))
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
